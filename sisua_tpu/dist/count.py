@@ -1,0 +1,221 @@
+"""Count likelihoods: Poisson, NB (two parameterizations), zero-inflation.
+
+These are the workhorse likelihoods of the model zoo (reference posterior
+vocabulary 'nb'/'nbd'/'zinb'/'zinbd'/'poisson'/'zip', cf.
+``/root/reference/sisua/data/_single_cell_base.py:518-533`` and
+``configs/base.yaml:27-43``).
+
+Parameterization parity:
+  * ``NegativeBinomial(total_count, logits)`` — TFP convention: ``logits`` is
+    log-odds of *success*; ``mean = total_count * exp(logits)``.
+  * ``NegativeBinomialDisp(loc, disp)`` — scVI's mean/inverse-dispersion
+    convention (Lopez et al. 2018): ``r = disp`` (θ), ``p = loc/(loc+disp)``.
+    Log-prob matches scVI's ``log_nb_positive`` term-for-term.
+  * ``ZeroInflated(count_distribution, gate_logits)`` — mixture of a point
+    mass at 0 (prob σ(gate)) and the count distribution. The reference unwraps
+    ``.count_distribution`` to build the 'imputed' omic
+    (``sisua/analysis/posterior.py:210-220``) — same attribute here.
+
+All log-probs are elementwise (batch over genes); wrap in ``Independent`` or
+sum in the ELBO for per-cell likelihoods — keeping them elementwise lets XLA
+fuse the mask/sum of the semi-supervised loss into one reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Array, Distribution, register_kl
+
+__all__ = [
+    "Poisson",
+    "Bernoulli",
+    "NegativeBinomial",
+    "NegativeBinomialDisp",
+    "ZeroInflated",
+]
+
+
+def _lgamma(x):
+  return jax.lax.lgamma(x)
+
+
+def log_sigmoid(x):
+  return -jax.nn.softplus(-x)
+
+
+class Poisson(Distribution):
+  rate: Array
+
+  @property
+  def batch_shape(self):
+    return jnp.shape(self.rate)
+
+  def log_prob(self, x):
+    return x * jnp.log(self.rate) - self.rate - _lgamma(x + 1.0)
+
+  def mean(self):
+    return self.rate
+
+  def variance(self):
+    return self.rate
+
+  def mode(self):
+    return jnp.floor(self.rate)
+
+  def sample(self, key, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    return jax.random.poisson(key, self.rate, shape).astype(
+        jnp.result_type(self.rate))
+
+
+class Bernoulli(Distribution):
+  logits: Array
+
+  @property
+  def batch_shape(self):
+    return jnp.shape(self.logits)
+
+  def probs(self):
+    return jax.nn.sigmoid(self.logits)
+
+  def log_prob(self, x):
+    # -binary_cross_entropy: x*log σ(l) + (1-x)*log σ(-l)
+    return x * log_sigmoid(self.logits) + (1.0 - x) * log_sigmoid(-self.logits)
+
+  def mean(self):
+    return self.probs()
+
+  def variance(self):
+    p = self.probs()
+    return p * (1.0 - p)
+
+  def mode(self):
+    return (self.logits > 0).astype(jnp.result_type(self.logits))
+
+  def sample(self, key, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    return jax.random.bernoulli(key, self.probs(), shape).astype(
+        jnp.result_type(self.logits))
+
+
+class NegativeBinomial(Distribution):
+  """NB over counts of successes before ``total_count`` failures (TFP conv)."""
+
+  total_count: Array  # r > 0
+  logits: Array       # log-odds of success
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(jnp.shape(self.total_count),
+                                jnp.shape(self.logits))
+
+  def log_prob(self, x):
+    r, l = self.total_count, self.logits
+    log_p = log_sigmoid(l)        # log probability of success
+    log_1mp = log_sigmoid(-l)     # log probability of failure
+    return (_lgamma(x + r) - _lgamma(r) - _lgamma(x + 1.0)
+            + r * log_1mp + x * log_p)
+
+  def mean(self):
+    return self.total_count * jnp.exp(self.logits)
+
+  def variance(self):
+    return self.mean() / jax.nn.sigmoid(-self.logits)
+
+  def mode(self):
+    return jnp.where(self.total_count > 1.0,
+                     jnp.floor((self.total_count - 1.0) * jnp.exp(self.logits)),
+                     0.0)
+
+  def sample(self, key, sample_shape=()):
+    # Gamma–Poisson mixture: λ ~ Gamma(r, rate=(1-p)/p), x ~ Poisson(λ)
+    kg, kp = jax.random.split(key)
+    shape = tuple(sample_shape) + self.batch_shape
+    r = jnp.broadcast_to(self.total_count, shape)
+    g = jax.random.gamma(kg, r) * jnp.exp(self.logits)
+    return jax.random.poisson(kp, g).astype(jnp.result_type(self.logits))
+
+
+class NegativeBinomialDisp(Distribution):
+  """NB with mean/dispersion parameterization (scVI's ``log_nb_positive``)."""
+
+  loc: Array   # mean μ > 0
+  disp: Array  # inverse-dispersion θ > 0
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.disp))
+
+  def log_prob(self, x, eps: float = 1e-8):
+    mu, theta = self.loc, self.disp
+    log_theta_mu = jnp.log(theta + mu + eps)
+    return (theta * (jnp.log(theta + eps) - log_theta_mu)
+            + x * (jnp.log(mu + eps) - log_theta_mu)
+            + _lgamma(x + theta) - _lgamma(theta) - _lgamma(x + 1.0))
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def variance(self):
+    return self.loc + jnp.square(self.loc) / self.disp
+
+  def mode(self):
+    return jnp.where(self.disp > 1.0,
+                     jnp.floor(self.loc * (self.disp - 1.0) / self.disp), 0.0)
+
+  def sample(self, key, sample_shape=()):
+    kg, kp = jax.random.split(key)
+    shape = tuple(sample_shape) + self.batch_shape
+    theta = jnp.broadcast_to(self.disp, shape)
+    g = jax.random.gamma(kg, theta) * (self.loc / self.disp)
+    return jax.random.poisson(kp, g).astype(jnp.result_type(self.loc))
+
+
+class ZeroInflated(Distribution):
+  """Zero-inflation wrapper: with prob σ(gate_logits) emit exactly 0."""
+
+  count_distribution: Distribution
+  gate_logits: Array
+
+  # TFP-compatible alias used by the reference's unwrap logic
+  @property
+  def distribution(self):
+    return self.count_distribution
+
+  @property
+  def gate(self):
+    return jax.nn.sigmoid(self.gate_logits)
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(self.count_distribution.batch_shape,
+                                jnp.shape(self.gate_logits))
+
+  def log_prob(self, x):
+    g = self.gate_logits
+    lp = self.count_distribution.log_prob(x)
+    lp0 = self.count_distribution.log_prob(jnp.zeros_like(x))
+    log_pi = log_sigmoid(g)        # P(inflated zero)
+    log_1mpi = log_sigmoid(-g)
+    at_zero = jnp.logaddexp(log_pi, log_1mpi + lp0)
+    return jnp.where(x <= 0.0, at_zero, log_1mpi + lp)
+
+  def mean(self):
+    return jax.nn.sigmoid(-self.gate_logits) * self.count_distribution.mean()
+
+  def variance(self):
+    pi = self.gate
+    m = self.count_distribution.mean()
+    v = self.count_distribution.variance()
+    return (1.0 - pi) * (v + pi * jnp.square(m))
+
+  def mode(self):
+    return jnp.where(self.gate > 0.5, 0.0, self.count_distribution.mode())
+
+  def sample(self, key, sample_shape=()):
+    kz, kc = jax.random.split(key)
+    counts = self.count_distribution.sample(kc, sample_shape)
+    zero = jax.random.bernoulli(kz, jnp.broadcast_to(self.gate, counts.shape))
+    return jnp.where(zero, jnp.zeros_like(counts), counts)

@@ -1,0 +1,194 @@
+"""Core variational-autoencoder flax module (the BetaVAE engine).
+
+This is the TPU-native re-design of the reference's `[odin] BetaVAE` +
+``SingleCellModel`` forward path (``/root/reference/sisua/models/
+single_cell_model.py:119-151``): a pure flax module mapping
+
+    batch dict {x, library?} ──encode──► q(Z|X) ──sample──► decode ──► p(X|Z)
+
+and returning a ``VAEOutput`` pytree carrying *distributions* (params-first —
+see ``sisua_tpu.dist``), latent samples, and per-latent priors, so the ELBO is
+a pure function over the output (``objective.py``). Everything is static-shape
+and jit-friendly; per-batch stochasticity comes from flax rng streams
+('sample', 'dropout').
+
+Multi-encoder / multi-latent conventions (reference parity):
+  * encoder i feeds latent head i (extra heads reuse the last encoder) —
+    SCVI's (z, l) double-encoder layout (``scvi.py:33-106``).
+  * ``reduce_latent``: 'concat' (default) | 'first' | 'sum' | 'mean' over
+    latent samples before decoding (``single_cell_model.py:74-101``).
+  * the first input is the main (transcriptomic) omic; it is ``log1p``-ed when
+    ``log_norm`` (``single_cell_model.py:119-139``). Additional inputs are
+    *labels* — they supervise extra output heads, never enter the encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from .. import dist as D
+from ..nn import MLP, DistributionDense, NetConf
+from ..rv import RVmeta
+
+__all__ = ["VAEOutput", "VAEModule", "SCVIModule"]
+
+Array = jax.Array
+
+
+class VAEOutput(struct.PyTreeNode):
+  """Forward-pass result: everything the ELBO / analysis needs."""
+
+  outputs: Tuple[D.Distribution, ...]        # p(X_i | Z)
+  latents: Tuple[D.Distribution, ...]        # q(Z_j | X)
+  latent_samples: Tuple[Array, ...]          # reparameterized draws, aligned
+  priors: Tuple[Optional[D.Distribution], ...]  # p(Z_j); None → unit normal
+
+
+class VAEModule(nn.Module):
+  """β-VAE engine over RVmeta/NetConf specs. Subclass for custom topologies."""
+
+  outputs: Tuple[RVmeta, ...]
+  latents: Tuple[RVmeta, ...]
+  encoder_confs: Tuple[NetConf, ...]
+  decoder_confs: Tuple[NetConf, ...]
+  log_norm: bool = True
+  reduce_latent: str = "concat"
+
+  def setup(self):
+    self.encoders = [c.build(name=f"encoder{i}")
+                     for i, c in enumerate(self.encoder_confs)]
+    self.decoders = [c.build(name=f"decoder{i}")
+                     for i, c in enumerate(self.decoder_confs)]
+    self.latent_heads = [
+        DistributionDense(rv, name=f"latent_head_{rv.name or i}")
+        for i, rv in enumerate(self.latents)]
+    self.output_heads = [
+        DistributionDense(rv, name=f"output_head_{rv.name or i}")
+        for i, rv in enumerate(self.outputs)]
+
+  # ---- pieces -------------------------------------------------------------
+  def preprocess(self, x: Array) -> Array:
+    return jnp.log1p(x) if self.log_norm else x
+
+  def encode(self, x: Array, library: Optional[Array] = None,
+             training: bool = False) -> Tuple[D.Distribution, ...]:
+    h = self.preprocess(x)
+    hs = [enc(h, training=training) for enc in self.encoders]
+    qZ = tuple(
+        head(hs[min(i, len(hs) - 1)])
+        for i, head in enumerate(self.latent_heads))
+    return qZ
+
+  def reduce_latents(self, zs: Sequence[Array]) -> Array:
+    if len(zs) == 1:
+      return zs[0]
+    if self.reduce_latent == "concat":
+      return jnp.concatenate(zs, axis=-1)
+    if self.reduce_latent == "first":
+      return zs[0]
+    if self.reduce_latent == "sum":
+      return sum(zs)
+    if self.reduce_latent == "mean":
+      return sum(zs) / len(zs)
+    raise ValueError(f"unknown reduce_latent: {self.reduce_latent}")
+
+  def decode(self, z: Array, library: Optional[Array] = None,
+             training: bool = False) -> Tuple[D.Distribution, ...]:
+    d = self.decoders[0](z, training=training)
+    return tuple(head(d) for head in self.output_heads)
+
+  def latent_priors(self, library: Optional[Array] = None
+                    ) -> Tuple[Optional[D.Distribution], ...]:
+    return tuple(rv.create_prior() for rv in self.latents)
+
+  # ---- full pass ------------------------------------------------------------
+  def __call__(self, x: Array, library: Optional[Array] = None,
+               training: bool = False,
+               sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
+    qZ = self.encode(x, library=library, training=training)
+    key = self.make_rng("sample")
+    keys = jax.random.split(key, len(qZ))
+    zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
+    z = self.reduce_latents(zs)
+    pX = self.decode(z, library=library, training=training)
+    return VAEOutput(outputs=pX, latents=qZ, latent_samples=zs,
+                     priors=self.latent_priors(library=library))
+
+
+class SCVIModule(VAEModule):
+  """scVI topology (reference ``sisua/models/scvi.py:19-175``), TPU-native.
+
+  Differences from the generic engine, matching the reference exactly:
+    * two encoders — z and library l; latent spec = (z_rv, library_rv(1,
+      'normal')); the library prior is ``Normal(local_mean, sqrt(local_var))``
+      built per-batch from dataset statistics (``scvi.py:88-106``).
+    * only z is decoded (``reduce_latent → first``); library samples are
+      clipped to [0, clip_library], then ``px_rate = exp(L)·softmax(scale)``
+      with scale clipped to [1e-7, 1-1e-7]; ``px_r = exp(raw)`` when
+      dispersion='full'; gate logits raw (``scvi.py:117-166``).
+    * the main output head receives final parameters (projection=False).
+    * extra (semi-supervised) heads decode from the shared hidden ``d``
+      (``scvi.py:170``).
+  """
+
+  dispersion: str = "full"      # 'full' → per-cell-per-gene; 'single' shared
+  inflation: str = "full"
+  clip_library: float = 1e3
+
+  def setup(self):
+    super().setup()
+    n_dims = self.outputs[0].dim
+    self.px_scale = nn.Dense(n_dims, name="MeanScale")
+    if self.outputs[0].is_zero_inflated and self.inflation == "full":
+      self.px_dropout = nn.Dense(n_dims, name="DropoutLogits")
+    if self.dispersion == "full":
+      self.px_r = nn.Dense(n_dims, name="Dispersion")
+    else:
+      self.px_r_single = self.param(
+          "px_r_single", nn.initializers.zeros, (n_dims,))
+
+  def latent_priors(self, library: Optional[Array] = None):
+    priors = [rv.create_prior() for rv in self.latents]
+    if library is not None:
+      mean, var = jnp.split(library, 2, axis=-1)
+      priors[-1] = D.Independent(
+          D.Normal(loc=mean, scale=jnp.sqrt(var)), 1)
+    return tuple(priors)
+
+  def decode(self, latent_samples, library: Optional[Array] = None,
+             training: bool = False):
+    # latent_samples here is the tuple (z, l) — SCVI needs both separately,
+    # so reduce_latents is bypassed via __call__ override below.
+    z, l = latent_samples
+    l = jnp.clip(l, 0.0, self.clip_library)
+    d = self.decoders[0](z, training=training)
+    px_scale = jax.nn.softmax(self.px_scale(d), axis=-1)
+    px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
+    px_rate = jnp.exp(l) * px_scale
+    if self.dispersion == "full":
+      px_r = jnp.exp(self.px_r(d))
+    else:
+      px_r = jnp.broadcast_to(jnp.exp(self.px_r_single), px_rate.shape)
+    params = [px_rate, px_r]
+    if self.outputs[0].is_zero_inflated and self.inflation == "full":
+      params.append(self.px_dropout(d))
+    flat = jnp.concatenate(params, axis=-1)
+    pX = self.output_heads[0](flat)
+    pY = tuple(head(d) for head in self.output_heads[1:])
+    return (pX,) + pY
+
+  def __call__(self, x: Array, library: Optional[Array] = None,
+               training: bool = False,
+               sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
+    qZ = self.encode(x, library=library, training=training)
+    key = self.make_rng("sample")
+    keys = jax.random.split(key, len(qZ))
+    zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
+    pX = self.decode(zs, library=library, training=training)
+    return VAEOutput(outputs=pX, latents=qZ, latent_samples=zs,
+                     priors=self.latent_priors(library=library))

@@ -1,0 +1,111 @@
+"""ELBO objective: likelihood terms, KL terms, semi-supervised masking.
+
+The TPU-native replacement for the reference's `[odin]` BetaVAE/multitaskVAE
+loss (call stack ``SURVEY.md`` §3.1: ``ELBO = Σ llkᵢ·maskᵢ − β·KL``):
+
+  * first output = main omic, always unmasked;
+  * extra outputs are *labels*: in multitask (SISUA-family) models their
+    log-likelihood is weighted by α and multiplied by the per-example
+    semi-supervised mask generated in the data pipeline
+    (reference ``sisua/data/_single_cell_base.py:577-593``);
+  * KL per latent: analytic when available and ``analytic=True``, else
+    Monte-Carlo from the forward latent samples (SCALE path,
+    ``sisua/models/scale.py:44-48``);
+  * β may be an ``Interpolation`` schedule evaluated at the current step
+    (KL warm-up).
+
+Pure function of (VAEOutput, batch, coefficients) — XLA fuses the whole
+masked-reduction + KL into the surrounding backward pass; a Pallas-fused
+variant of the ZINB term lives in ``sisua_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import dist as D
+from .module import VAEOutput
+
+__all__ = ["elbo_terms", "compute_loss"]
+
+Array = jax.Array
+
+
+def _kl_term(q: D.Distribution, prior: Optional[D.Distribution],
+             z: Array, analytic: bool) -> Array:
+  """KL(q ‖ prior) per example. Falls back to MC using the forward sample."""
+  if prior is None:
+    return jnp.zeros(q.batch_shape, dtype=jnp.float32)
+  if analytic:
+    try:
+      return D.kl_divergence(q, prior)
+    except D.NoAnalyticKL:
+      pass
+  # Monte-Carlo: E_q[log q(z) − log p(z)] with the reparameterized forward
+  # draw(s); leading sample dims (if any) are averaged.
+  lq = q.log_prob(z)
+  lp = prior.log_prob(z)
+  kl = lq - lp
+  extra = kl.ndim - len(q.batch_shape)
+  if extra > 0:
+    kl = jnp.mean(kl, axis=tuple(range(extra)))
+  return kl
+
+
+def elbo_terms(out: VAEOutput,
+               targets: Sequence[Array],
+               mask: Optional[Array] = None,
+               analytic: bool = True,
+               mask_outputs: bool = False,
+               alpha: float = 1.0,
+               ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+  """Per-example log-likelihood and KL dictionaries.
+
+  Returns ``(llk, kl)`` keyed ``llk_<name>`` / ``klqp_<name>`` — the metric
+  names the reference's learning-curve plots expect
+  (``sisua/analysis/results_sheet.py:57-101``).
+  """
+  llk: Dict[str, Array] = {}
+  for i, (pX, x) in enumerate(zip(out.outputs, targets)):
+    name = f"x{i}" if i else "x"
+    lp = pX.log_prob(x)
+    # average over any leading MC sample dims down to batch shape
+    extra = lp.ndim - 1
+    if extra > 0:
+      lp = jnp.mean(lp, axis=tuple(range(extra)))
+    if i > 0:
+      lp = alpha * lp
+      if mask_outputs and mask is not None:
+        lp = lp * mask.astype(lp.dtype).reshape(lp.shape[0])
+    llk[f"llk_{name}"] = lp
+  kl: Dict[str, Array] = {}
+  for j, (q, prior, z) in enumerate(
+      zip(out.latents, out.priors, out.latent_samples)):
+    name = f"z{j}" if j else "z"
+    kl[f"klqp_{name}"] = _kl_term(q, prior, z, analytic)
+  return llk, kl
+
+
+def compute_loss(out: VAEOutput,
+                 targets: Sequence[Array],
+                 mask: Optional[Array] = None,
+                 beta: Array | float = 1.0,
+                 alpha: float = 1.0,
+                 analytic: bool = True,
+                 mask_outputs: bool = False,
+                 ) -> Tuple[Array, Dict[str, Array]]:
+  """Scalar −ELBO plus scalar metrics (means over the batch)."""
+  llk, kl = elbo_terms(out, targets, mask=mask, analytic=analytic,
+                       mask_outputs=mask_outputs, alpha=alpha)
+  total_llk = sum(llk.values())
+  total_kl = sum(kl.values())
+  elbo = total_llk - beta * total_kl
+  loss = -jnp.mean(elbo)
+  metrics = {k: jnp.mean(v) for k, v in {**llk, **kl}.items()}
+  metrics["loss"] = loss
+  metrics["elbo"] = jnp.mean(elbo)
+  metrics["beta"] = jnp.asarray(beta, jnp.float32)
+  return loss, metrics
