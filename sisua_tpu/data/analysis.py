@@ -1,0 +1,670 @@
+"""_OMICanalyzer — in-place/copy transforms, embeddings, clustering, stats.
+
+Clean-room re-implementation of the reference mixin
+(``/root/reference/sisua/data/_single_cell_analysis.py``, 1245 LoC) without
+scanpy (not in this image): the scanpy-derived algorithms (seurat HVG
+filtering, t-test gene ranking, louvain on a kNN graph) are implemented from
+their published definitions on numpy/scipy/sklearn.
+
+Caching conventions match the reference: embeddings land in
+``obsm['<omic>_pca' | '_tsne' | '_umap']``, cluster labels in
+``obs['<omic>_<algo><k>']``, probabilistic embeddings in
+``obsm['<omic>_prob' | '_bin']``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from scipy import sparse
+from scipy import stats as sp_stats
+
+from .const import OMIC
+from .core import _OMICbase
+from .utils import apply_artificial_corruption
+
+__all__ = ["_OMICanalyzer"]
+
+BATCH_SIZE = 4096  # IncrementalPCA batching (reference convention)
+
+
+def _dense(x) -> np.ndarray:
+  if sparse.issparse(x):
+    return np.asarray(x.todense(), dtype=np.float32)
+  return np.asarray(x, dtype=np.float32)
+
+
+def diagonal_linear_assignment(cm: np.ndarray) -> np.ndarray:
+  """Hungarian matching of predicted→true cluster ids so the confusion
+  matrix is maximally diagonal (reference uses odin.search's equivalent)."""
+  from scipy.optimize import linear_sum_assignment
+  r, c = linear_sum_assignment(-cm)
+  mapping = np.arange(cm.shape[0])
+  mapping[r] = c
+  return mapping
+
+
+class _OMICanalyzer(_OMICbase):
+  # ---------------------------------------------------------------- corrupt
+  def corrupt(self,
+              omic=None,
+              dropout_rate: float = 0.2,
+              retain_rate: float = 0.2,
+              distribution: str = "binomial",
+              inplace: bool = True,
+              seed: int = 8) -> "_OMICanalyzer":
+    """Artificial count corruption of an omic (ref :78-111) — the denoising
+    benchmark mechanism (scVI protocol)."""
+    obj = self if inplace else self.copy()
+    omic = obj.current_omic if omic is None else OMIC.parse(omic)
+    for om in omic:
+      x = obj._omics[om.name]
+      x = apply_artificial_corruption(x, dropout=dropout_rate,
+                                      distribution=distribution,
+                                      retain_rate=retain_rate,
+                                      copy=not inplace, seed=seed)
+      obj._omics[om.name] = x
+      obj._calculate_statistics(om)
+    obj._record("corrupt", dict(omic=omic.name, dropout_rate=dropout_rate,
+                                retain_rate=retain_rate,
+                                distribution=distribution, seed=seed))
+    return obj
+
+  # ------------------------------------------------------------- filtering
+  def filter_highly_variable_genes(self,
+                                   min_disp: float = 0.5,
+                                   max_disp: float = np.inf,
+                                   min_mean: float = 0.0125,
+                                   max_mean: float = 3.0,
+                                   n_top_genes: Optional[int] = None,
+                                   n_bins: int = 20,
+                                   flavor: str = "seurat",
+                                   inplace: bool = True) -> "_OMICanalyzer":
+    """Seurat/cell_ranger-flavor HVG selection (ref :113-204), implemented
+    from the published recipe: per-gene mean/dispersion of (log-)normalized
+    counts, dispersions z-scored within mean bins, thresholded or top-N."""
+    obj = self if inplace else self.copy()
+    X = _dense(obj.X)
+    # normalize per cell to median total then log1p (seurat flavor)
+    totals = X.sum(1, keepdims=True)
+    totals[totals == 0] = 1.0
+    Xn = X / totals * np.median(X.sum(1))
+    if flavor == "seurat":
+      Xl = np.log1p(Xn)
+      mean = Xl.mean(0)
+      var = Xl.var(0)
+      mean_ = np.expm1(mean)  # seurat computes disp on expm1 space
+      disp = np.expm1(np.log1p(var) ) if False else var / np.maximum(mean_, 1e-12)
+      mean = mean_
+      disp = np.where(mean > 0, np.expm1(Xl).var(0) / np.maximum(mean, 1e-12), 0)
+      log_disp = np.log(disp + 1e-12)
+      # bin by mean, z-score log-dispersion within bins
+      bins = np.quantile(mean, np.linspace(0, 1, n_bins + 1))
+      bins[-1] += 1e-6
+      bin_id = np.clip(np.digitize(mean, bins) - 1, 0, n_bins - 1)
+      disp_norm = np.zeros_like(log_disp)
+      for b in range(n_bins):
+        m = bin_id == b
+        if m.sum() > 1:
+          mu, sd = log_disp[m].mean(), log_disp[m].std()
+          disp_norm[m] = (log_disp[m] - mu) / (sd + 1e-12)
+      dispersions = disp_norm
+    else:  # 'cell_ranger': median-based normalization of dispersion
+      mean = Xn.mean(0)
+      disp = Xn.var(0) / np.maximum(mean, 1e-12)
+      log_disp = np.log1p(disp)
+      bins = np.quantile(mean, np.linspace(0, 1, n_bins + 1))
+      bins[-1] += 1e-6
+      bin_id = np.clip(np.digitize(mean, bins) - 1, 0, n_bins - 1)
+      dispersions = np.zeros_like(log_disp)
+      for b in range(n_bins):
+        m = bin_id == b
+        if m.sum() > 1:
+          med = np.median(log_disp[m])
+          mad = np.median(np.abs(log_disp[m] - med)) + 1e-12
+          dispersions[m] = (log_disp[m] - med) / mad
+    if n_top_genes is not None:
+      keep_idx = np.argsort(-dispersions)[:n_top_genes]
+      keep = np.zeros(X.shape[1], bool)
+      keep[keep_idx] = True
+    else:
+      keep = ((dispersions >= min_disp) & (dispersions <= max_disp) &
+              (mean >= min_mean) & (mean <= max_mean))
+    obj.var["highly_variable"] = keep
+    obj.var["means"] = mean
+    obj.var["dispersions_norm"] = dispersions
+    obj.apply_indices(np.nonzero(keep)[0], observation=False)
+    obj._record("filter_highly_variable_genes",
+                dict(n_top_genes=n_top_genes, flavor=flavor,
+                     kept=int(keep.sum())))
+    return obj
+
+  def filter_genes(self,
+                   min_counts: Optional[int] = None,
+                   max_counts: Optional[int] = None,
+                   min_cells: Optional[int] = None,
+                   max_cells: Optional[int] = None,
+                   inplace: bool = True) -> "_OMICanalyzer":
+    """Keep genes by count/cell thresholds (ref :206-260)."""
+    obj = self if inplace else self.copy()
+    X = obj.X
+    counts = np.asarray(X.sum(0)).ravel()
+    ncells = np.asarray((X > 0).sum(0)).ravel()
+    keep = np.ones(X.shape[1], bool)
+    if min_counts is not None:
+      keep &= counts >= min_counts
+    if max_counts is not None:
+      keep &= counts <= max_counts
+    if min_cells is not None:
+      keep &= ncells >= min_cells
+    if max_cells is not None:
+      keep &= ncells <= max_cells
+    obj.apply_indices(np.nonzero(keep)[0], observation=False)
+    obj._record("filter_genes", dict(min_counts=min_counts,
+                                     max_counts=max_counts,
+                                     min_cells=min_cells, max_cells=max_cells,
+                                     kept=int(keep.sum())))
+    return obj
+
+  def filter_cells(self,
+                   min_counts: Optional[int] = None,
+                   max_counts: Optional[int] = None,
+                   min_genes: Optional[int] = None,
+                   max_genes: Optional[int] = None,
+                   inplace: bool = True) -> "_OMICanalyzer":
+    """Keep cells by library-size thresholds (ref :262-309)."""
+    obj = self if inplace else self.copy()
+    X = obj.X
+    counts = np.asarray(X.sum(1)).ravel()
+    ngenes = np.asarray((X > 0).sum(1)).ravel()
+    keep = np.ones(X.shape[0], bool)
+    if min_counts is not None:
+      keep &= counts >= min_counts
+    if max_counts is not None:
+      keep &= counts <= max_counts
+    if min_genes is not None:
+      keep &= ngenes >= min_genes
+    if max_genes is not None:
+      keep &= ngenes <= max_genes
+    obj.apply_indices(np.nonzero(keep)[0], observation=True)
+    for om in obj.omics:
+      obj._calculate_statistics(om)
+    obj._record("filter_cells", dict(min_counts=min_counts,
+                                     max_counts=max_counts,
+                                     min_genes=min_genes, max_genes=max_genes,
+                                     kept=int(keep.sum())))
+    return obj
+
+  # ------------------------------------------------------------ normalize
+  def normalize(self,
+                omic=None,
+                total: bool = False,
+                log1p: bool = False,
+                scale: bool = False,
+                target_sum: Optional[float] = None,
+                max_value: Optional[float] = None,
+                inplace: bool = True) -> "_OMICanalyzer":
+    """Total-count normalize / log1p / unit-variance scale (ref :466-543)."""
+    obj = self if inplace else self.copy()
+    omic = obj.current_omic if omic is None else OMIC.parse(omic)
+    for om in omic:
+      X = _dense(obj._omics[om.name])
+      if total:
+        counts = X.sum(1, keepdims=True)
+        counts[counts == 0] = 1.0
+        tsum = target_sum or float(np.median(X.sum(1)))
+        X = X / counts * tsum
+      if log1p:
+        X = np.log1p(X)
+      if scale:
+        mu = X.mean(0, keepdims=True)
+        sd = X.std(0, keepdims=True)
+        sd[sd == 0] = 1.0
+        X = (X - mu) / sd
+        if max_value is not None:
+          X = np.clip(X, -max_value, max_value)
+      obj._omics[om.name] = X.astype(np.float32)
+      obj._calculate_statistics(om)
+    obj._record("normalize", dict(omic=omic.name, total=total, log1p=log1p,
+                                  scale=scale, target_sum=target_sum))
+    return obj
+
+  def expm1(self, omic=None, inplace: bool = True) -> "_OMICanalyzer":
+    obj = self if inplace else self.copy()
+    omic = obj.current_omic if omic is None else OMIC.parse(omic)
+    for om in omic:
+      obj._omics[om.name] = np.expm1(_dense(obj._omics[om.name]))
+      obj._calculate_statistics(om)
+    obj._record("expm1", dict(omic=omic.name))
+    return obj
+
+  # ------------------------------------------------------------ embeddings
+  def probabilistic_embedding(self,
+                              omic=None,
+                              n_components_per_class: int = 2,
+                              positive_component: int = 1,
+                              log_norm: bool = True,
+                              clip_quartile: float = 0.0,
+                              remove_zeros: bool = True,
+                              ci_threshold: float = -0.68,
+                              seed: int = 8):
+    """Per-feature GMM probabilization (ref :311-383). Caches the fitted
+    model in ``uns['<omic>_prob_embedding']`` and returns
+    ``(pb, prob, bin)``."""
+    from ..label_threshold import ProbabilisticEmbedding
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    key = f"{omic.name}_prob_embedding"
+    X = self.numpy(omic)
+    if key not in self.uns:
+      pe = ProbabilisticEmbedding(
+          n_components_per_class=n_components_per_class,
+          positive_component=positive_component, log_norm=log_norm,
+          clip_quartile=clip_quartile, remove_zeros=remove_zeros,
+          ci_threshold=ci_threshold, random_state=seed)
+      # binary data probabilizes trivially
+      pe.fit(X)
+      self.uns[key] = pe
+      self.obsm[f"{omic.name}_prob"] = pe.predict_proba(X)
+      self.obsm[f"{omic.name}_bin"] = pe.predict(X)
+      self._record("probabilistic_embedding", dict(omic=omic.name, seed=seed))
+    return (self.uns[key], self.obsm[f"{omic.name}_prob"],
+            self.obsm[f"{omic.name}_bin"])
+
+  def dimension_reduce(self,
+                       omic=None,
+                       n_components: int = 100,
+                       algo: str = "pca",
+                       random_state: int = 8) -> np.ndarray:
+    """PCA / t-SNE / UMAP embedding, cached in obsm (ref :385-451)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    algo = str(algo).lower()
+    key = f"{omic.name}_{algo}"
+    if key in self.obsm:
+      cached = self.obsm[key]
+      if cached.shape[1] >= n_components:
+        return cached[:, :n_components]
+      del self.obsm[key]  # recompute wider
+      n_components = max(n_components, cached.shape[1])
+    X = self.numpy(omic)
+    n_components = min(n_components, X.shape[1], X.shape[0])
+    if algo == "pca":
+      from sklearn.decomposition import IncrementalPCA, PCA
+      if X.shape[0] > BATCH_SIZE:
+        model = IncrementalPCA(n_components=n_components,
+                               batch_size=BATCH_SIZE)
+      else:
+        model = PCA(n_components=n_components, random_state=random_state)
+      emb = model.fit_transform(X)
+      self.uns[f"{key}_model"] = model
+    elif algo == "tsne":
+      from sklearn.manifold import TSNE
+      # t-SNE on top of PCA (standard pipeline; reference odin.ml.fast_tsne)
+      pca = self.dimension_reduce(omic, n_components=min(100, X.shape[1]),
+                                  algo="pca", random_state=random_state)
+      n_components = min(n_components, 3)
+      emb = TSNE(n_components=max(2, n_components), random_state=random_state,
+                 init="pca").fit_transform(pca[:, :50])
+    elif algo == "umap":
+      try:
+        import umap  # optional — not in the base image
+        emb = umap.UMAP(n_components=max(2, min(n_components, 3)),
+                        random_state=random_state).fit_transform(X)
+      except ImportError:
+        # documented fallback: t-SNE approximates the 2-D manifold use-case
+        emb = self.dimension_reduce(omic, n_components=2, algo="tsne",
+                                    random_state=random_state)
+    else:
+      raise ValueError(f"Unknown algo '{algo}' (pca|tsne|umap)")
+    self.obsm[key] = np.asarray(emb, np.float32)
+    self._record("dimension_reduce", dict(omic=omic.name, algo=algo,
+                                          n_components=n_components))
+    return self.obsm[key]
+
+  def neighbors(self,
+                omic=None,
+                n_neighbors: int = 12,
+                n_pcs: int = 100,
+                random_state: int = 8):
+    """kNN graph (connectivity + distance) on PCA space (ref :546-630)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    key = f"{omic.name}_neighbors"
+    if key in self.uns:
+      return self.uns[key]
+    from sklearn.neighbors import NearestNeighbors
+    pca = self.dimension_reduce(omic, n_components=n_pcs, algo="pca",
+                                random_state=random_state)
+    nn = NearestNeighbors(n_neighbors=n_neighbors).fit(pca)
+    dist = nn.kneighbors_graph(pca, mode="distance")
+    conn = nn.kneighbors_graph(pca, mode="connectivity")
+    self.uns[key] = {"distances": dist, "connectivities": conn,
+                     "n_neighbors": n_neighbors}
+    self._record("neighbors", dict(omic=omic.name, n_neighbors=n_neighbors))
+    return self.uns[key]
+
+  # ------------------------------------------------------------- clustering
+  def clustering(self,
+                 omic=None,
+                 n_clusters: Optional[int] = None,
+                 algo: str = "kmeans",
+                 matching_labels: Optional[str] = None,
+                 random_state: int = 8,
+                 return_key: bool = False):
+    """KMeans / agglomerative (knn) / spectral / gmm clustering on PCA
+    features, cached in obs['<omic>_<algo><k>'] (ref :632-730). When
+    ``matching_labels`` names a label omic, cluster ids are Hungarian-matched
+    to those labels."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    if n_clusters is None:
+      # default: number of classes of a label omic if available, else 8
+      lab = self._label_omic()
+      n_clusters = (self.get_dim(lab) if lab is not None else 8)
+    algo = str(algo).lower()
+    key = f"{omic.name}_{algo}{n_clusters}"
+    if key in self.obs:
+      return key if return_key else self.obs[key].values
+    X = self.dimension_reduce(omic, n_components=min(100, self.get_dim(omic)),
+                              algo="pca", random_state=random_state)
+    if algo == "kmeans":
+      from sklearn.cluster import KMeans
+      ids = KMeans(n_clusters=n_clusters, n_init=10,
+                   random_state=random_state).fit_predict(X)
+    elif algo in ("knn", "agglo", "agglomerative"):
+      from sklearn.cluster import AgglomerativeClustering
+      ids = AgglomerativeClustering(n_clusters=n_clusters).fit_predict(X)
+    elif algo == "spectral":
+      from sklearn.cluster import SpectralClustering
+      ids = SpectralClustering(n_clusters=n_clusters,
+                               random_state=random_state,
+                               assign_labels="discretize").fit_predict(X)
+    elif algo == "gmm":
+      from sklearn.mixture import GaussianMixture
+      ids = GaussianMixture(n_components=n_clusters,
+                            random_state=random_state).fit_predict(X)
+    else:
+      raise ValueError(f"Unknown clustering algo: {algo}")
+    if matching_labels is not None:
+      true = np.argmax(self.numpy(matching_labels), axis=1)
+      cm = np.zeros((n_clusters, max(n_clusters, true.max() + 1)))
+      for p, t in zip(ids, true):
+        cm[p, t] += 1
+      mapping = diagonal_linear_assignment(cm)
+      ids = mapping[ids]
+    self.obs[key] = ids
+    self._record("clustering", dict(omic=omic.name, algo=algo,
+                                    n_clusters=n_clusters))
+    return key if return_key else ids
+
+  def louvain(self,
+              omic=None,
+              resolution: float = 1.0,
+              n_neighbors: int = 12,
+              random_state: int = 8,
+              return_key: bool = False):
+    """Louvain community detection on the kNN graph (ref :732-835),
+    implemented natively (greedy modularity optimization, one-level +
+    aggregation passes)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    key = f"{omic.name}_louvain"
+    if key in self.obs:
+      return key if return_key else self.obs[key].values
+    graph = self.neighbors(omic, n_neighbors=n_neighbors,
+                           random_state=random_state)["connectivities"]
+    ids = _louvain_communities(graph, resolution=resolution,
+                               seed=random_state)
+    self.obs[key] = ids
+    self._record("louvain", dict(omic=omic.name, resolution=resolution))
+    return key if return_key else ids
+
+  def _label_omic(self) -> Optional[OMIC]:
+    for cand in ("celltype", "disease", "progenitor", "tissue"):
+      if cand in self.omics:
+        return OMIC.parse(cand)
+    return None
+
+  # ------------------------------------------------------------------ stats
+  def top_vars(self, omic=None, n_vars: int = 100) -> np.ndarray:
+    """Highest-variance variable names (ref :838-860)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    X = self.numpy(omic)
+    order = np.argsort(-X.var(0))[:n_vars]
+    return self.get_var_names(omic)[order]
+
+  def rank_vars_groups(self,
+                       omic=None,
+                       group_omic="celltype",
+                       n_vars: int = 100,
+                       method: str = "t-test") -> Dict[str, pd.DataFrame]:
+    """Rank variables per label group via Welch t-test / Wilcoxon
+    (the scanpy rank_genes_groups capability, ref :862-918)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    X = self.numpy(omic)
+    labels = np.argmax(self.numpy(group_omic), axis=1)
+    names = self.get_var_names(omic)
+    group_names = self.get_var_names(group_omic)
+    out = {}
+    for g in np.unique(labels):
+      in_g = labels == g
+      if in_g.sum() < 2 or (~in_g).sum() < 2:
+        continue
+      if method == "t-test":
+        score, pval = sp_stats.ttest_ind(X[in_g], X[~in_g], axis=0,
+                                         equal_var=False)
+      else:
+        score = np.empty(X.shape[1])
+        pval = np.empty(X.shape[1])
+        for j in range(X.shape[1]):
+          try:
+            s, pv = sp_stats.mannwhitneyu(X[in_g, j], X[~in_g, j])
+          except ValueError:
+            s, pv = 0.0, 1.0
+          score[j], pval[j] = s, pv
+      score = np.nan_to_num(score)
+      order = np.argsort(-score)[:n_vars]
+      out[str(group_names[g])] = pd.DataFrame(
+          {"names": names[order], "scores": score[order],
+           "pvals": np.asarray(pval)[order]})
+    self.uns[f"{omic.name}_rank_{group_omic}"] = out
+    return out
+
+  def calculate_quality_metrics(self, omic=None) -> "_OMICanalyzer":
+    """Per-cell and per-gene QC metrics (ref :920-1003)."""
+    omic = self.current_omic if omic is None else OMIC.parse(omic)
+    X = self.numpy(omic)
+    name = omic.name
+    self.obs[f"{name}_n_vars_by_counts"] = (X > 0).sum(1)
+    self.obs[f"{name}_total_counts"] = X.sum(1)
+    totals = X.sum(1, keepdims=True)
+    totals[totals == 0] = 1
+    top50 = np.sort(X, axis=1)[:, -50:].sum(1)
+    self.obs[f"{name}_pct_counts_in_top_50_vars"] = (
+        100.0 * top50 / totals.ravel())
+    v = self.get_var(omic)
+    v["n_cells_by_counts"] = (X > 0).sum(0)
+    v["total_counts"] = X.sum(0)
+    v["mean_counts"] = X.mean(0)
+    v["pct_dropout_by_counts"] = 100.0 * (1.0 - (X > 0).mean(0))
+    self._record("calculate_quality_metrics", dict(omic=name))
+    return self
+
+  def get_marker_pairs(self,
+                       omic1="transcriptomic",
+                       omic2="proteomic",
+                       var_names1: Optional[Sequence[str]] = None,
+                       var_names2: Optional[Sequence[str]] = None,
+                       remove_duplicated: bool = True
+                       ) -> List[Tuple[str, str]]:
+    """Known marker (gene, protein) pairs present in both omics
+    (ref :1007-1105)."""
+    omic1, omic2 = OMIC.parse(omic1), OMIC.parse(omic2)
+    pairs = omic1.marker_pairs(omic2)
+    if pairs is None:
+      return []
+    names1 = set(map(str, self.get_var_names(omic1)))
+    names2 = set(map(str, self.get_var_names(omic2)))
+    out = [(a, b) for a, b in pairs if a in names1 and b in names2]
+    if remove_duplicated:
+      seen = set()
+      uniq = []
+      for p in out:
+        if p not in seen:
+          uniq.append(p)
+          seen.add(p)
+      out = uniq
+    return out
+
+  def get_importance_matrix(self, omic1=None, omic2="proteomic",
+                            n_estimators: int = 80,
+                            random_state: int = 8) -> pd.DataFrame:
+    """Random-forest feature importance of omic1 vars for predicting each
+    omic2 var (ref :1107-1145). Returns (n_vars1, n_vars2) DataFrame."""
+    from sklearn.ensemble import RandomForestRegressor
+    omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
+    omic2 = OMIC.parse(omic2)
+    key = f"{omic1.name}_{omic2.name}_importance"
+    if key in self.uns:
+      return self.uns[key]
+    X = self.numpy(omic1)
+    Y = self.numpy(omic2)
+    cols = {}
+    for j, name in enumerate(self.get_var_names(omic2)):
+      rf = RandomForestRegressor(n_estimators=n_estimators, max_depth=8,
+                                 random_state=random_state, n_jobs=-1)
+      rf.fit(X, Y[:, j])
+      cols[str(name)] = rf.feature_importances_
+    df = pd.DataFrame(cols, index=self.get_var_names(omic1))
+    self.uns[key] = df
+    return df
+
+  def get_mutual_information(self, omic1=None, omic2="proteomic",
+                             n_neighbors: int = 3,
+                             random_state: int = 8) -> pd.DataFrame:
+    """kNN mutual information between all var pairs of two omics
+    (ref :1147-1196)."""
+    from sklearn.feature_selection import mutual_info_regression
+    omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
+    omic2 = OMIC.parse(omic2)
+    key = f"{omic1.name}_{omic2.name}_mutualinfo"
+    if key in self.uns:
+      return self.uns[key]
+    X = self.numpy(omic1)
+    Y = self.numpy(omic2)
+    cols = {}
+    for j, name in enumerate(self.get_var_names(omic2)):
+      cols[str(name)] = mutual_info_regression(
+          X, Y[:, j], n_neighbors=n_neighbors, random_state=random_state)
+    df = pd.DataFrame(cols, index=self.get_var_names(omic1))
+    self.uns[key] = df
+    return df
+
+  def get_correlation(self, omic1=None, omic2="proteomic",
+                      var_names1: Optional[Sequence[str]] = None,
+                      var_names2: Optional[Sequence[str]] = None
+                      ) -> List[Tuple[int, int, float, float]]:
+    """All-pairs (or restricted) Pearson + Spearman between two omics
+    (ref :1198-1245). Returns [(idx1, idx2, pearson, spearman)], cached."""
+    omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
+    omic2 = OMIC.parse(omic2)
+    key = f"{omic1.name}_{omic2.name}_correlation"
+    if key in self.uns and var_names1 is None and var_names2 is None:
+      return self.uns[key]
+    X = self.numpy(omic1)
+    Y = self.numpy(omic2)
+    idx1 = (np.arange(X.shape[1]) if var_names1 is None else
+            [self.get_var_indices(omic1)[v] for v in var_names1])
+    idx2 = (np.arange(Y.shape[1]) if var_names2 is None else
+            [self.get_var_indices(omic2)[v] for v in var_names2])
+    # vectorized: rank-transform once for spearman
+    Xs = X[:, idx1]
+    Ys = Y[:, idx2]
+    def _corr_all(A, B):
+      A = (A - A.mean(0)) / (A.std(0) + 1e-12)
+      B = (B - B.mean(0)) / (B.std(0) + 1e-12)
+      return (A.T @ B) / A.shape[0]
+    pear = _corr_all(Xs, Ys)
+    Xr = np.apply_along_axis(sp_stats.rankdata, 0, Xs)
+    Yr = np.apply_along_axis(sp_stats.rankdata, 0, Ys)
+    spear = _corr_all(Xr, Yr)
+    out = [(int(i1), int(i2), float(pear[a, b]), float(spear[a, b]))
+           for a, i1 in enumerate(idx1) for b, i2 in enumerate(idx2)]
+    # sorted by absolute spearman, descending (reference convention)
+    out.sort(key=lambda t: -abs(t[3]))
+    if var_names1 is None and var_names2 is None:
+      self.uns[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Native Louvain (greedy modularity on a sparse graph)
+# ---------------------------------------------------------------------------
+def _louvain_communities(adj: sparse.spmatrix, resolution: float = 1.0,
+                         seed: int = 8, max_passes: int = 5) -> np.ndarray:
+  """One-pass-per-level Louvain on a symmetric weighted graph."""
+  adj = (adj + adj.T) * 0.5
+  adj = adj.tocsr()
+  n = adj.shape[0]
+  node2com = np.arange(n)
+  # current level graph
+  g = adj
+  mapping = np.arange(n)
+  rng = np.random.RandomState(seed)
+  for _ in range(max_passes):
+    labels, improved = _louvain_one_level(g, resolution, rng)
+    mapping = labels[mapping]
+    if not improved:
+      break
+    # aggregate graph
+    k = labels.max() + 1
+    rows = labels[np.repeat(np.arange(g.shape[0]), np.diff(g.indptr))]
+    cols = labels[g.indices]
+    g = sparse.coo_matrix((g.data, (rows, cols)), shape=(k, k)).tocsr()
+    g.sum_duplicates()
+    if k == g.shape[0] and k == len(np.unique(mapping)) and k <= 1:
+      break
+  # re-number communities contiguously
+  _, out = np.unique(mapping, return_inverse=True)
+  return out.astype(np.int64)
+
+
+def _louvain_one_level(g: sparse.csr_matrix, resolution: float,
+                       rng: np.random.RandomState):
+  n = g.shape[0]
+  labels = np.arange(n)
+  degrees = np.asarray(g.sum(1)).ravel()
+  m2 = degrees.sum()  # = 2m
+  if m2 == 0:
+    return labels, False
+  com_deg = degrees.copy()
+  improved_any = False
+  order = rng.permutation(n)
+  for _ in range(10):  # local-move sweeps
+    moved = 0
+    for i in order:
+      ci = labels[i]
+      lo, hi = g.indptr[i], g.indptr[i + 1]
+      neigh, w = g.indices[lo:hi], g.data[lo:hi]
+      com_deg[ci] -= degrees[i]
+      # weights to each neighboring community
+      com_w: Dict[int, float] = {}
+      for jx, wx in zip(neigh, w):
+        if jx == i:
+          continue
+        cj = labels[jx]
+        com_w[cj] = com_w.get(cj, 0.0) + wx
+      best_c, best_gain = ci, 0.0
+      base = com_w.get(ci, 0.0) - resolution * com_deg[ci] * degrees[i] / m2
+      for cj, wx in com_w.items():
+        gain = wx - resolution * com_deg[cj] * degrees[i] / m2
+        if gain - base > best_gain + 1e-12:
+          best_gain = gain - base
+          best_c = cj
+      labels[i] = best_c
+      com_deg[best_c] += degrees[i]
+      if best_c != ci:
+        moved += 1
+        improved_any = True
+    if moved == 0:
+      break
+  _, labels = np.unique(labels, return_inverse=True)
+  return labels.astype(np.int64), improved_any

@@ -1,0 +1,142 @@
+"""DataFeeder — host-side CSR→dense streaming batches for TPU training.
+
+Replaces the reference's tf.data pipeline
+(``/root/reference/sisua/data/_single_cell_base.py:539-602``) with a
+TPU-idiomatic design:
+
+  * counts stay CSR on host; each step gathers a shuffled row-batch into a
+    reused dense float32 buffer via the native C++ kernel
+    (``sisua_tpu/native``) — the "CSR → dense HBM batches" path;
+  * static shapes: ``drop_remainder=True`` by default so every batch jits to
+    one executable (the final partial batch would trigger recompilation);
+  * semi-supervised masking: per-example Bernoulli(labels_percent) mask drawn
+    per epoch (reference ``masking`` map, :577-593) — validation passes
+    ``labels_percent=1.0``;
+  * emits ``{'inputs': [x_0…x_k], 'library': (B,2), 'mask': (B,)}`` numpy
+    dicts; ``prefetch_to_device`` in ``sisua_tpu.train`` overlaps H2D copies
+    with compute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from scipy import sparse
+
+from ..native import csr_gather, dense_gather
+
+__all__ = ["DataFeeder"]
+
+
+class _CSRSource:
+  def __init__(self, m: sparse.spmatrix):
+    m = m.tocsr()
+    self.data = np.ascontiguousarray(m.data, np.float32)
+    self.indices = np.ascontiguousarray(m.indices, np.int64)
+    self.indptr = np.ascontiguousarray(m.indptr, np.int64)
+    self.shape = m.shape
+
+  def gather(self, rows: np.ndarray, out: np.ndarray) -> np.ndarray:
+    return csr_gather(self.data, self.indices, self.indptr, rows,
+                      self.shape[1], out=out)
+
+
+class _DenseSource:
+  def __init__(self, m: np.ndarray):
+    self.m = np.ascontiguousarray(m, np.float32)
+    self.shape = m.shape
+
+  def gather(self, rows: np.ndarray, out: np.ndarray) -> np.ndarray:
+    return dense_gather(self.m, rows, out=out)
+
+
+class DataFeeder:
+  """Iterable over epoch batches with deterministic seeded shuffling."""
+
+  def __init__(self,
+               matrices: Sequence,
+               library: Optional[np.ndarray] = None,
+               labels_percent: float = 0.0,
+               batch_size: int = 64,
+               drop_remainder: bool = True,
+               shuffle: int = 1000,
+               seed: int = 1):
+    assert len(matrices) >= 1
+    self.sources = [
+        _CSRSource(m) if sparse.issparse(m) else _DenseSource(np.asarray(m))
+        for m in matrices]
+    n = self.sources[0].shape[0]
+    for s in self.sources:
+      assert s.shape[0] == n, "all omics must share the cell axis"
+    self.n_obs = n
+    self.library = (np.ascontiguousarray(library, np.float32)
+                    if library is not None else None)
+    self.labels_percent = float(labels_percent)
+    self.batch_size = int(batch_size)
+    self.drop_remainder = bool(drop_remainder)
+    self.shuffle = bool(shuffle)
+    self.seed = int(seed)
+    self._epoch = 0
+    # reusable output buffers (double-buffered: the consumer may hold on to
+    # the previous batch while we fill the next one)
+    self._buffers = [
+        [np.empty((self.batch_size, s.shape[1]), np.float32) for s in
+         self.sources] for _ in range(2)]
+
+  # ------------------------------------------------------------------ sizing
+  @property
+  def n_inputs(self) -> int:
+    return len(self.sources)
+
+  @property
+  def input_dims(self) -> List[int]:
+    return [s.shape[1] for s in self.sources]
+
+  def __len__(self) -> int:
+    if self.drop_remainder:
+      return self.n_obs // self.batch_size
+    return int(np.ceil(self.n_obs / self.batch_size))
+
+  # --------------------------------------------------------------- iteration
+  def set_epoch(self, epoch: int) -> "DataFeeder":
+    self._epoch = int(epoch)
+    return self
+
+  def __iter__(self) -> Iterator[Dict[str, object]]:
+    rng = np.random.RandomState(self.seed + self._epoch)
+    order = (rng.permutation(self.n_obs) if self.shuffle
+             else np.arange(self.n_obs)).astype(np.int64)
+    mask_all = (rng.uniform(size=self.n_obs) <
+                self.labels_percent).astype(np.float32)
+    n_batches = len(self)
+    for b in range(n_batches):
+      rows = order[b * self.batch_size:(b + 1) * self.batch_size]
+      bufset = self._buffers[b % 2]
+      if len(rows) == self.batch_size:
+        xs = [src.gather(rows, out=buf)
+              for src, buf in zip(self.sources, bufset)]
+      else:  # final partial batch (drop_remainder=False)
+        xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                            np.float32))
+              for src in self.sources]
+      batch: Dict[str, object] = {"inputs": xs, "mask": mask_all[rows]}
+      if self.library is not None:
+        batch["library"] = self.library[rows]
+      yield batch
+    self._epoch += 1
+
+  def full_batches(self, batch_size: Optional[int] = None
+                   ) -> Iterator[Dict[str, object]]:
+    """Sequential, un-shuffled, no-mask iteration (for predict/eval)."""
+    bs = batch_size or self.batch_size
+    for b in range(int(np.ceil(self.n_obs / bs))):
+      rows = np.arange(b * bs, min((b + 1) * bs, self.n_obs), dtype=np.int64)
+      xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                          np.float32))
+            for src in self.sources]
+      batch = {"inputs": xs,
+               "mask": np.ones((len(rows),), np.float32)}
+      if self.library is not None:
+        batch["library"] = self.library[rows]
+      yield batch

