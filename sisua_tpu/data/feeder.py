@@ -78,11 +78,6 @@ class DataFeeder:
     self.shuffle = bool(shuffle)
     self.seed = int(seed)
     self._epoch = 0
-    # reusable output buffers (double-buffered: the consumer may hold on to
-    # the previous batch while we fill the next one)
-    self._buffers = [
-        [np.empty((self.batch_size, s.shape[1]), np.float32) for s in
-         self.sources] for _ in range(2)]
 
   # ------------------------------------------------------------------ sizing
   @property
@@ -112,14 +107,13 @@ class DataFeeder:
     n_batches = len(self)
     for b in range(n_batches):
       rows = order[b * self.batch_size:(b + 1) * self.batch_size]
-      bufset = self._buffers[b % 2]
-      if len(rows) == self.batch_size:
-        xs = [src.gather(rows, out=buf)
-              for src, buf in zip(self.sources, bufset)]
-      else:  # final partial batch (drop_remainder=False)
-        xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
-                                            np.float32))
-              for src in self.sources]
+      # IMPORTANT: a fresh output buffer per batch. JAX's CPU backend may
+      # alias host numpy buffers zero-copy and dispatch asynchronously —
+      # reusing gather buffers here races with still-queued steps and
+      # produces corrupted batches (observed as intermittent NaN losses).
+      xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                          np.float32))
+            for src in self.sources]
       batch: Dict[str, object] = {"inputs": xs, "mask": mask_all[rows]}
       if self.library is not None:
         batch["library"] = self.library[rows]

@@ -1,0 +1,522 @@
+"""SingleCellModel — keras-feel wrapper over the pure-flax VAE engine.
+
+Re-provides the API of ``/root/reference/sisua/models/single_cell_model.py``
+(ctor surface :74-101, encode :119-139, predict :153-211, fit :213-236,
+class-id :238-245, create_posterior :247-281, checkpointing :283-306) on a
+functional core: the model owns a flax module, a parameter pytree, and a
+Trainer; all compute paths are jitted pure functions.
+
+Key TPU-first deviations from the reference:
+  * ``predict`` returns params-first pytree Distributions merged across
+    minibatches with one tree-concat (no CPU-pinned distribution surgery);
+  * the training step is a single compiled executable per run; semi-
+    supervised masks come in through the feeder batch (static shapes);
+  * checkpoints are msgpack pytrees + JSON metamodel (no pickle).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dist as D
+from ..data.const import UNIVERSAL_RANDOM_SEED
+from ..data.feeder import DataFeeder
+from ..interpolation import Interpolation, get_interpolation
+from ..nn import NetConf, parse_netconf
+from ..rv import RVmeta, parse_rv
+from ..train.checkpoint import (load_metamodel, load_weights, save_metamodel,
+                                save_weights)
+from ..train.trainer import Trainer, TrainState
+from .module import VAEModule, VAEOutput
+from .objective import compute_loss
+
+__all__ = ["SingleCellModel"]
+
+
+def _flatten(x) -> Tuple:
+  if x is None:
+    return ()
+  if isinstance(x, (tuple, list)):
+    return tuple(x)
+  return (x,)
+
+
+class SingleCellModel:
+  """Base class of the zoo. Subclasses customize via class attrs + ctor."""
+
+  module_cls = VAEModule
+  #: multitask semi-supervised masking of non-primary outputs (SISUA family)
+  mask_outputs: bool = False
+
+  def __init__(self,
+               outputs: Union[RVmeta, Sequence[RVmeta]],
+               latents: Union[RVmeta, Sequence[RVmeta], None] = None,
+               encoder: Union[NetConf, Sequence[NetConf], None] = None,
+               decoder: Union[NetConf, Sequence[NetConf], None] = None,
+               log_norm: bool = True,
+               beta: Union[float, Interpolation] = 1.0,
+               alpha: float = 1.0,
+               gamma: float = 1.0,
+               analytic: bool = True,
+               reduce_latent: str = "concat",
+               seed: int = UNIVERSAL_RANDOM_SEED,
+               dataset: Optional[str] = None,
+               metadata: Optional[Dict] = None,
+               name: Optional[str] = None,
+               **module_kwargs):
+    outputs = tuple(parse_rv(o, f"output{i}")
+                    for i, o in enumerate(_flatten(outputs)))
+    if latents is None:
+      latents = RVmeta(10, "diag", True, "latents")
+    latents = tuple(parse_rv(z, f"latent{i}")
+                    for i, z in enumerate(_flatten(latents)))
+    if encoder is None:
+      encoder = NetConf((64, 64), batchnorm=True, input_dropout=0.3,
+                        name="encoder")
+    encoder = tuple(parse_netconf(e, f"encoder{i}")
+                    for i, e in enumerate(_flatten(encoder)))
+    if decoder is None:
+      decoder = NetConf((64, 64), batchnorm=True, name="decoder")
+    decoder = tuple(parse_netconf(d, f"decoder{i}")
+                    for i, d in enumerate(_flatten(decoder)))
+
+    self.outputs = outputs
+    self.latents = latents
+    self.encoder = encoder
+    self.decoder = decoder
+    self.log_norm = bool(log_norm)
+    self.beta = get_interpolation(beta)
+    self.alpha = float(alpha)
+    self.gamma = float(gamma)
+    self.analytic = bool(analytic)
+    self.reduce_latent = reduce_latent
+    self.seed = int(seed)
+    self.dataset = dataset
+    self.metadata = metadata or {}
+    self._name = name or type(self).__name__
+    self._module_kwargs = dict(module_kwargs)
+    self.module = self._build_module(**module_kwargs)
+    self._state: Optional[TrainState] = None
+    self.trainer: Optional[Trainer] = None
+    self._rng = jax.random.PRNGKey(self.seed)
+    self._init_kwargs_for_save = dict(
+        outputs=outputs, latents=latents, encoder=encoder, decoder=decoder,
+        log_norm=log_norm, beta=getattr(self.beta, "vmax", 1.0), alpha=alpha,
+        gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
+        seed=seed, name=self._name, **module_kwargs)
+
+  # ------------------------------------------------------------- construct
+  def _build_module(self, **kwargs):
+    return self.module_cls(outputs=self.outputs, latents=self.latents,
+                           encoder_confs=self.encoder,
+                           decoder_confs=self.decoder,
+                           log_norm=self.log_norm,
+                           reduce_latent=self.reduce_latent, **kwargs)
+
+  def _next_key(self) -> jax.Array:
+    self._rng, sub = jax.random.split(self._rng)
+    return sub
+
+  @property
+  def uses_library(self) -> bool:
+    """Whether the module consumes the per-cell library stats (SCVI)."""
+    return False
+
+  # ---------------------------------------------------------------- naming
+  @property
+  def name(self) -> str:
+    return self._name
+
+  @property
+  def id(self) -> str:
+    """Lower-cased capital letters of the class name — 'DeepCountAutoencoder'
+    → 'dca' (reference :238-245)."""
+    return "".join(c for c in type(self).__name__ if c.isupper()).lower()
+
+  @property
+  def is_semi_supervised(self) -> bool:
+    return self.mask_outputs and len(self.outputs) > 1
+
+  @property
+  def is_zero_inflated(self) -> bool:
+    return self.outputs[0].is_zero_inflated
+
+  @property
+  def posteriors(self) -> Tuple[RVmeta, ...]:
+    return self.outputs
+
+  @property
+  def n_outputs(self) -> int:
+    return len(self.outputs)
+
+  @property
+  def n_latents(self) -> int:
+    return len(self.latents)
+
+  @property
+  def params(self):
+    self._ensure_initialized()
+    return self._state.params
+
+  @property
+  def batch_stats(self):
+    self._ensure_initialized()
+    return self._state.batch_stats
+
+  @property
+  def state(self) -> TrainState:
+    self._ensure_initialized()
+    return self._state
+
+  # ------------------------------------------------------------------ init
+  def _dummy_batch(self, batch_size: int = 2):
+    x = jnp.zeros((batch_size, self.outputs[0].dim), jnp.float32)
+    lib = jnp.ones((batch_size, 2), jnp.float32)
+    return x, lib
+
+  def _apply_kwargs(self, library):
+    return {"library": library} if self.uses_library else {}
+
+  def _ensure_initialized(self):
+    if self._state is not None:
+      return
+    x, lib = self._dummy_batch()
+    key = jax.random.PRNGKey(self.seed)
+    variables = self.module.init(
+        {"params": key, "sample": key, "dropout": key}, x,
+        training=True, **self._apply_kwargs(lib))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    self._state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                             batch_stats=batch_stats, opt_state=None,
+                             aux_params=self._init_aux(params, key),
+                             aux_opt_state=None)
+
+  def _init_aux(self, params, key):
+    return None  # FactorVAE overrides
+
+  # --------------------------------------------------------------- forward
+  def apply(self, x, library=None, training: bool = False,
+            sample_shape: Tuple[int, ...] = (),
+            key: Optional[jax.Array] = None,
+            params=None, batch_stats=None,
+            mutable: bool = False):
+    """Raw module application → VAEOutput (+ mutated batch_stats)."""
+    self._ensure_initialized()
+    params = self._state.params if params is None else params
+    batch_stats = (self._state.batch_stats if batch_stats is None
+                   else batch_stats)
+    variables = {"params": params}
+    if batch_stats is not None:
+      variables["batch_stats"] = batch_stats
+    key = key if key is not None else self._next_key()
+    k_sample, k_drop = jax.random.split(key)
+    rngs = {"sample": k_sample, "dropout": k_drop}
+    kwargs = dict(training=training, sample_shape=tuple(sample_shape),
+                  **self._apply_kwargs(library))
+    if mutable and batch_stats is not None and training:
+      out, mut = self.module.apply(variables, x, rngs=rngs,
+                                   mutable=["batch_stats"], **kwargs)
+      return out, mut["batch_stats"]
+    out = self.module.apply(variables, x, rngs=rngs, **kwargs)
+    return (out, batch_stats) if mutable else out
+
+  def __call__(self, x, library=None, training=False, sample_shape=()):
+    return self.apply(x, library=library, training=training,
+                      sample_shape=sample_shape)
+
+  def encode(self, x, library=None, training: bool = False,
+             sample_shape: Tuple[int, ...] = ()):
+    """q(Z|X) distributions (log1p applied inside per ``log_norm``)."""
+    out = self.apply(jnp.asarray(x, jnp.float32),
+                     library=None if library is None else jnp.asarray(library),
+                     training=training, sample_shape=sample_shape)
+    return out.latents if len(out.latents) > 1 else out.latents[0]
+
+  def decode(self, z, library=None, training: bool = False):
+    """p(X|Z) distributions from latent samples/means."""
+    self._ensure_initialized()
+    variables = {"params": self._state.params}
+    if self._state.batch_stats is not None:
+      variables["batch_stats"] = self._state.batch_stats
+    zs = z if isinstance(z, (tuple, list)) else (z,)
+    if self.uses_library:
+      pX = self.module.apply(variables, tuple(jnp.asarray(zi) for zi in zs),
+                             method=self.module_cls.decode, training=training)
+    else:
+      zcat = self.module.reduce_latents([jnp.asarray(zi) for zi in zs]) \
+          if len(zs) > 1 else jnp.asarray(zs[0])
+      pX = self.module.apply(variables, zcat,
+                             method=self.module_cls.decode, training=training)
+    return pX if len(pX) > 1 else pX[0]
+
+  # -------------------------------------------------------------- loss/step
+  def _loss(self, params, batch_stats, batch, key, beta, training: bool,
+            aux_params=None):
+    x = batch["inputs"][0]
+    library = batch.get("library")
+    variables = {"params": params}
+    if batch_stats is not None:
+      variables["batch_stats"] = batch_stats
+    k1, k2 = jax.random.split(key)
+    rngs = {"sample": k1, "dropout": k2}
+    kwargs = dict(training=training, **self._apply_kwargs(library))
+    if training and batch_stats is not None:
+      out, mut = self.module.apply(variables, x, rngs=rngs,
+                                   mutable=["batch_stats"], **kwargs)
+      new_bs = mut["batch_stats"]
+    else:
+      out = self.module.apply(variables, x, rngs=rngs, **kwargs)
+      new_bs = batch_stats
+    loss, metrics = compute_loss(
+        out, batch["inputs"], mask=batch.get("mask"), beta=beta,
+        alpha=self.alpha, analytic=self.analytic,
+        mask_outputs=self.mask_outputs if training else False)
+    extra = self._extra_loss(params, aux_params, out, batch, k2, training)
+    if extra is not None:
+      loss = loss + extra[0]
+      metrics.update(extra[1])
+      metrics["loss"] = loss
+    return loss, (metrics, new_bs, out)
+
+  def _extra_loss(self, params, aux_params, out: VAEOutput, batch, key,
+                  training: bool):
+    return None  # FactorVAE adds the γ·TC term
+
+  def make_train_step(self, tx):
+    """Build the jitted train step (donated state for in-place updates)."""
+    import optax
+
+    def step(state: TrainState, batch, key, beta):
+      def loss_fn(p):
+        return self._loss(p, state.batch_stats, batch, key, beta,
+                          training=True, aux_params=state.aux_params)
+      (loss, (metrics, new_bs, _)), grads = jax.value_and_grad(
+          loss_fn, has_aux=True)(state.params)
+      updates, new_opt = tx.update(grads, state.opt_state, state.params)
+      new_params = optax.apply_updates(state.params, updates)
+      new_state = state.replace(step=state.step + 1, params=new_params,
+                                batch_stats=new_bs, opt_state=new_opt)
+      new_state, metrics = self._aux_step(new_state, batch, key, metrics)
+      return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+  def _aux_step(self, state: TrainState, batch, key, metrics):
+    return state, metrics  # FactorVAE trains the discriminator here
+
+  def make_eval_step(self):
+    def eval_step(state: TrainState, batch, key):
+      _, (metrics, _, _) = self._loss(state.params, state.batch_stats, batch,
+                                      key, beta=self.beta(state.step),
+                                      training=False)
+      return metrics
+    return jax.jit(eval_step)
+
+  # -------------------------------------------------------------------- fit
+  def _to_feeder(self, data, batch_size: int, labels_percent: float,
+                 shuffle: bool = True) -> DataFeeder:
+    """SingleCellOMIC | ndarray | DataFeeder → DataFeeder (reference
+    ``_to_data`` :44-61)."""
+    if isinstance(data, DataFeeder):
+      return data
+    if hasattr(data, "create_dataset"):  # SingleCellOMIC
+      omics = list(data.omics)[: self.n_outputs]
+      return data.create_dataset(omics=omics,
+                                 labels_percent=labels_percent,
+                                 batch_size=batch_size, shuffle=shuffle)
+    arrs = [np.asarray(a, np.float32) for a in _flatten(data)]
+    from ..data.utils import get_library_size
+    mean, var = get_library_size(arrs[0])
+    lib = np.concatenate([mean, var], 1)
+    return DataFeeder(arrs, library=lib, labels_percent=labels_percent,
+                      batch_size=batch_size, shuffle=shuffle)
+
+  def fit(self,
+          train,
+          valid=None,
+          epochs: int = 100,
+          batch_size: int = 64,
+          learning_rate: float = 1e-3,
+          optimizer: str = "adam",
+          clipnorm: float = 100.0,
+          labels_percent: float = 0.8,
+          valid_freq: int = 500,
+          patience: int = 20,
+          terminate_on_nan: bool = True,
+          allow_rollback: bool = True,
+          max_iter: Optional[int] = None,
+          callbacks: Sequence = (),
+          checkpoint_path: Optional[str] = None,
+          mesh=None,
+          verbose: bool = False) -> "SingleCellModel":
+    """Compile + train (the reference's fit combo :213-236)."""
+    if not self.is_semi_supervised:
+      labels_percent = 0.0
+    train_feeder = self._to_feeder(train, batch_size, labels_percent)
+    valid_feeder = (self._to_feeder(valid, batch_size, 1.0, shuffle=False)
+                    if valid is not None else None)
+    self._ensure_initialized()
+    trainer = Trainer(step_fn=None, eval_fn=None, optimizer=optimizer,
+                      learning_rate=learning_rate, clipnorm=clipnorm,
+                      beta=self.beta, valid_freq=valid_freq,
+                      patience=patience, terminate_on_nan=terminate_on_nan,
+                      allow_rollback=allow_rollback, max_iter=max_iter,
+                      mesh=mesh, verbose=verbose)
+    tx = trainer.make_optimizer()
+    if self._state.opt_state is None:
+      self._state = self._state.replace(opt_state=tx.init(self._state.params))
+    trainer.step_fn = self.make_train_step(tx)
+    trainer.eval_fn = self.make_eval_step()
+    ckpt_fn = None
+    if checkpoint_path is not None:
+      ckpt_fn = lambda st: save_weights(  # noqa: E731
+          checkpoint_path, st.params, st.batch_stats, st.aux_params)
+    self._state = trainer.fit(self._state, train_feeder, valid_feeder,
+                              epochs=epochs, key=self._next_key(),
+                              callbacks=callbacks, checkpoint_fn=ckpt_fn,
+                              model=self)
+    # merge histories across successive fit calls (reference keeps one)
+    if self.trainer is None:
+      self.trainer = trainer
+    else:
+      for k, v in trainer.history.items():
+        self.trainer.history.setdefault(k, []).extend(v)
+      self.trainer._timings.extend(trainer._timings)
+      self.trainer.step_fn = trainer.step_fn
+      self.trainer.eval_fn = trainer.eval_fn
+    return self
+
+  @property
+  def history(self) -> Dict[str, List[float]]:
+    return self.trainer.history if self.trainer is not None else {}
+
+  # ---------------------------------------------------------------- predict
+  def predict(self,
+              inputs,
+              sample_shape: Tuple[int, ...] = (),
+              batch_size: int = 256,
+              verbose: bool = False):
+    """Minibatch inference → (pX dists, qZ dists), each merged across batches
+    (reference :153-211; merging is one tree-concat here)."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
+    sample_shape = tuple(sample_shape) if not isinstance(
+        sample_shape, int) else (sample_shape,)
+
+    @partial(jax.jit, static_argnames=("training",))
+    def fwd(params, batch_stats, x, library, key, training=False):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      return self.module.apply(
+          variables, x, rngs={"sample": key}, training=training,
+          sample_shape=sample_shape, **self._apply_kwargs(library))
+
+    outs: List[VAEOutput] = []
+    for batch in feeder.full_batches():
+      key = self._next_key()
+      out = fwd(self._state.params, self._state.batch_stats,
+                jnp.asarray(batch["inputs"][0]),
+                jnp.asarray(batch.get("library"))
+                if batch.get("library") is not None else None, key)
+      outs.append(jax.device_get(out))
+    # Merge across minibatches: output distributions carry leading MC sample
+    # dims (batch axis = len(sample_shape)); latent posteriors never do
+    # (batch axis = 0). Priors are per-batch constants — not merged.
+    ax_out = len(sample_shape)
+    pX = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=ax_out),
+        *[o.outputs for o in outs])
+    qZ = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0),
+        *[o.latents for o in outs])
+    pX = pX if len(pX) > 1 else pX[0]
+    qZ = qZ if len(qZ) > 1 else qZ[0]
+    return pX, qZ
+
+  def marginal_log_prob(self, inputs, sample_shape: int = 100,
+                        batch_size: int = 32) -> np.ndarray:
+    """Importance-weighted marginal log-likelihood
+    log p(x) ≈ logsumexp_s[log p(x|z_s) + log p(z_s) − log q(z_s|x)] − log S
+    (the reference's ``marginal_log_prob`` used by cal_marginal_llk,
+    ``posterior.py:940-976``)."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
+
+    @jax.jit
+    def iw(params, batch_stats, x, library, key):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      out = self.module.apply(variables, x, rngs={"sample": key},
+                              training=False, sample_shape=(sample_shape,),
+                              **self._apply_kwargs(library))
+      llk = out.outputs[0].log_prob(x)               # (S, B)
+      lq = sum(q.log_prob(z) for q, z in zip(out.latents,
+                                             out.latent_samples))
+      lp = sum((prior.log_prob(z) if prior is not None
+                else jnp.zeros(z.shape[:-1]))
+               for prior, z in zip(out.priors, out.latent_samples))
+      lw = llk + lp - lq                              # (S, B)
+      return jax.scipy.special.logsumexp(lw, axis=0) - jnp.log(
+          float(sample_shape))
+
+    chunks = []
+    for batch in feeder.full_batches():
+      lib = batch.get("library")
+      chunks.append(np.asarray(iw(
+          self._state.params, self._state.batch_stats,
+          jnp.asarray(batch["inputs"][0]),
+          jnp.asarray(lib) if lib is not None else None, self._next_key())))
+    return np.concatenate(chunks, 0)
+
+  # ---------------------------------------------------------------- analysis
+  def create_posterior(self, test, dropout_rate: float = 0.2,
+                       retain_rate: float = 0.2,
+                       corruption_distribution: str = "binomial",
+                       sample_shape: int = 10, batch_size: int = 256,
+                       verbose: bool = False):
+    """Posterior analysis hub (reference :247-281 → analysis/posterior)."""
+    from ..analysis.posterior import Posterior
+    return Posterior(self, test, dropout_rate=dropout_rate,
+                     retain_rate=retain_rate,
+                     corruption_distribution=corruption_distribution,
+                     sample_shape=sample_shape, batch_size=batch_size,
+                     verbose=verbose)
+
+  # -------------------------------------------------------------------- io
+  def save_weights(self, path: str) -> str:
+    self._ensure_initialized()
+    save_weights(path, self._state.params, self._state.batch_stats,
+                 self._state.aux_params)
+    save_metamodel(path, type(self).__name__, self.dataset, self.metadata,
+                   self._init_kwargs_for_save)
+    return path
+
+  def load_weights(self, path: str, raise_notfound: bool = False
+                   ) -> "SingleCellModel":
+    if not os.path.isfile(os.path.join(path, "params.msgpack")):
+      if raise_notfound:
+        raise FileNotFoundError(f"No checkpoint at {path}")
+      return self
+    self._ensure_initialized()
+    params, bs, aux = load_weights(path, self._state.params,
+                                   self._state.batch_stats,
+                                   self._state.aux_params)
+    self._state = self._state.replace(params=params, batch_stats=bs,
+                                      aux_params=aux)
+    return self
+
+  save = save_weights
+
+  def __repr__(self):
+    return (f"{type(self).__name__}(id='{self.id}', outputs={self.outputs}, "
+            f"latents={self.latents}, semi={self.is_semi_supervised})")
