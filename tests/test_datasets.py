@@ -1,0 +1,172 @@
+"""Container invariants — mirrors the reference's ``tests/test_datasets.py``
+(split/copy/index equality, corruption sparsity, filters, normalize
+exactness, probabilistic embedding ranges, pca caching, clustering,
+visualization smoke) on synthetic in-memory data."""
+
+import numpy as np
+import pytest
+
+from sisua_tpu.data import OMIC, generate_synthetic, get_dataset_meta
+
+
+def test_registry_size():
+  assert len(get_dataset_meta()) >= 70
+
+
+def test_split_copy_equality(sco):
+  train, test = sco.split(0.8, seed=7)
+  assert train.n_obs + test.n_obs == sco.n_obs
+  train2, test2 = sco.split(0.8, seed=7)
+  assert train == train2 and test == test2  # MD5 equality
+  assert train != test
+  cp = sco.copy()
+  assert cp == sco and cp is not sco
+  # all omics carried over with aligned obs
+  for om in sco.omics:
+    assert train.get_omic(om).shape[0] == train.n_obs
+  # obs metadata preserved
+  assert list(cp.obs.columns) == list(sco.obs.columns)
+
+
+def test_indexing(sco):
+  sub = sco[np.arange(10)]
+  assert sub.n_obs == 10
+  assert sub.numpy().shape == (10, sco.n_vars)
+  np.testing.assert_allclose(sub.numpy(), sco.numpy()[:10])
+  # boolean mask via apply_indices
+  cp = sco.copy()
+  cp.apply_indices(np.arange(sco.n_obs) < 20)
+  assert cp.n_obs == 20
+
+
+def test_corruption_increases_sparsity(sco):
+  X0 = sco.numpy()
+  cor = sco.corrupt(dropout_rate=0.25, inplace=False)
+  X1 = cor.numpy()
+  assert (X1 > 0).sum() < (X0 > 0).sum()
+  assert np.all(X1 <= X0 + 1e-6)  # binomial thinning never increases counts
+  assert sco == sco  # original untouched (inplace=False)
+  # multi-omic corruption
+  cor2 = sco.corrupt(omic=OMIC.transcriptomic | OMIC.proteomic,
+                     dropout_rate=0.2, inplace=False)
+  assert (cor2.numpy(OMIC.proteomic) > 0).sum() <= (
+      sco.numpy(OMIC.proteomic) > 0).sum()
+  # uniform distribution variant
+  cor3 = sco.corrupt(dropout_rate=0.2, distribution="uniform",
+                     inplace=False)
+  assert (cor3.numpy() > 0).sum() < (X0 > 0).sum()
+
+
+def test_corruption_deterministic(sco):
+  a = sco.corrupt(dropout_rate=0.2, inplace=False, seed=3)
+  b = sco.corrupt(dropout_rate=0.2, inplace=False, seed=3)
+  assert a == b
+
+
+def test_filters(sco):
+  f = sco.filter_genes(min_counts=50, inplace=False)
+  assert f.n_vars <= sco.n_vars
+  assert np.all(np.asarray(f.X.sum(0)).ravel() >= 50)
+  c = sco.filter_cells(min_counts=10, inplace=False)
+  assert np.all(np.asarray(c.X.sum(1)).ravel() >= 10)
+  hv = sco.filter_highly_variable_genes(n_top_genes=30, inplace=False)
+  assert hv.n_vars == 30
+  hv2 = sco.filter_highly_variable_genes(n_top_genes=30,
+                                         flavor="cell_ranger", inplace=False)
+  assert hv2.n_vars == 30
+
+
+def test_normalize_exactness(sco):
+  X0 = sco.numpy()
+  nm = sco.normalize(total=True, log1p=True, inplace=False)
+  ref = np.log1p(X0 / np.maximum(X0.sum(1, keepdims=True), 1)
+                 * np.median(X0.sum(1)))
+  np.testing.assert_allclose(nm.numpy(), ref, atol=1e-4)
+  back = nm.expm1(inplace=False)
+  np.testing.assert_allclose(back.numpy(), np.expm1(nm.numpy()), atol=1e-4)
+  sc = sco.normalize(scale=True, max_value=10, inplace=False)
+  assert abs(sc.numpy().mean()) < 0.1
+  assert sc.numpy().max() <= 10.0 + 1e-5
+
+
+def test_library_size_stats(sco):
+  lib = sco.get_library_size()
+  assert lib.shape == (sco.n_obs, 2)
+  logc = np.log(sco.numpy().sum(1) + 1e-8)
+  np.testing.assert_allclose(lib[:, 0], logc.mean(), rtol=1e-5)
+  np.testing.assert_allclose(lib[:, 1], logc.var(), rtol=1e-4)
+
+
+def test_probabilistic_embedding(sco):
+  pe, prob, binm = sco.probabilistic_embedding(OMIC.proteomic)
+  assert prob.shape == (sco.n_obs, sco.get_dim(OMIC.proteomic))
+  assert prob.min() >= 0.0 and prob.max() <= 1.0
+  assert set(np.unique(binm)) <= {0.0, 1.0}
+  # cached: same object back
+  pe2, _, _ = sco.probabilistic_embedding(OMIC.proteomic)
+  assert pe2 is pe
+
+
+def test_dimension_reduce_caching(sco):
+  e1 = sco.dimension_reduce(OMIC.transcriptomic, n_components=20, algo="pca")
+  assert e1.shape == (sco.n_obs, 20)
+  e2 = sco.dimension_reduce(OMIC.transcriptomic, n_components=5, algo="pca")
+  np.testing.assert_allclose(e2, e1[:, :5])  # narrower request → cache slice
+
+
+def test_clustering_and_louvain(sco):
+  from sklearn.metrics import adjusted_rand_score
+  true = np.argmax(sco.numpy(OMIC.celltype), 1)
+  ids = sco.clustering(OMIC.transcriptomic, n_clusters=4, algo="kmeans")
+  assert len(np.unique(ids)) <= 4
+  lv = sco.louvain(OMIC.transcriptomic)
+  assert adjusted_rand_score(true, lv) > 0.5
+  # cached in obs
+  key = sco.clustering(OMIC.transcriptomic, n_clusters=4, algo="kmeans",
+                       return_key=True)
+  assert key in sco.obs
+
+
+def test_get_rv_defaults(sco):
+  assert sco.get_rv(OMIC.transcriptomic).posterior == "zinb"
+  assert sco.get_rv(OMIC.proteomic).posterior == "nb"
+  assert sco.get_rv(OMIC.celltype).posterior == "onehot"
+
+
+def test_correlation_and_markers(sco):
+  corr = sco.get_correlation(OMIC.proteomic, OMIC.celltype)
+  assert len(corr) == sco.get_dim(OMIC.proteomic) * sco.get_dim(OMIC.celltype)
+  for i, j, p, s in corr[:5]:
+    assert -1.01 <= p <= 1.01 and -1.01 <= s <= 1.01
+  # sorted by |spearman| descending
+  ss = [abs(t[3]) for t in corr]
+  assert ss == sorted(ss, reverse=True)
+
+
+def test_rank_vars_and_quality(sco):
+  rk = sco.rank_vars_groups(OMIC.transcriptomic, group_omic="celltype",
+                            n_vars=5)
+  assert len(rk) == sco.get_dim(OMIC.celltype)
+  for df in rk.values():
+    assert list(df.columns) == ["names", "scores", "pvals"]
+  sco.calculate_quality_metrics()
+  assert f"transcriptomic_total_counts" in sco.obs
+
+
+def test_visualization_smoke(tmp_path, sco):
+  sco.plot_scatter(X=OMIC.transcriptomic, color_by=OMIC.celltype, algo="pca")
+  sco.plot_heatmap()
+  sco.plot_dotplot(group_by=OMIC.celltype)
+  sco.plot_histogram()
+  sco.plot_series()
+  sco.plot_percentile_histogram()
+  sco.save_figures(str(tmp_path))
+  import os
+  assert len(os.listdir(tmp_path)) >= 6
+
+
+def test_history_provenance(sco):
+  cp = sco.copy()
+  cp.normalize(total=True)
+  assert any(name == "normalize" for name, _ in cp.history)
+  assert "normalize" in repr(cp)

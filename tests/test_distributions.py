@@ -1,0 +1,142 @@
+"""Distribution numerics: scipy parity, KL, concat, shape semantics.
+
+Mirrors the reference's RVmeta/distribution contract tests
+(``/root/reference/tests/test_singlecell_models.py:41-91``) plus numeric
+parity checks the reference lacked.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import sisua_tpu.dist as D
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_nb_logpmf_matches_scipy():
+  x = np.random.default_rng(0).poisson(3, (16, 6)).astype(np.float32)
+  nb = D.NegativeBinomial(total_count=jnp.float32(5.0),
+                          logits=jnp.float32(-0.3))
+  p_succ = 1.0 / (1.0 + np.exp(0.3))
+  ref = stats.nbinom.logpmf(x, 5.0, 1.0 - p_succ)
+  np.testing.assert_allclose(np.asarray(nb.log_prob(jnp.asarray(x))), ref,
+                             atol=1e-4)
+
+
+def test_nbd_logpmf_matches_scipy():
+  x = np.random.default_rng(1).poisson(4, (16, 6)).astype(np.float32)
+  nbd = D.NegativeBinomialDisp(loc=jnp.float32(4.0), disp=jnp.float32(2.0))
+  ref = stats.nbinom.logpmf(x, 2.0, 1.0 - 4.0 / 6.0)
+  np.testing.assert_allclose(np.asarray(nbd.log_prob(jnp.asarray(x))), ref,
+                             atol=1e-4)
+  # mean/variance of the NB(mean, dispersion) parameterization
+  assert np.isclose(float(nbd.mean()), 4.0)
+  assert np.isclose(float(nbd.variance()), 4.0 + 16.0 / 2.0)
+
+
+def test_zero_inflated_logpmf():
+  x = np.array([[0.0, 1.0, 5.0]], np.float32)
+  nbd = D.NegativeBinomialDisp(loc=jnp.float32(4.0), disp=jnp.float32(2.0))
+  zi = D.ZeroInflated(count_distribution=nbd, gate_logits=jnp.float32(0.5))
+  pi = 1.0 / (1.0 + np.exp(-0.5))
+  base = stats.nbinom.logpmf(x, 2.0, 1.0 - 4.0 / 6.0)
+  ref = np.where(x == 0, np.log(pi + (1 - pi) * np.exp(base)),
+                 np.log(1 - pi) + base)
+  np.testing.assert_allclose(np.asarray(zi.log_prob(jnp.asarray(x))), ref,
+                             atol=1e-4)
+  # mean shrinks by (1-pi); .distribution unwraps (reference convention)
+  assert np.isclose(float(zi.mean()), (1 - pi) * 4.0, atol=1e-5)
+  assert zi.distribution is nbd
+
+
+def test_deterministic_mse_contract():
+  """Pinned by reference test: -log_prob == tf.losses.mse (mean over event)."""
+  loc = jnp.zeros((4, 6))
+  det = D.VectorDeterministic(loc=loc)
+  z = jnp.asarray(np.random.default_rng(2).random((4, 6)), jnp.float32)
+  np.testing.assert_allclose(np.asarray(-det.log_prob(z)),
+                             np.mean(np.asarray(z) ** 2, -1), atol=1e-6)
+
+
+def test_kl_normal_analytic_vs_mc():
+  p = D.Normal(loc=jnp.float32(1.0), scale=jnp.float32(0.5))
+  q = D.Normal(loc=jnp.float32(0.0), scale=jnp.float32(1.0))
+  kl = float(D.kl_divergence(p, q))
+  mc = float(D.mc_kl_divergence(p, q, KEY, 200000))
+  assert abs(kl - mc) < 2e-2
+
+
+def test_kl_mvndiag():
+  p = D.MultivariateNormalDiag(loc=jnp.ones((3, 5)),
+                               scale_diag=jnp.full((3, 5), 0.5))
+  q = D.MultivariateNormalDiag(loc=jnp.zeros((5,)),
+                               scale_diag=jnp.ones((5,)))
+  ref = 5 * 0.5 * (0.25 + 1.0 - 1.0 - np.log(0.25))
+  np.testing.assert_allclose(np.asarray(D.kl_divergence(p, q)), ref,
+                             rtol=1e-5)
+
+
+def test_concat_distributions():
+  p = D.MultivariateNormalDiag(loc=jnp.ones((7, 4)),
+                               scale_diag=jnp.ones((7, 4)))
+  c = D.concat_distributions([p[0:3], p[3:7]], axis=0)
+  assert c.batch_shape == (7,)
+  with pytest.raises(ValueError):
+    D.concat_distributions([p, D.Normal(loc=jnp.zeros(3),
+                                        scale=jnp.ones(3))])
+
+
+def test_sampling_shapes_and_reparam():
+  p = D.MultivariateNormalDiag(loc=jnp.zeros((3, 5)),
+                               scale_diag=jnp.ones((3, 5)))
+  assert p.sample(KEY, (7,)).shape == (7, 3, 5)
+  # reparameterized: gradient flows through loc
+  g = jax.grad(lambda loc: jnp.sum(
+      D.MultivariateNormalDiag(loc=loc, scale_diag=jnp.ones(5)).sample(KEY)))(
+          jnp.zeros(5))
+  np.testing.assert_allclose(np.asarray(g), np.ones(5))
+
+
+def test_nb_sampling_moments():
+  nb = D.NegativeBinomialDisp(loc=jnp.float32(6.0), disp=jnp.float32(3.0))
+  s = nb.sample(KEY, (200000,))
+  assert abs(float(s.mean()) - 6.0) < 0.1
+  assert abs(float(s.var()) - (6.0 + 36.0 / 3.0)) < 0.5
+
+
+def test_mixture():
+  logits = jnp.zeros((4, 3))
+  comp = D.Independent(D.Normal(loc=jnp.stack([jnp.full((4, 5), m)
+                                               for m in (-2.0, 0.0, 2.0)], 1),
+                                scale=jnp.ones((4, 3, 5))), 1)
+  mix = D.MixtureSameFamily(mixture_logits=logits, components=comp)
+  assert mix.log_prob(jnp.zeros((4, 5))).shape == (4,)
+  assert mix.sample(KEY).shape == (4, 5)
+  assert mix.sample(KEY, (9,)).shape == (9, 4, 5)
+  np.testing.assert_allclose(np.asarray(mix.mean()), np.zeros((4, 5)),
+                             atol=1e-6)
+
+
+def test_onehot_categorical():
+  oh = D.OneHotCategorical(logits=jnp.asarray(
+      np.random.default_rng(3).normal(size=(6, 4)), jnp.float32))
+  x = jax.nn.one_hot(jnp.arange(6) % 4, 4)
+  lp = oh.log_prob(x)
+  assert lp.shape == (6,)
+  s = oh.sample(KEY, (11,))
+  assert s.shape == (11, 6, 4)
+  np.testing.assert_allclose(np.asarray(s.sum(-1)), np.ones((11, 6)))
+
+
+def test_poisson_bernoulli():
+  po = D.Poisson(rate=jnp.float32(3.0))
+  x = np.arange(6).astype(np.float32)
+  np.testing.assert_allclose(np.asarray(po.log_prob(jnp.asarray(x))),
+                             stats.poisson.logpmf(x, 3.0), atol=1e-5)
+  be = D.Bernoulli(logits=jnp.float32(0.3))
+  np.testing.assert_allclose(
+      float(be.log_prob(jnp.float32(1.0))),
+      np.log(1 / (1 + np.exp(-0.3))), atol=1e-6)

@@ -1,0 +1,84 @@
+"""DataFeeder contract: static shapes, masking, determinism, native gather,
+and the buffer-freshness regression (JAX-CPU zero-copy race)."""
+
+import numpy as np
+from scipy import sparse
+
+from sisua_tpu.data import OMIC
+from sisua_tpu.data.feeder import DataFeeder
+from sisua_tpu.native import csr_gather, native_available
+
+
+def test_batch_structure(sco):
+  ds = sco.create_dataset(omics=[OMIC.transcriptomic, OMIC.proteomic],
+                          labels_percent=0.5, batch_size=64)
+  batches = list(ds)
+  assert len(batches) == sco.n_obs // 64
+  b = batches[0]
+  assert b["inputs"][0].shape == (64, sco.n_vars)
+  assert b["inputs"][1].shape == (64, sco.get_dim(OMIC.proteomic))
+  assert b["library"].shape == (64, 2)
+  assert b["mask"].shape == (64,)
+  # all batches static shape (drop_remainder)
+  assert all(bt["inputs"][0].shape[0] == 64 for bt in batches)
+
+
+def test_mask_fraction(sco):
+  for lp, lo, hi in ((0.0, -0.01, 0.01), (0.5, 0.4, 0.6), (1.0, 0.99, 1.01)):
+    ds = sco.create_dataset(labels_percent=lp, batch_size=64)
+    frac = np.mean([b["mask"].mean() for b in ds])
+    assert lo <= frac <= hi, (lp, frac)
+
+
+def test_epoch_determinism(sco):
+  ds = sco.create_dataset(batch_size=64)
+  a = next(iter(ds.set_epoch(3)))["inputs"][0].copy()
+  b = next(iter(ds.set_epoch(3)))["inputs"][0].copy()
+  np.testing.assert_allclose(a, b)
+  c = next(iter(ds.set_epoch(4)))["inputs"][0].copy()
+  assert not np.allclose(a, c)
+
+
+def test_fresh_buffers_regression(sco):
+  """Regression for the async zero-copy race: consecutive batches must not
+  share memory (JAX-CPU may alias host buffers while steps are queued)."""
+  ds = sco.create_dataset(batch_size=64)
+  it = iter(ds)
+  b1 = next(it)["inputs"][0]
+  b2 = next(it)["inputs"][0]
+  assert b1 is not b2
+  assert not np.shares_memory(b1, b2)
+
+
+def test_csr_gather_matches_dense():
+  rng = np.random.default_rng(0)
+  X = (rng.random((200, 37)) < 0.2) * rng.poisson(5, (200, 37))
+  Xs = sparse.csr_matrix(X.astype(np.float32))
+  rows = rng.permutation(200)[:50].astype(np.int64)
+  got = csr_gather(Xs.data.astype(np.float32), Xs.indices.astype(np.int64),
+                   Xs.indptr.astype(np.int64), rows, 37)
+  np.testing.assert_allclose(got, X[rows].astype(np.float32))
+  # fused log1p variant
+  got_l = csr_gather(Xs.data.astype(np.float32), Xs.indices.astype(np.int64),
+                     Xs.indptr.astype(np.int64), rows, 37, log1p=True)
+  np.testing.assert_allclose(got_l, np.log1p(X[rows]).astype(np.float32),
+                             atol=1e-6)
+
+
+def test_native_compiles():
+  assert native_available()  # g++ is in this image; fallback covered above
+
+
+def test_full_batches_sequential(sco):
+  ds = sco.create_dataset(batch_size=64)
+  rows = np.concatenate([b["inputs"][0] for b in ds.full_batches(100)])
+  np.testing.assert_allclose(rows, sco.numpy())
+  masks = [b["mask"] for b in ds.full_batches(100)]
+  assert all((m == 1.0).all() for m in masks)  # eval mask = ones
+
+
+def test_dense_and_mixed_sources(sco):
+  dense = sco.numpy()
+  ds = DataFeeder([dense, sparse.csr_matrix(dense)], batch_size=50)
+  b = next(iter(ds))
+  np.testing.assert_allclose(b["inputs"][0], b["inputs"][1])

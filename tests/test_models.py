@@ -1,0 +1,182 @@
+"""Model zoo: fit/predict smoke per family — loss decreases, output
+distribution types pinned, semi-supervised masking wired, SCVI library
+latent present (mirrors reference tests/test_singlecell_models.py)."""
+
+import numpy as np
+import pytest
+
+import sisua_tpu.dist as D
+from sisua_tpu.data import OMIC
+from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA, VAE,
+                              DeepCountAutoencoder, NetConf, RVmeta,
+                              SemiFVAE, get_all_models, get_model,
+                              SingleCellModel)
+
+EPOCHS = 5
+
+
+def _loss_mostly_decreasing(loss, frac=0.6):
+  loss = loss[1:]
+  dec = [i > j for i, j in zip(loss, loss[1:])]
+  assert sum(dec) >= frac * len(dec) - 1, loss
+
+
+def test_registry():
+  for m in get_all_models():
+    assert issubclass(m, SingleCellModel)
+  assert get_model("dca").__name__ == "DeepCountAutoencoder"
+  assert get_model("scvi").__name__ == "SCVI"
+  assert get_model("VAE") is VAE
+  with pytest.raises(ValueError):
+    get_model("nope")
+
+
+def test_vae_fit_predict(splits, small_nets):
+  train, test = splits
+  vae = VAE(RVmeta(train.n_vars, "zinb", name="rna"),
+            latents=RVmeta(6, "diag", name="latents"), **small_nets)
+  assert vae.id == "vae" and not vae.is_semi_supervised
+  vae.fit(train, valid=test, epochs=EPOCHS, batch_size=64)
+  _loss_mostly_decreasing(vae.history["loss"])
+  assert "val_loss" in vae.history and "klqp_z" in vae.history
+  pX, qZ = vae.predict(test)
+  assert isinstance(qZ, D.MultivariateNormalDiag)
+  assert isinstance(pX.distribution, D.ZeroInflated)
+  assert pX.batch_shape == (test.n_obs,)
+  # MCMC sample shape
+  pX2, _ = vae.predict(test, sample_shape=(3,), batch_size=100)
+  assert pX2.batch_shape == (3, test.n_obs)
+  mll = vae.marginal_log_prob(test[np.arange(32)], sample_shape=10)
+  assert mll.shape == (32,) and np.isfinite(mll).all()
+
+
+def test_dca_deterministic_latent(splits, small_nets):
+  train, _ = splits
+  dca = DeepCountAutoencoder(RVmeta(train.n_vars, "zinb", name="rna"),
+                             latent_dim=6, **small_nets)
+  assert dca.id == "dca"
+  assert dca.latents[0].is_deterministic
+  dca.fit(train, epochs=3, batch_size=64)
+  assert abs(dca.history["klqp_z"][-1]) < 1e-6
+  _, qZ = dca.predict(train)
+  assert isinstance(qZ, D.VectorDeterministic)
+
+
+def test_dca_mse(splits, small_nets):
+  train, _ = splits
+  dca = DeepCountAutoencoder(RVmeta(train.n_vars, "mse", name="rna"),
+                             latent_dim=6, **small_nets)
+  dca.fit(train, epochs=3, batch_size=64)
+  pX, _ = dca.predict(train)
+  assert isinstance(pX, D.VectorDeterministic)
+
+
+def test_sisua_semi_supervised(splits, small_nets):
+  train, test = splits
+  n_prot = train.get_dim(OMIC.proteomic)
+  m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+             RVmeta(n_prot, "nb", name="adt")], **small_nets)
+  assert m.is_semi_supervised
+  m.fit(train, valid=test, epochs=EPOCHS, batch_size=64, labels_percent=0.5)
+  _loss_mostly_decreasing(m.history["loss"])
+  assert "llk_x1" in m.history  # masked label term present
+  pX, qZ = m.predict(test)
+  assert len(pX) == 2
+  with pytest.raises(AssertionError):
+    SISUA(RVmeta(10, "zinb"))  # needs ≥2 outputs
+
+
+def test_misa_mixture_labels(splits, small_nets):
+  train, _ = splits
+  m = MISA([RVmeta(train.n_vars, "zinb", name="rna"),
+            RVmeta(train.get_dim(OMIC.proteomic), "nbd", name="adt")],
+           n_components=2, **small_nets)
+  assert m.outputs[1].posterior == "mixnb"
+  m.fit(train, epochs=2, batch_size=64)
+  pX, _ = m.predict(train)
+  assert isinstance(pX[1], D.MixtureSameFamily)
+
+
+def test_scvi_library_latent(splits):
+  train, test = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"),
+           latents=RVmeta(6, "diag", name="latents"))
+  assert m.uses_library
+  m.fit(train, valid=test, epochs=EPOCHS, batch_size=64)
+  _loss_mostly_decreasing(m.history["loss"])
+  assert "klqp_z1" in m.history  # library KL
+  pX, (qz, ql) = m.predict(test)
+  assert ql.event_shape == (1,)
+  assert isinstance(pX.distribution, D.ZeroInflated)
+  assert isinstance(pX.distribution.count_distribution,
+                    D.NegativeBinomialDisp)
+  with pytest.raises(AssertionError):
+    SCVI(RVmeta(10, "zinb"))  # must be zinbd/nbd
+
+
+def test_scvi_nbd_single_dispersion(splits):
+  train, _ = splits
+  m = SCVI(RVmeta(train.n_vars, "nbd", name="rna",
+                  kwargs={"dispersion": "single"}))
+  m.fit(train, epochs=2, batch_size=64)
+  pX, _ = m.predict(train)
+  assert isinstance(pX.distribution, D.NegativeBinomialDisp)
+
+
+def test_scale_mixture_latent(splits, small_nets):
+  train, _ = splits
+  m = SCALE(RVmeta(train.n_vars, "zinb", name="rna"), n_components=3,
+            **small_nets)
+  assert m.latents[0].posterior == "mixgaus" and not m.analytic
+  m.fit(train, epochs=3, batch_size=64)
+  _, qZ = m.predict(train)
+  assert isinstance(qZ, D.MixtureSameFamily)
+
+
+def test_scalar_semi(splits, small_nets):
+  train, _ = splits
+  m = SCALAR([RVmeta(train.n_vars, "zinb", name="rna"),
+              RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+             n_components=3, **small_nets)
+  assert m.is_semi_supervised
+  m.fit(train, epochs=2, batch_size=64, labels_percent=0.5)
+
+
+def test_fvae_tc_discriminator(splits, small_nets):
+  train, _ = splits
+  m = FVAE(RVmeta(train.n_vars, "zinb", name="rna"), gamma=2.0, **small_nets)
+  m.fit(train, epochs=3, batch_size=64)
+  assert "tc" in m.history and "disc_loss" in m.history
+  assert np.isfinite(m.history["disc_loss"]).all()
+
+
+def test_semifvae(splits, small_nets):
+  train, _ = splits
+  m = SemiFVAE([RVmeta(train.n_vars, "zinb", name="rna"),
+                RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+               **small_nets)
+  m.fit(train, epochs=2, batch_size=64, labels_percent=0.5)
+  assert m.is_semi_supervised
+
+
+def test_kl_warmup_schedule(splits, small_nets):
+  from sisua_tpu.interpolation import linear
+  train, _ = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"),
+          beta=linear(vmin=0.0, vmax=1.0, norm=20), **small_nets)
+  m.fit(train, epochs=3, batch_size=64)
+  betas = m.history["beta"]
+  assert betas[0] < betas[-1] <= 1.0
+
+
+def test_nan_seed_sweep(splits, small_nets):
+  """Regression: training must stay finite across seeds (the feeder race
+  produced ~30% NaN runs before the fix)."""
+  train, test = splits
+  for seed in (2, 3, 5):
+    m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+               RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+              seed=seed, **small_nets)
+    m.fit(train, valid=test, epochs=3, batch_size=64, labels_percent=0.5,
+          patience=50)
+    assert np.isfinite(m.history["loss"]).all()

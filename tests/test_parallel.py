@@ -1,0 +1,68 @@
+"""Multi-chip (virtual 8-device CPU mesh) tests — the coverage the reference
+lacked entirely (SURVEY.md §4): data-parallel training compiles and reduces
+loss with batches sharded across the mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from sisua_tpu.data import OMIC
+from sisua_tpu.models import SCVI, SISUA, VAE, RVmeta, NetConf
+from sisua_tpu.parallel import (batch_sharding, create_mesh,
+                                replicated_sharding, shard_batch)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+  assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+  return create_mesh()
+
+
+def test_mesh_shape(mesh):
+  assert dict(mesh.shape) == {"data": 8, "model": 1}
+  with pytest.raises(AssertionError):
+    create_mesh(n_data=3, n_model=2)
+
+
+def test_batch_sharded_across_devices(mesh, sco):
+  feeder = sco.create_dataset(batch_size=128)
+  batch = next(iter(feeder))
+  placed = shard_batch(batch, mesh)
+  x = placed["inputs"][0]
+  assert len(x.sharding.device_set) == 8
+  # each shard holds 1/8 of the cells
+  shard_shapes = {s.data.shape for s in x.addressable_shards}
+  assert shard_shapes == {(16, sco.n_vars)}
+
+
+def test_dp_training_vae(mesh, splits, small_nets):
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, valid=test, epochs=3, batch_size=128, mesh=mesh)
+  assert m.history["loss"][-1] < m.history["loss"][0]
+  assert np.isfinite(m.history["loss"]).all()
+
+
+def test_dp_training_scvi(mesh, splits):
+  train, _ = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"))
+  m.fit(train, epochs=2, batch_size=128, mesh=mesh)
+  assert np.isfinite(m.history["loss"]).all()
+
+
+def test_dp_matches_single_device_loss(splits, small_nets):
+  """DP over 8 shards must optimize the same objective: first-epoch loss
+  within tolerance of the single-device run (same seeds/batches)."""
+  train, _ = splits
+  def run(mesh):
+    m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=7, **small_nets)
+    m.fit(train, epochs=2, batch_size=128, mesh=mesh)
+    return m.history["loss"]
+  l_single = run(None)
+  l_dp = run(create_mesh())
+  np.testing.assert_allclose(l_single, l_dp, rtol=2e-2)
+
+
+def test_model_axis_mesh():
+  mesh = create_mesh(n_data=4, n_model=2)
+  assert dict(mesh.shape) == {"data": 4, "model": 2}

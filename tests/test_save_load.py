@@ -1,0 +1,79 @@
+"""Save/load fidelity — mirrors reference ``tests/test_save_load_model.py``:
+reload must reproduce latent mean/scale allclose and the metamodel manifest
+must reconstruct the exact model class/specs."""
+
+import numpy as np
+import pytest
+
+from sisua_tpu.data import OMIC
+from sisua_tpu.models import (MISA, SCVI, SISUA, VAE, DeepCountAutoencoder,
+                              NetConf, RVmeta, load_model)
+
+
+def _roundtrip(model, train, test, tmp_path, epochs=2, **fit_kw):
+  model.fit(train, epochs=epochs, batch_size=64, **fit_kw)
+  path = str(tmp_path / model.id)
+  model.save_weights(path)
+  loaded = load_model(path)
+  assert type(loaded) is type(model)
+  _, zA = model.predict(test[np.arange(50)])
+  _, zB = loaded.predict(test[np.arange(50)])
+  zA = zA[0] if isinstance(zA, (tuple, list)) else zA
+  zB = zB[0] if isinstance(zB, (tuple, list)) else zB
+  np.testing.assert_allclose(np.asarray(zA.mean()), np.asarray(zB.mean()),
+                             atol=1e-5)
+  return loaded
+
+
+def test_vae_roundtrip(splits, small_nets, tmp_path):
+  train, test = splits
+  vae = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  loaded = _roundtrip(vae, train, test, tmp_path)
+  assert loaded.outputs == vae.outputs
+  assert loaded.encoder == vae.encoder
+
+
+def test_sisua_roundtrip(splits, small_nets, tmp_path):
+  train, test = splits
+  m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+             RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+            **small_nets)
+  loaded = _roundtrip(m, train, test, tmp_path, labels_percent=0.5)
+  assert loaded.is_semi_supervised
+
+
+def test_scvi_roundtrip(splits, tmp_path):
+  train, test = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"))
+  loaded = _roundtrip(m, train, test, tmp_path)
+  assert loaded.uses_library
+  assert loaded.latents[1].name == "library"
+
+
+def test_misa_roundtrip(splits, small_nets, tmp_path):
+  train, test = splits
+  m = MISA([RVmeta(train.n_vars, "zinb", name="rna"),
+            RVmeta(train.get_dim(OMIC.proteomic), "nbd", name="adt")],
+           **small_nets)
+  loaded = _roundtrip(m, train, test, tmp_path, labels_percent=0.5)
+  assert loaded.outputs[1].posterior == "mixnb"
+
+
+def test_load_missing_raises(tmp_path):
+  m = VAE(RVmeta(10, "zinb"))
+  with pytest.raises(FileNotFoundError):
+    m.load_weights(str(tmp_path / "nope"), raise_notfound=True)
+
+
+def test_resume_training(splits, small_nets, tmp_path):
+  """Reference Experimenter resumes weights automatically — the load path
+  must allow continued fit."""
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=2, batch_size=64)
+  path = str(tmp_path / "resume")
+  m.save_weights(path)
+  m2 = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m2.load_weights(path)
+  m2.fit(train, epochs=2, batch_size=64)
+  assert np.isfinite(m2.history["loss"]).all()
