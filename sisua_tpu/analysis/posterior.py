@@ -1,0 +1,437 @@
+"""Posterior — the evaluation hub: corrupt → predict → score → plot.
+
+Capability parity with ``/root/reference/sisua/analysis/posterior.py``
+(1153 LoC): construct from a trained model + a test ``SingleCellOMIC`` with
+≥1 omic; corrupt a copy with the benchmark protocol (dropout 0.2 / retain
+0.2, binomial — :108-164); run MCMC prediction (sample_shape=10, :172-182);
+build an *analysis dataset* containing, per output omic,
+
+  * ``i<omic>``  — imputed posterior means (ZeroInflated unwrapped to its
+    count distribution, the 'imputed' convention of :210-220),
+  * ``o<omic>``  — the original uncorrupted counts,
+  * ``latent``   — reduced latent means (:243-253),
+
+plus a ``Criticizer`` per factor (label) omic (:166-170, 304-375).
+
+Metric families (cached):
+  * ``cal_llk``            4-way imputed/reconstructed × original/corrupted
+                           log-likelihood with logsumexp MC averaging (:918-938)
+  * ``cal_marginal_llk``   importance-sampled marginal LLK (:940-976)
+  * ``cal_imputation_scores`` (:978-993)
+  * ``cal_pearson / cal_spearman / cal_mutual_information / cal_importance``
+                           marker gene↔protein association (:995-1080)
+  * ``cal_betavae / cal_factorvae / cal_mig / cal_dci`` (:1082-1127)
+  * ``get_correlation_matrix`` (:855-916)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import dist as D
+from ..data.const import OMIC
+from ..utils.visualization import Visualizer
+from .criticizer import Criticizer
+from .imputation import (correlation_scores, imputation_mean_score,
+                         imputation_score, imputation_std_score,
+                         plot_imputation)
+from .latent import (clustering_scores, plot_distance_heatmap,
+                     plot_latents_binary, plot_latents_protein_pairs,
+                     streamline_classifier)
+
+__all__ = ["Posterior"]
+
+_FACTOR_OMICS = ("proteomic", "celltype", "disease", "progenitor", "tissue")
+
+
+def _dist_mean(dist) -> np.ndarray:
+  m = np.asarray(dist.mean())
+  if m.ndim > 2:  # average MC sample dims
+    m = m.mean(axis=tuple(range(m.ndim - 2)))
+  return m
+
+
+def _unwrap_imputed(dist):
+  """ZeroInflated → count distribution mean (reference :210-220)."""
+  base = dist.base if isinstance(dist, D.Independent) else dist
+  if isinstance(base, D.ZeroInflated):
+    return base.count_distribution
+  return base
+
+
+class Posterior(Visualizer):
+  """Posterior analysis of a trained SingleCellModel on a test set."""
+
+  def __init__(self,
+               scm,
+               sco,
+               dropout_rate: float = 0.2,
+               retain_rate: float = 0.2,
+               corruption_distribution: str = "binomial",
+               sample_shape: int = 10,
+               batch_size: int = 256,
+               seed: int = 8,
+               verbose: bool = False):
+    self.scm = scm
+    self.sco_original = sco
+    self.sample_shape = int(sample_shape)
+    self.batch_size = int(batch_size)
+    self.verbose = bool(verbose)
+    self.seed = int(seed)
+    self._cache: Dict[str, object] = {}
+    # --- corruption of the main omic (denoising benchmark)
+    self.dropout_rate = float(dropout_rate)
+    self.retain_rate = float(retain_rate)
+    self.corruption_distribution = corruption_distribution
+    self.sco_corrupted = sco.corrupt(
+        dropout_rate=dropout_rate, retain_rate=retain_rate,
+        distribution=corruption_distribution, inplace=False, seed=seed)
+    self._initialize()
+
+  # ------------------------------------------------------------------ build
+  def _initialize(self):
+    scm, sco = self.scm, self.sco_corrupted
+    omics = list(sco.omics)[: scm.n_outputs]
+    self.output_omics = omics
+    # predictions on corrupted and original data
+    self.pX_cor, self.qZ_cor = scm.predict(
+        sco, sample_shape=(self.sample_shape,), batch_size=self.batch_size)
+    self.pX_org, self.qZ_org = scm.predict(
+        self.sco_original, sample_shape=(self.sample_shape,),
+        batch_size=self.batch_size)
+    pX = self.pX_cor if isinstance(self.pX_cor, (tuple, list)) \
+        else (self.pX_cor,)
+    qZ = self.qZ_cor if isinstance(self.qZ_cor, (tuple, list)) \
+        else (self.qZ_cor,)
+    # --- analysis dataset: imputed + original omics + latent
+    ana = self.sco_original.copy()
+    for omic_name, dist in zip(omics, pX):
+      imputed_mean = _dist_mean(_unwrap_imputed(dist))
+      var_names = self.sco_original.get_var_names(omic_name)
+      try:
+        ana.add_omic(OMIC.parse(f"i{omic_name}"), imputed_mean, var_names)
+      except ValueError:  # omic kind without an imputed mirror
+        pass
+    # reduced latent means
+    zmeans = [np.asarray(q.mean()) for q in qZ]
+    latent = np.concatenate(zmeans, -1) if len(zmeans) > 1 else zmeans[0]
+    ana.add_omic(OMIC.latent, latent,
+                 [f"z{i}" for i in range(latent.shape[1])])
+    self.sco_analysis = ana
+    self.latents = latent
+    # --- criticizers per factor omic
+    self.criticizers: Dict[str, Criticizer] = {}
+    for f in self.factor_omics:
+      self.criticizers[f] = Criticizer(
+          latent, self.sco_original.numpy(f),
+          factor_names=list(self.sco_original.get_var_names(f)),
+          seed=self.seed)
+
+  # -------------------------------------------------------------- properties
+  @property
+  def name(self) -> str:
+    return f"{self.scm.id}_{self.sco_original.name}"
+
+  @property
+  def main_omic(self) -> str:
+    return self.output_omics[0]
+
+  @property
+  def factor_omics(self) -> List[str]:
+    return [o for o in self.sco_original.omics if o in _FACTOR_OMICS]
+
+  @property
+  def is_semi_supervised(self) -> bool:
+    return self.scm.is_semi_supervised
+
+  # ------------------------------------------------------------------- LLK
+  def cal_llk(self) -> Dict[str, float]:
+    """4-way log-likelihood: {imputed|reconstructed} × {original|corrupted};
+    MC samples averaged with logsumexp − log S (reference :918-938)."""
+    if "llk" in self._cache:
+      return self._cache["llk"]
+    from scipy.special import logsumexp
+    out = {}
+    S = self.sample_shape
+    for tag, pX in (("cor", self.pX_cor), ("org", self.pX_org)):
+      dists = pX if isinstance(pX, (tuple, list)) else (pX,)
+      for omic_name, dist in zip(self.output_omics, dists):
+        x_org = self.sco_original.numpy(omic_name)
+        x_cor = self.sco_corrupted.numpy(omic_name)
+        for data_tag, x in (("org", x_org), ("cor", x_cor)):
+          lp = np.asarray(dist.log_prob(x))          # (S, n)
+          if lp.ndim > 1:
+            lp = logsumexp(lp, axis=0) - np.log(S)
+          out[f"llk_{omic_name}_pred{tag}_data{data_tag}"] = float(lp.mean())
+    self._cache["llk"] = out
+    return out
+
+  def cal_marginal_llk(self, sample_shape: int = 100) -> Dict[str, float]:
+    """Importance-sampled marginal log-likelihood (reference :940-976)."""
+    if "marginal_llk" in self._cache:
+      return self._cache["marginal_llk"]
+    mllk = self.scm.marginal_log_prob(self.sco_original,
+                                      sample_shape=sample_shape,
+                                      batch_size=8)
+    out = {f"marginal_llk_{self.main_omic}": float(np.mean(mllk))}
+    self._cache["marginal_llk"] = out
+    return out
+
+  # -------------------------------------------------------------- imputation
+  def cal_imputation_scores(self) -> Dict[str, float]:
+    """Denoising scores on the main omic (reference :978-993)."""
+    if "imputation" in self._cache:
+      return self._cache["imputation"]
+    org = self.sco_original.numpy(self.main_omic)
+    cor = self.sco_corrupted.numpy(self.main_omic)
+    imp = self.sco_analysis.numpy(f"i{self.main_omic}")
+    out = {
+        "imputation_med": imputation_score(org, imp),
+        "imputation_mean": imputation_mean_score(org, cor, imp),
+        "imputation_std": imputation_std_score(org, cor, imp),
+    }
+    self._cache["imputation"] = out
+    return out
+
+  # ------------------------------------------------------------ correlation
+  def _marker_correlations(self, imputed: bool = True):
+    key = f"marker_corr_{imputed}"
+    if key not in self._cache:
+      if "proteomic" not in self.sco_original.omics:
+        self._cache[key] = {}
+      else:
+        X = (self.sco_analysis.numpy(f"i{self.main_omic}") if imputed
+             else self.sco_original.numpy(self.main_omic))
+        y = self.sco_original.numpy("proteomic")
+        self._cache[key] = correlation_scores(
+            X, y, self.sco_original.get_var_names(self.main_omic),
+            self.sco_original.get_var_names("proteomic"))
+    return self._cache[key]
+
+  def cal_spearman(self, imputed: bool = True) -> Dict[str, float]:
+    corr = self._marker_correlations(imputed)
+    out = {f"spearman_{k}": v[0] for k, v in corr.items()}
+    if corr:
+      out["spearman_mean"] = float(np.mean([v[0] for v in corr.values()]))
+    return out
+
+  def cal_pearson(self, imputed: bool = True) -> Dict[str, float]:
+    corr = self._marker_correlations(imputed)
+    out = {f"pearson_{k}": v[1] for k, v in corr.items()}
+    if corr:
+      out["pearson_mean"] = float(np.mean([v[1] for v in corr.values()]))
+    return out
+
+  def cal_mutual_information(self, factor_omic: str = "proteomic"
+                             ) -> Dict[str, float]:
+    crt = self.criticizers.get(factor_omic)
+    if crt is None:
+      return {}
+    mi = crt.create_mutualinfo_matrix()
+    return {f"mi_{factor_omic}": float(mi.max(0).mean())}
+
+  def cal_importance(self, factor_omic: str = "proteomic"
+                     ) -> Dict[str, float]:
+    crt = self.criticizers.get(factor_omic)
+    if crt is None:
+      return {}
+    imp, acc = crt.create_importance_matrix()
+    return {f"importance_acc_{factor_omic}": float(np.mean(acc))}
+
+  def get_correlation_matrix(self, method: str = "spearman",
+                             factor_omic: str = "proteomic") -> np.ndarray:
+    crt = self.criticizers.get(factor_omic)
+    assert crt is not None, f"no criticizer for {factor_omic}"
+    if method in ("spearman", "pearson"):
+      return crt.create_correlation_matrix(method)
+    if method in ("mutual_info", "mi"):
+      return crt.create_mutualinfo_matrix()
+    if method in ("importance", "average", "lasso"):
+      return crt.create_importance_matrix()[0]
+    raise ValueError(f"unknown method {method}")
+
+  # -------------------------------------------------------- disentanglement
+  def _crt_metric(self, fn_name: str) -> Dict[str, float]:
+    out = {}
+    for f, crt in self.criticizers.items():
+      for k, v in getattr(crt, fn_name)().items():
+        out[f"{k}_{f}"] = v
+    return out
+
+  def cal_betavae(self) -> Dict[str, float]:
+    return self._crt_metric("cal_betavae_score")
+
+  def cal_factorvae(self) -> Dict[str, float]:
+    return self._crt_metric("cal_factorvae_score")
+
+  def cal_mig(self) -> Dict[str, float]:
+    return self._crt_metric("cal_mutual_info_gap")
+
+  def cal_dci(self) -> Dict[str, float]:
+    return self._crt_metric("cal_dci_scores")
+
+  def cal_clustering_scores(self) -> Dict[str, float]:
+    return self._crt_metric("cal_clustering_scores")
+
+  def cal_disentanglement_full(self) -> Dict[str, float]:
+    return self._crt_metric("cal_all_scores")
+
+  # ------------------------------------------------------------ classifier
+  def cal_protein_classification(self) -> Dict[str, float]:
+    """Per-protein F1 from latents (streamline_classifier protocol)."""
+    if "proteomic" not in self.sco_original.omics:
+      return {}
+    if "protein_f1" in self._cache:
+      return self._cache["protein_f1"]
+    _, _, ybin = self.sco_original.probabilistic_embedding("proteomic")
+    n = len(self.latents)
+    cut = int(0.8 * n)
+    rng = np.random.RandomState(self.seed)
+    idx = rng.permutation(n)
+    tr, te = idx[:cut], idx[cut:]
+    train_s, test_s = streamline_classifier(
+        self.latents[tr], ybin[tr], self.latents[te], ybin[te],
+        self.sco_original.get_var_names("proteomic"))
+    out = {f"f1_{k}": v for k, v in test_s.items()}
+    self._cache["protein_f1"] = out
+    return out
+
+  def save_scores(self, path: Optional[str] = None) -> Dict[str, float]:
+    """All scalar metric families in one dict (optionally JSON-dumped)."""
+    scores = {}
+    for fn in (self.cal_llk, self.cal_imputation_scores, self.cal_spearman,
+               self.cal_pearson, self.cal_mutual_information,
+               self.cal_protein_classification, self.cal_mig, self.cal_dci):
+      try:
+        scores.update(fn())
+      except Exception as e:  # metric families degrade independently
+        if self.verbose:
+          print(f"[posterior] {fn.__name__} failed: {e}")
+    if path is not None:
+      import json
+      with open(path, "w") as f:
+        json.dump(scores, f, indent=2)
+    return scores
+
+  # ----------------------------------------------------------------- plots
+  def plot_scatter(self, color_by: Optional[str] = None, algo: str = "tsne"):
+    color_by = color_by or (self.factor_omics[0] if self.factor_omics
+                            else None)
+    self.sco_analysis.plot_scatter(X=OMIC.latent, color_by=color_by,
+                                   algo=algo,
+                                   title=f"{self.name}_latent_{algo}")
+    self.figures.update(self.sco_analysis.figures)
+    self.sco_analysis.figures.clear()
+    return self
+
+  def plot_imputation_scatter(self):
+    org = self.sco_original.numpy(self.main_omic)
+    imp = self.sco_analysis.numpy(f"i{self.main_omic}")
+    self.add_figure(f"{self.name}_imputation",
+                    plot_imputation(org, imp, title=self.name))
+    return self
+
+  def plot_distance_heatmap(self, factor_omic: Optional[str] = None):
+    factor_omic = factor_omic or (self.factor_omics[0]
+                                  if self.factor_omics else None)
+    if factor_omic is None:
+      return self
+    labels = np.argmax(self.sco_original.numpy(factor_omic), 1)
+    names = self.sco_original.get_var_names(factor_omic)
+    self.add_figure(
+        f"{self.name}_distance_{factor_omic}",
+        plot_distance_heatmap(self.latents, np.asarray(names)[labels],
+                              title=self.name))
+    return self
+
+  def plot_correlation_matrix(self, method: str = "spearman",
+                              factor_omic: str = "proteomic"):
+    if factor_omic not in self.criticizers:
+      return self
+    import matplotlib.pyplot as plt
+    m = self.get_correlation_matrix(method, factor_omic)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    vmax = np.abs(m).max() or 1.0
+    im = ax.imshow(m, aspect="auto", cmap="coolwarm", vmin=-vmax, vmax=vmax)
+    ax.set_xlabel(factor_omic)
+    ax.set_ylabel("latent dim")
+    ax.set_xticks(range(m.shape[1]))
+    ax.set_xticklabels(self.sco_original.get_var_names(factor_omic),
+                       rotation=90, fontsize=6)
+    ax.set_title(f"{method} latent×{factor_omic}")
+    fig.colorbar(im, ax=ax)
+    self.add_figure(f"{self.name}_{method}_{factor_omic}", fig)
+    return self
+
+  def plot_latents_protein_pairs(self):
+    if "proteomic" not in self.sco_original.omics:
+      return self
+    fig = plot_latents_protein_pairs(
+        self.latents, self.sco_original.numpy("proteomic"),
+        self.sco_original.get_var_names("proteomic"), title=self.name)
+    if fig is not None:
+      self.add_figure(f"{self.name}_protein_pairs", fig)
+    return self
+
+  def plot_latents_binary(self):
+    if "proteomic" not in self.sco_original.omics:
+      return self
+    _, _, ybin = self.sco_original.probabilistic_embedding("proteomic")
+    self.add_figure(
+        f"{self.name}_latent_binary",
+        plot_latents_binary(self.latents, ybin,
+                            self.sco_original.get_var_names("proteomic"),
+                            title=self.name))
+    return self
+
+  def plot_learning_curves(self, summary_steps: int = 1):
+    import matplotlib.pyplot as plt
+    hist = self.scm.history
+    if not hist:
+      return self
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for k in ("loss", "val_loss"):
+      if k in hist:
+        ax.plot(hist[k], label=k)
+    ax.set_xlabel("epoch")
+    ax.legend()
+    ax.set_title(f"{self.name} learning curves")
+    self.add_figure(f"{self.name}_learning_curves", fig)
+    return self
+
+  def plot_confusion_matrix(self, factor_omic: Optional[str] = None):
+    factor_omic = factor_omic or ("celltype" if "celltype" in
+                                  self.sco_original.omics else None)
+    if factor_omic is None:
+      return self
+    import matplotlib.pyplot as plt
+    true = np.argmax(self.sco_original.numpy(factor_omic), 1)
+    ana = self.sco_analysis
+    pred = ana.clustering(OMIC.latent, n_clusters=int(true.max() + 1),
+                          algo="kmeans", matching_labels=factor_omic)
+    k = int(max(true.max(), pred.max()) + 1)
+    cm = np.zeros((k, k))
+    for t, p in zip(true, pred):
+      cm[t, p] += 1
+    fig, ax = plt.subplots(figsize=(5, 5))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xlabel("cluster")
+    ax.set_ylabel(factor_omic)
+    fig.colorbar(im, ax=ax)
+    self.add_figure(f"{self.name}_confusion_{factor_omic}", fig)
+    return self
+
+  def plot_all(self):
+    """Render the standard figure battery (reference evaluate.py plotting)."""
+    (self.plot_learning_curves().plot_imputation_scatter()
+     .plot_scatter(algo="pca").plot_distance_heatmap()
+     .plot_correlation_matrix().plot_latents_protein_pairs()
+     .plot_latents_binary().plot_confusion_matrix())
+    return self
+
+  def __repr__(self):
+    return (f"Posterior({self.scm.id} on {self.sco_original.name}, "
+            f"cells={self.sco_original.n_obs}, "
+            f"factors={self.factor_omics})")

@@ -206,8 +206,16 @@ class _OMICbase:
     omic = self._current_omic if omic is None else OMIC.parse(omic)
     x = self._omics[omic.name]
     total = np.asarray(x.sum(axis=1)).ravel()
-    log_counts, local_mean, local_var = get_library_size(
-        x, return_log_count=True)
+    if total.min() < 0:  # non-count omic (e.g. latent means): stats on |x|
+      import warnings as _w
+      with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        log_counts, local_mean, local_var = get_library_size(
+            np.abs(x.todense() if sparse.issparse(x) else x),
+            return_log_count=True)
+    else:
+      log_counts, local_mean, local_var = get_library_size(
+          x, return_log_count=True)
     self.obs[f"{omic.name}_total"] = total.astype(np.float32)
     self.obs[f"{omic.name}_log_counts"] = log_counts.ravel()
     self.obs[f"{omic.name}_local_mean"] = local_mean.ravel()

@@ -60,8 +60,30 @@ def generate_synthetic(n_cells: int = 3000,
   gp = rng.gamma(theta, prot_rate / theta)
   Y = rng.poisson(gp).astype(np.float32)
 
-  gene_names = np.array([f"Gene{i:04d}" for i in range(n_genes)])
-  prot_names = np.array([f"Protein{i:02d}" for i in range(n_proteins)])
+  # use real marker names so marker-based metrics (gene↔protein correlation,
+  # importance, marker pairs) are exercised end-to-end on synthetic data
+  from .const import MARKER_ADT_GENE, MARKER_ADTS
+  prot_names = np.array(
+      (MARKER_ADTS + [f"Protein{i:02d}" for i in range(n_proteins)])
+      [:n_proteins])
+  paired_genes = [MARKER_ADT_GENE[p] for p in prot_names
+                  if p in MARKER_ADT_GENE]
+  gene_names = np.array([f"Gene{i:04d}" for i in range(n_genes)], dtype=object)
+  seen = set()
+  gi = 0
+  for g in paired_genes:
+    if g not in seen and gi < n_genes:
+      gene_names[gi] = g
+      seen.add(g)
+      gi += 1
+  gene_names = gene_names.astype(str)
+  # tie each marker gene's counts to its protein so correlations are real
+  for j, p in enumerate(prot_names):
+    g = MARKER_ADT_GENE.get(str(p))
+    if g is not None:
+      k = int(np.nonzero(gene_names == g)[0][0])
+      lam = Y[:, j] * 0.05 + 0.5
+      X[:, k] = rng.poisson(lam).astype(np.float32)
   ct_names = np.array([f"CellType{i}" for i in range(n_celltypes)])
 
   Xmat = sparse.csr_matrix(X) if sparse_format else X

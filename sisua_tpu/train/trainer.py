@@ -148,6 +148,10 @@ class Trainer:
         beta = self.beta(global_step)
         state, metrics = self.step_fn(state, batch, sub, beta)
         global_step += 1
+        if model is not None:
+          # keep the model's state pointer live: the step donates the old
+          # state's buffers, and callbacks may call model.predict mid-run
+          model._state = state
         n_examples += batch["inputs"][0].shape[0]
         for k, v in metrics.items():
           epoch_metrics.setdefault(k, []).append(v)
@@ -171,10 +175,11 @@ class Trainer:
       if valid_feeder is not None and "val_loss" not in logs:
         val = self.evaluate(state, valid_feeder, key)
         logs.update({f"val_{k}": float(v) for k, v in val.items()})
-      for k, v in logs.items():
-        self.history.setdefault(k, []).append(v)
+      # callbacks may inject metrics into logs — run them before recording
       for cb in callbacks:
         cb.on_epoch_end(epoch, logs)
+      for k, v in logs.items():
+        self.history.setdefault(k, []).append(v)
       if self.verbose:
         msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items()
                        if k in ("loss", "val_loss", "elbo"))
