@@ -1,0 +1,71 @@
+"""sisua-evaluate — score + plot trained models from the experiment store.
+
+Reference: ``/root/reference/sisua/evaluate.py`` — loads trained models via
+the experimenter (``SE.get_models``), builds a Posterior per model (optionally
+on a *different* dataset, ``-ds2`` cross-dataset mode), writes score tables
+and the figure battery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser("sisua-evaluate")
+  p.add_argument("-model", default="", help="model name filter (e.g. vae)")
+  p.add_argument("-ds", default="", help="dataset name filter")
+  p.add_argument("-ds2", default="",
+                 help="cross-dataset: evaluate on this dataset instead")
+  p.add_argument("-path", default="/tmp/sisua_evaluate",
+                 help="output folder for figures")
+  p.add_argument("--no-plots", action="store_true")
+  args = p.parse_args(argv)
+
+  from ..analysis import Posterior, ResultsSheet
+  from ..data import get_dataset
+  from ..train.experimenter import SisuaExperimenter
+
+  exp = SisuaExperimenter()
+  query = []
+  if args.model:
+    query.append(f"model.name={args.model}")
+  if args.ds:
+    query.append(f"dataset.name={args.ds}")
+  found = exp.get_models(" ".join(query), load_models=True)
+  found = [(cfg, m) for cfg, m in found if m is not None]
+  if not found:
+    print("No trained models matched", query)
+    return []
+
+  posteriors = []
+  for cfg, model in found:
+    ds_name = args.ds2 or cfg["dataset"]["name"]
+    sco = get_dataset(ds_name)
+    _, test = sco.split(float(cfg["dataset"].get("train_percent", 0.8)))
+    post = model.create_posterior(
+        test, dropout_rate=float(cfg["dataset"].get("dropout_rate", 0.2)),
+        retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)))
+    uid = f"{model.id}_{ds_name}"
+    scores = post.save_scores()
+    exp.scoreboard.write_scores(table=f"eval_{ds_name}", unique=uid,
+                                scores=scores)
+    print(f"[{uid}] " + " ".join(
+        f"{k}={v:.4f}" for k, v in list(scores.items())[:5]))
+    posteriors.append(post)
+
+  rs = ResultsSheet(*posteriors)
+  rs.save_scores(os.path.join(args.path, "scores"))
+  if not args.no_plots:
+    for post in posteriors:
+      post.plot_all()
+      post.save_figures(args.path)
+    rs.plot_all()
+    rs.save_figures(args.path)
+    print("figures →", args.path)
+  return posteriors
+
+
+if __name__ == "__main__":
+  main()
