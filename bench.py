@@ -1,0 +1,68 @@
+"""Benchmark: scVI training throughput (cells/sec/chip).
+
+Protocol: the reference's scalability test
+(``/root/reference/tests/test_scalability.py:22-28``) — synthetic cells ×
+500 genes × 10 proteins, batch 128, Adam 1e-3 — measured here as steady-state
+training cells/sec on one chip for the SCVI flagship (BASELINE.json north
+star: "training scVI at ≥10× cells/sec/chip" vs the reference's single-GPU
+protocol).
+
+Baseline: the reference publishes no numbers (BASELINE.md); its protocol is a
+TF2 custom loop on a single GPU. We use a *generous* reference estimate of
+20,000 cells/sec (typical measured throughput for keras-loop scVI-class
+models at batch 128 on a contemporary GPU); ``vs_baseline`` is measured/20k.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_CELLS_PER_SEC = 20_000.0  # generous single-GPU reference estimate
+
+N_CELLS = int(os.environ.get("BENCH_CELLS", 40_000))
+N_GENES = 500
+N_PROTEINS = 10
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", 4))
+SCAN_STEPS = int(os.environ.get("BENCH_SCAN_STEPS", 32))
+
+
+def main():
+  import numpy as np
+  from sisua_tpu.data import generate_synthetic
+  from sisua_tpu.models import SCVI, RVmeta
+
+  t0 = time.perf_counter()
+  sco = generate_synthetic(n_cells=N_CELLS, n_genes=N_GENES,
+                           n_proteins=N_PROTEINS, seed=5218)
+  gen_s = time.perf_counter() - t0
+
+  model = SCVI(RVmeta(N_GENES, "zinbd", name="rna"),
+               latents=RVmeta(16, "diag", name="latents"))
+  # device-resident training: the dense matrix lives in HBM; each epoch is
+  # one executable (shuffle+mask+all batch-128 steps in a lax.scan)
+  model.fit(sco, epochs=EPOCHS, batch_size=BATCH, learning_rate=1e-3,
+            valid_freq=0, patience=0, device_cache=True, verbose=False)
+  # steady state: skip epoch 0 (compile) — trainer records per-epoch rates
+  rates = model.history["cells_per_sec"][1:]
+  cells_per_sec = float(np.mean(rates)) if rates else float(
+      model.history["cells_per_sec"][0])
+  result = {
+      "metric": "scvi_train_cells_per_sec_per_chip",
+      "value": round(cells_per_sec, 1),
+      "unit": "cells/sec",
+      "vs_baseline": round(cells_per_sec / REFERENCE_CELLS_PER_SEC, 3),
+  }
+  print(json.dumps(result))
+  return result
+
+
+if __name__ == "__main__":
+  main()

@@ -120,6 +120,35 @@ class DataFeeder:
       yield batch
     self._epoch += 1
 
+  def iter_chunks(self, k: int) -> Iterator[Dict[str, object]]:
+    """Epoch iterator over k-step chunks: arrays stacked to (k, B, D).
+
+    One host→device transfer then ``lax.scan`` over k train steps inside a
+    single executable — the multi-step pipeline that amortizes per-step
+    dispatch/transfer latency (essential over remote-device links)."""
+    rng = np.random.RandomState(self.seed + self._epoch)
+    order = (rng.permutation(self.n_obs) if self.shuffle
+             else np.arange(self.n_obs)).astype(np.int64)
+    mask_all = (rng.uniform(size=self.n_obs) <
+                self.labels_percent).astype(np.float32)
+    bs = self.batch_size
+    n_chunks = self.n_obs // (k * bs)
+    for c in range(n_chunks):
+      rows = order[c * k * bs:(c + 1) * k * bs]
+      xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                          np.float32)).reshape(
+                                              k, bs, src.shape[1])
+            for src in self.sources]
+      batch: Dict[str, object] = {"inputs": xs,
+                                  "mask": mask_all[rows].reshape(k, bs)}
+      if self.library is not None:
+        batch["library"] = self.library[rows].reshape(k, bs, -1)
+      yield batch
+    self._epoch += 1
+
+  def n_chunks(self, k: int) -> int:
+    return self.n_obs // (k * self.batch_size)
+
   def full_batches(self, batch_size: Optional[int] = None
                    ) -> Iterator[Dict[str, object]]:
     """Sequential, un-shuffled, no-mask iteration (for predict/eval)."""

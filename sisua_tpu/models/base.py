@@ -290,11 +290,15 @@ class SingleCellModel:
                   training: bool):
     return None  # FactorVAE adds the γ·TC term
 
-  def make_train_step(self, tx):
-    """Build the jitted train step (donated state for in-place updates)."""
+  def make_train_step_core(self, tx):
+    """Pure (unjitted) train step: (state, batch, key) → (state, metrics).
+
+    β is computed inside from ``state.step`` (traced), so the step can be
+    ``lax.scan``-ed into multi-step executables (see Trainer.scan_steps)."""
     import optax
 
-    def step(state: TrainState, batch, key, beta):
+    def step(state: TrainState, batch, key):
+      beta = self.beta(state.step)
       def loss_fn(p):
         return self._loss(p, state.batch_stats, batch, key, beta,
                           training=True, aux_params=state.aux_params)
@@ -306,6 +310,16 @@ class SingleCellModel:
                                 batch_stats=new_bs, opt_state=new_opt)
       new_state, metrics = self._aux_step(new_state, batch, key, metrics)
       return new_state, metrics
+
+    return step
+
+  def make_train_step(self, tx):
+    """Jitted single-step variant (donated state for in-place updates)."""
+    core = self.make_train_step_core(tx)
+
+    def step(state: TrainState, batch, key, beta=None):
+      # beta retained for signature compatibility; the core derives it
+      return core(state, batch, key)
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -355,25 +369,33 @@ class SingleCellModel:
           max_iter: Optional[int] = None,
           callbacks: Sequence = (),
           checkpoint_path: Optional[str] = None,
+          scan_steps: int = 1,
+          device_cache: bool = False,
           mesh=None,
           verbose: bool = False) -> "SingleCellModel":
-    """Compile + train (the reference's fit combo :213-236)."""
+    """Compile + train (the reference's fit combo :213-236).
+
+    ``scan_steps=k`` fuses k train steps into one executable via lax.scan
+    (one host→device transfer per k steps — recommended on TPU; per-epoch
+    step count rounds down to a multiple of k under a fresh shuffle each
+    epoch, so coverage is unbiased)."""
     if not self.is_semi_supervised:
       labels_percent = 0.0
     train_feeder = self._to_feeder(train, batch_size, labels_percent)
     valid_feeder = (self._to_feeder(valid, batch_size, 1.0, shuffle=False)
                     if valid is not None else None)
     self._ensure_initialized()
-    trainer = Trainer(step_fn=None, eval_fn=None, optimizer=optimizer,
+    trainer = Trainer(step_core=None, eval_fn=None, optimizer=optimizer,
                       learning_rate=learning_rate, clipnorm=clipnorm,
                       beta=self.beta, valid_freq=valid_freq,
                       patience=patience, terminate_on_nan=terminate_on_nan,
                       allow_rollback=allow_rollback, max_iter=max_iter,
+                      scan_steps=scan_steps, device_cache=device_cache,
                       mesh=mesh, verbose=verbose)
     tx = trainer.make_optimizer()
     if self._state.opt_state is None:
       self._state = self._state.replace(opt_state=tx.init(self._state.params))
-    trainer.step_fn = self.make_train_step(tx)
+    trainer.step_core = self.make_train_step_core(tx)
     trainer.eval_fn = self.make_eval_step()
     ckpt_fn = None
     if checkpoint_path is not None:

@@ -122,13 +122,13 @@ class FVAE(SingleCellModel):
     return state.replace(aux_params=new_aux,
                          aux_opt_state=new_aux_opt), metrics
 
-  def make_train_step(self, tx):
+  def make_train_step_core(self, tx):
     self._ensure_initialized()
     self._aux_tx = optax.adam(self._disc_lr)
     if self._state.aux_opt_state is None:
       self._state = self._state.replace(
           aux_opt_state=self._aux_tx.init(self._state.aux_params))
-    return super().make_train_step(tx)
+    return super().make_train_step_core(tx)
 
 
 class SemiFVAE(FVAE):

@@ -33,6 +33,31 @@ __all__ = ["elbo_terms", "compute_loss"]
 
 Array = jax.Array
 
+# Fused-kernel size gate: the Pallas ZINB row-sum beats XLA's fusion only in
+# the bandwidth-bound regime (measured on v5e: ~12% faster at 4096×2048,
+# slower below ~2M elements where call overhead dominates).
+_PALLAS_MIN_ELEMENTS = 4_000_000
+
+
+def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
+  """Row-summed log-prob, routed through the fused Pallas ZINB kernel when
+  the shape is in its winning regime; falls back to the dist math."""
+  if (isinstance(dist, D.Independent)
+      and dist.reinterpreted_batch_ndims == 1
+      and isinstance(dist.base, D.ZeroInflated)
+      and isinstance(dist.base.count_distribution, D.NegativeBinomial)
+      and x.ndim == 2
+      and x.shape[0] % 8 == 0
+      and x.size >= _PALLAS_MIN_ELEMENTS):
+    from ..ops.zinb_pallas import pallas_available, zinb_log_prob_rowsum
+    if pallas_available():
+      nb = dist.base.count_distribution
+      count = jnp.broadcast_to(nb.total_count, x.shape)
+      logits = jnp.broadcast_to(nb.logits, x.shape)
+      gate = jnp.broadcast_to(dist.base.gate_logits, x.shape)
+      return zinb_log_prob_rowsum(x, count, logits, gate, constrained=True)
+  return dist.log_prob(x)
+
 
 def _kl_term(q: D.Distribution, prior: Optional[D.Distribution],
              z: Array, analytic: bool) -> Array:
@@ -71,7 +96,7 @@ def elbo_terms(out: VAEOutput,
   llk: Dict[str, Array] = {}
   for i, (pX, x) in enumerate(zip(out.outputs, targets)):
     name = f"x{i}" if i else "x"
-    lp = pX.log_prob(x)
+    lp = _fast_log_prob(pX, x)
     # average over any leading MC sample dims down to batch shape
     extra = lp.ndim - 1
     if extra > 0:

@@ -9,10 +9,16 @@ Adam with global-norm clipping, periodic validation every ``valid_freq``
 reference's key names ('loss', 'val_loss', 'llk_x', 'klqp_z', …), callbacks,
 and checkpoint hooks.
 
-TPU design: one compiled train-step executable (static batch shapes from the
-feeder), parameters and optimizer state live on device the whole run, batches
-stream via the CSR→dense feeder with the cell axis sharded over the 'data'
-mesh axis — XLA inserts the gradient all-reduce over ICI.
+TPU design (what makes this fast on real hardware):
+  * metric accumulation happens **on device inside the jitted step** — the
+    host fetches one small pytree per epoch instead of thousands of scalars
+    (per-scalar fetches are blocking RPCs on remote-attached devices);
+  * ``scan_steps > 1`` stacks k minibatches into one (k, B, D) transfer and
+    ``lax.scan``-s k train steps inside a single executable — identical SGD
+    math, k× fewer dispatches/transfers;
+  * parameters and optimizer state live on device for the whole run; batches
+    stream via the CSR→dense feeder with the cell axis sharded over the
+    'data' mesh axis (XLA inserts the gradient all-reduce over ICI).
 """
 
 from __future__ import annotations
@@ -25,9 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..interpolation import Interpolation, get_interpolation
-from ..parallel import batch_sharding, create_mesh, replicated_sharding
+from ..parallel import DATA_AXIS
 
 __all__ = ["TrainState", "Trainer", "TrainingCallback"]
 
@@ -58,11 +65,15 @@ class TrainingCallback:
     pass
 
 
+def _tree_add(a, b):
+  return jax.tree_util.tree_map(jnp.add, a, b)
+
+
 class Trainer:
-  """Drives a (step_fn, eval_fn) pair over a DataFeeder."""
+  """Drives a pure train-step core over a DataFeeder."""
 
   def __init__(self,
-               step_fn: Callable,
+               step_core: Optional[Callable] = None,
                eval_fn: Optional[Callable] = None,
                optimizer: str = "adam",
                learning_rate: float = 1e-3,
@@ -74,9 +85,11 @@ class Trainer:
                terminate_on_nan: bool = True,
                allow_rollback: bool = True,
                max_iter: Optional[int] = None,
+               scan_steps: int = 1,
+               device_cache: bool = False,
                mesh=None,
                verbose: bool = False):
-    self.step_fn = step_fn
+    self.step_core = step_core
     self.eval_fn = eval_fn
     self.optimizer_name = optimizer
     self.learning_rate = learning_rate
@@ -88,10 +101,13 @@ class Trainer:
     self.terminate_on_nan = bool(terminate_on_nan)
     self.allow_rollback = bool(allow_rollback)
     self.max_iter = max_iter
+    self.scan_steps = max(1, int(scan_steps))
+    self.device_cache = bool(device_cache)
     self.verbose = bool(verbose)
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
     self._timings: List[float] = []
+    self._compiled = None
 
   # ----------------------------------------------------------------- optax
   def make_optimizer(self) -> optax.GradientTransformation:
@@ -105,6 +121,76 @@ class Trainer:
     if self.clipnorm and self.clipnorm > 0:
       return optax.chain(optax.clip_by_global_norm(self.clipnorm), opt)
     return opt
+
+  # ------------------------------------------------------------- compile
+  def _build_steps(self):
+    core = self.step_core
+    k = self.scan_steps
+
+    def one(state, acc, batch, key):
+      state, metrics = core(state, batch, key)
+      return state, _tree_add(acc, metrics)
+
+    step1 = jax.jit(one, donate_argnums=(0, 1))
+    stepk = None
+    if k > 1:
+      def many(state, acc, batches, key):
+        keys = jax.random.split(key, k)
+        def body(carry, xs):
+          st, ac = carry
+          b, kk = xs
+          st, m = core(st, b, kk)
+          return (st, _tree_add(ac, m)), None
+        (state, acc), _ = jax.lax.scan(body, (state, acc), (batches, keys))
+        return state, acc
+      stepk = jax.jit(many, donate_argnums=(0, 1))
+    return step1, stepk
+
+  def _init_acc(self, state, batch, key):
+    """Zero metric accumulator with the step's metric structure (traced
+    shapes only — no device work)."""
+    _, metrics_shape = jax.eval_shape(self.step_core, state, batch, key)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
+
+  def _build_epoch_fn(self, batch_size: int, labels_percent: float,
+                      has_library: bool):
+    """Whole-epoch executable for device-resident data: shuffle + mask +
+    batch + all train steps inside one lax.scan (zero per-step host work)."""
+    core = self.step_core
+    B = int(batch_size)
+    lp = float(labels_percent)
+
+    def epoch_fn(state, acc, xs, library, key):
+      n = xs[0].shape[0]
+      steps = n // B
+      kperm, kmask, kstep = jax.random.split(key, 3)
+      perm = jax.random.permutation(kperm, n)
+      mask_all = (jax.random.uniform(kmask, (n,)) < lp).astype(jnp.float32)
+      keys = jax.random.split(kstep, steps)
+
+      def body(carry, scan_in):
+        st, ac = carry
+        i, kk = scan_in
+        rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+        batch = {"inputs": [jnp.take(x, rows, axis=0) for x in xs],
+                 "mask": jnp.take(mask_all, rows, axis=0)}
+        if has_library:
+          batch["library"] = jnp.take(library, rows, axis=0)
+        st, m = core(st, batch, kk)
+        return (st, _tree_add(ac, m)), None
+
+      (state, acc), _ = jax.lax.scan(
+          body, (state, acc), (jnp.arange(steps), keys))
+      return state, acc
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1)), None
+
+  def _batch_sharding(self, chunked: bool):
+    if self.mesh is None or int(np.prod(list(self.mesh.shape.values()))) <= 1:
+      return None
+    spec = P(None, DATA_AXIS) if chunked else P(DATA_AXIS)
+    return NamedSharding(self.mesh, spec)
 
   # ------------------------------------------------------------------- fit
   def fit(self,
@@ -121,68 +207,89 @@ class Trainer:
     for cb in callbacks:
       if model is not None:
         cb.set_model(model)
-
-    batch_sh = None
-    if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
-      batch_sh = batch_sharding(self.mesh)
+    if self.device_cache:
+      return self._fit_device_cached(state, train_feeder, valid_feeder,
+                                     epochs, key, callbacks, checkpoint_fn,
+                                     model)
+    k = self.scan_steps
+    use_scan = k > 1 and train_feeder.n_chunks(k) >= 1
+    step1, stepk = self._build_steps()
+    batch_sh = self._batch_sharding(chunked=use_scan)
 
     best_loss = np.inf
     best_state = state
     wait = 0
     global_step = int(state.step)
     stop = False
+    acc = None
 
     for epoch in range(epochs):
       logs: Dict[str, float] = {}
       for cb in callbacks:
         cb.on_epoch_begin(epoch, logs)
-      epoch_metrics: Dict[str, list] = {}
       t0 = time.perf_counter()
       n_examples = 0
+      n_steps = 0
+      val_metrics: Dict[str, list] = {}
       train_feeder.set_epoch(epoch)
-      for batch in train_feeder:
+      iterator = (train_feeder.iter_chunks(k) if use_scan
+                  else iter(train_feeder))
+      for batch in iterator:
         key, sub = jax.random.split(key)
         if batch_sh is not None:
           batch = jax.tree_util.tree_map(
               lambda x: jax.device_put(x, batch_sh), batch)
-        beta = self.beta(global_step)
-        state, metrics = self.step_fn(state, batch, sub, beta)
-        global_step += 1
+        if acc is None:
+          probe = (jax.tree_util.tree_map(lambda x: x[0], batch)
+                   if use_scan else batch)
+          acc = self._init_acc(state, probe, sub)
+        if use_scan:
+          state, acc = stepk(state, acc, batch, sub)
+          stepped = k
+          n_examples += batch["inputs"][0].shape[0] * \
+              batch["inputs"][0].shape[1]
+        else:
+          state, acc = step1(state, acc, batch, sub)
+          stepped = 1
+          n_examples += batch["inputs"][0].shape[0]
+        prev = global_step
+        global_step += stepped
+        n_steps += stepped
         if model is not None:
           # keep the model's state pointer live: the step donates the old
           # state's buffers, and callbacks may call model.predict mid-run
           model._state = state
-        n_examples += batch["inputs"][0].shape[0]
-        for k, v in metrics.items():
-          epoch_metrics.setdefault(k, []).append(v)
         # --- periodic validation (valid_freq in steps, reference conv.)
         if (valid_feeder is not None and self.valid_freq > 0
-            and global_step % self.valid_freq == 0):
+            and prev // self.valid_freq != global_step // self.valid_freq):
           val = self.evaluate(state, valid_feeder, key)
-          for k, v in val.items():
-            epoch_metrics.setdefault(f"val_{k}", []).append(v)
+          for kk, v in val.items():
+            val_metrics.setdefault(f"val_{kk}", []).append(v)
         if self.max_iter and global_step >= self.max_iter:
           stop = True
           break
-      # --- epoch aggregation (device syncs happen here, once per epoch)
+      # --- epoch aggregation: ONE host fetch of the accumulated metrics
+      if acc is not None and n_steps > 0:
+        sums = jax.device_get(acc)
+        logs.update({kk: float(v) / n_steps for kk, v in sums.items()})
+        acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
       dt = time.perf_counter() - t0
       self._timings.append(dt)
-      logs.update({k: float(np.mean([np.asarray(x) for x in v]))
-                   for k, v in epoch_metrics.items()})
+      logs.update({kk: float(np.mean(v)) for kk, v in val_metrics.items()})
       logs["epoch_time"] = dt
       logs["cells_per_sec"] = n_examples / max(dt, 1e-9)
       # end-of-epoch validation if no step-periodic one ran
       if valid_feeder is not None and "val_loss" not in logs:
         val = self.evaluate(state, valid_feeder, key)
-        logs.update({f"val_{k}": float(v) for k, v in val.items()})
+        logs.update({f"val_{kk}": float(v) for kk, v in val.items()})
       # callbacks may inject metrics into logs — run them before recording
       for cb in callbacks:
         cb.on_epoch_end(epoch, logs)
-      for k, v in logs.items():
-        self.history.setdefault(k, []).append(v)
+      for kk, v in logs.items():
+        self.history.setdefault(kk, []).append(v)
       if self.verbose:
-        msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items()
-                       if k in ("loss", "val_loss", "elbo"))
+        msg = " ".join(f"{kk}={v:.4f}" for kk, v in logs.items()
+                       if kk in ("loss", "val_loss", "elbo"))
         print(f"[epoch {epoch:03d}] {msg} ({dt:.2f}s)")
       # --- NaN termination (reference terminate_on_nan)
       if self.terminate_on_nan and not np.isfinite(logs.get("loss", 0.0)):
@@ -211,6 +318,86 @@ class Trainer:
         break
     for cb in callbacks:
       cb.on_train_end(dict(self.history))
+    if model is not None:
+      model._state = state
+    return state
+
+  # ------------------------------------------------------- device-resident
+  def _fit_device_cached(self, state, train_feeder, valid_feeder, epochs,
+                         key, callbacks, checkpoint_fn, model):
+    """Device-resident variant: the dense training matrices live in HBM for
+    the whole run; each epoch is ONE executable (shuffle + mask + all steps
+    in a lax.scan). The fastest path when the dataset fits device memory."""
+    # densify feeder sources in row chunks, upload once
+    n = train_feeder.n_obs
+    B = train_feeder.batch_size
+    xs = []
+    for src in train_feeder.sources:
+      rows = np.arange(n, dtype=np.int64)
+      xs.append(jnp.asarray(src.gather(
+          rows, out=np.empty((n, src.shape[1]), np.float32))))
+    library = (jnp.asarray(train_feeder.library)
+               if train_feeder.library is not None else None)
+    epoch_fn, _ = self._build_epoch_fn(
+        B, train_feeder.labels_percent, has_library=library is not None)
+    steps_per_epoch = n // B
+    probe_batch = {"inputs": [x[:B] for x in xs],
+                   "mask": jnp.ones((B,), jnp.float32)}
+    if library is not None:
+      probe_batch["library"] = library[:B]
+    acc = self._init_acc(state, probe_batch, key)
+
+    best_loss = np.inf
+    best_state = state
+    wait = 0
+    for epoch in range(epochs):
+      logs: Dict[str, float] = {}
+      for cb in callbacks:
+        cb.on_epoch_begin(epoch, logs)
+      t0 = time.perf_counter()
+      key, sub = jax.random.split(key)
+      state, acc = epoch_fn(state, acc, xs, library, sub)
+      sums = jax.device_get(acc)  # the ONE sync point per epoch
+      dt = time.perf_counter() - t0
+      acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
+      self._timings.append(dt)
+      logs.update({k: float(v) / steps_per_epoch for k, v in sums.items()})
+      logs["epoch_time"] = dt
+      logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
+      if model is not None:
+        model._state = state
+      if valid_feeder is not None:
+        val = self.evaluate(state, valid_feeder, key)
+        logs.update({f"val_{k}": float(v) for k, v in val.items()})
+      for cb in callbacks:
+        cb.on_epoch_end(epoch, logs)
+      for k, v in logs.items():
+        self.history.setdefault(k, []).append(v)
+      if self.verbose:
+        msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items()
+                       if k in ("loss", "val_loss"))
+        print(f"[epoch {epoch:03d}] {msg} ({dt:.3f}s)")
+      if self.terminate_on_nan and not np.isfinite(logs.get("loss", 0.0)):
+        if self.allow_rollback:
+          state = best_state
+        break
+      monitored = logs.get("val_loss", logs.get("loss", np.inf))
+      if monitored < best_loss - self.min_delta:
+        best_loss = monitored
+        best_state = state
+        wait = 0
+        if checkpoint_fn is not None:
+          checkpoint_fn(state)
+      else:
+        wait += 1
+        if self.patience > 0 and wait >= self.patience:
+          if self.allow_rollback:
+            state = best_state
+          break
+    for cb in callbacks:
+      cb.on_train_end(dict(self.history))
+    if model is not None:
+      model._state = state
     return state
 
   # ------------------------------------------------------------------ eval

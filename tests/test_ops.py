@@ -1,0 +1,78 @@
+"""Fused-op numerics: Lanczos lgamma and the ZINB row-sum (CPU fallback path
+— the Pallas TPU compilation itself is exercised by bench/graft runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sisua_tpu.ops.zinb_pallas import (_lgamma_lanczos, _rowsum_ref,
+                                       _zinb_elem, nb_log_prob_rowsum,
+                                       zinb_log_prob_rowsum)
+
+
+def test_lanczos_lgamma_accuracy():
+  x = jnp.asarray(np.concatenate([
+      np.linspace(0.01, 10, 300), np.linspace(10, 1e6, 300)]), jnp.float32)
+  rel = np.abs(np.asarray(_lgamma_lanczos(x) - jax.lax.lgamma(x)))
+  rel /= np.maximum(np.abs(np.asarray(jax.lax.lgamma(x))), 1.0)
+  assert rel.max() < 2e-5
+
+
+def test_zinb_elem_lanczos_matches_lax():
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.poisson(3, (32, 64)).astype(np.float32))
+  cr = jnp.asarray(rng.normal(0.5, 1, (32, 64)).astype(np.float32))
+  lg = jnp.asarray(rng.normal(0, 1, (32, 64)).astype(np.float32))
+  gt = jnp.asarray(rng.normal(0, 1, (32, 64)).astype(np.float32))
+  a = _zinb_elem(x, cr, lg, gt, False)
+  b = _zinb_elem(x, cr, lg, gt, False, lgamma=_lgamma_lanczos)
+  assert float(jnp.abs(a - b).max()) < 1e-3
+
+
+def test_rowsum_matches_distribution_math():
+  import sisua_tpu.dist as D
+  rng = np.random.default_rng(1)
+  x = jnp.asarray(rng.poisson(3, (16, 40)).astype(np.float32))
+  cr = jnp.asarray(rng.normal(0.5, 1, (16, 40)).astype(np.float32))
+  lg = jnp.asarray(rng.normal(0, 1, (16, 40)).astype(np.float32))
+  gt = jnp.asarray(rng.normal(0, 1, (16, 40)).astype(np.float32))
+  got = zinb_log_prob_rowsum(x, cr, lg, gt)
+  r = jnp.exp(jnp.clip(cr, -15, 15))
+  dist = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomial(total_count=r, logits=lg),
+      gate_logits=gt), 1)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(dist.log_prob(x)),
+                             rtol=1e-4)
+  # NB variant == ZINB with gate → −∞
+  nb = D.Independent(D.NegativeBinomial(total_count=r, logits=lg), 1)
+  got_nb = nb_log_prob_rowsum(x, cr, lg)
+  np.testing.assert_allclose(np.asarray(got_nb), np.asarray(nb.log_prob(x)),
+                             rtol=1e-4)
+
+
+def test_rowsum_gradients():
+  rng = np.random.default_rng(2)
+  x = jnp.asarray(rng.poisson(3, (8, 24)).astype(np.float32))
+  cr = jnp.asarray(rng.normal(0, 1, (8, 24)).astype(np.float32))
+  lg = jnp.asarray(rng.normal(0, 1, (8, 24)).astype(np.float32))
+  gt = jnp.asarray(rng.normal(0, 1, (8, 24)).astype(np.float32))
+  g1 = jax.grad(lambda c: zinb_log_prob_rowsum(x, c, lg, gt).sum())(cr)
+  g2 = jax.grad(lambda c: _rowsum_ref(x, c, lg, gt, False).sum())(cr)
+  np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_objective_fast_path_consistency(sco):
+  """ELBO through _fast_log_prob must equal plain dist math (CPU → fallback,
+  but the dispatch predicate itself is exercised)."""
+  from sisua_tpu.models import VAE, RVmeta, NetConf
+  from sisua_tpu.models.objective import _fast_log_prob
+  import sisua_tpu.dist as D
+  rng = np.random.default_rng(3)
+  x = jnp.asarray(rng.poisson(2, (16, 30)).astype(np.float32))
+  r = jnp.exp(jnp.asarray(rng.normal(0, 1, (16, 30)), jnp.float32))
+  dist = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomial(total_count=r,
+                                            logits=jnp.zeros((16, 30))),
+      gate_logits=jnp.zeros((16, 30))), 1)
+  np.testing.assert_allclose(np.asarray(_fast_log_prob(dist, x)),
+                             np.asarray(dist.log_prob(x)), rtol=1e-5)
