@@ -1,0 +1,133 @@
+"""Misc utilities: experiment-dir filtering, dimension-reduction wrapper,
+sparsity matching, timing.
+
+Capability parity with ``/root/reference/sisua/utils/others.py``:
+  * ``filtering_experiment_path`` (:16-121) — select experiment directories
+    by model/dataset keyword filters;
+  * ``dimension_reduction`` (:142-166) — one-call pca/tsne/umap wrapper;
+  * ``anything2image``-style sparsity matching (:172-215) — threshold a
+    dense reconstruction so its sparsity matches a target count matrix.
+Plus a first-class profiler hook (``jax.profiler`` trace; the reference had
+only ad-hoc wall-clock timing, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+__all__ = [
+    "filtering_experiment_path", "dimension_reduction",
+    "thresholding_by_sparsity", "UnitTimer", "profile_trace",
+]
+
+
+def filtering_experiment_path(path: str,
+                              incl_keywords: Union[str, Sequence[str]] = (),
+                              excl_keywords: Union[str, Sequence[str]] = (),
+                              return_dataset: bool = False,
+                              print_log: bool = False):
+  """List experiment dirs under ``path`` whose names contain every include
+  keyword and no exclude keyword (reference :16-121; names are
+  '<model>_<dataset>_<hash>')."""
+  def _as_list(x):
+    if isinstance(x, str):
+      return [k for k in x.replace(",", " ").split() if k]
+    return list(x)
+  incl = _as_list(incl_keywords)
+  excl = _as_list(excl_keywords)
+  out = []
+  for d in sorted(os.listdir(path)):
+    full = os.path.join(path, d)
+    if not os.path.isdir(full):
+      continue
+    name = d.lower()
+    if all(k.lower() in name for k in incl) and \
+        not any(k.lower() in name for k in excl):
+      out.append(full)
+      if print_log:
+        print("[filter]", full)
+  if return_dataset:
+    datasets = sorted({os.path.basename(p).split("_")[1]
+                       for p in out if "_" in os.path.basename(p)})
+    return out, datasets
+  return out
+
+
+def dimension_reduction(x: np.ndarray,
+                        algo: str = "pca",
+                        n_components: int = 2,
+                        random_state: int = 5218) -> np.ndarray:
+  """One-call embedding wrapper (reference :142-166): pca | tsne | umap
+  (umap falls back to tsne when the package is absent)."""
+  algo = str(algo).lower()
+  x = np.asarray(x, np.float32)
+  n_components = min(n_components, x.shape[1])
+  if algo == "pca":
+    from sklearn.decomposition import PCA
+    return PCA(n_components, random_state=random_state).fit_transform(x)
+  if algo == "tsne":
+    from sklearn.manifold import TSNE
+    if x.shape[1] > 50:
+      from sklearn.decomposition import PCA
+      x = PCA(50, random_state=random_state).fit_transform(x)
+    return TSNE(n_components=max(2, min(n_components, 3)),
+                random_state=random_state, init="pca").fit_transform(x)
+  if algo == "umap":
+    try:
+      import umap
+      return umap.UMAP(n_components=max(2, min(n_components, 3)),
+                       random_state=random_state).fit_transform(x)
+    except ImportError:
+      return dimension_reduction(x, "tsne", n_components, random_state)
+  raise ValueError(f"Unknown algo '{algo}' (pca|tsne|umap)")
+
+
+def thresholding_by_sparsity(w: np.ndarray, x_target: np.ndarray
+                             ) -> np.ndarray:
+  """Zero out the smallest entries of ``w`` until its sparsity matches the
+  target count matrix (reference :172-215) — used to compare denoised
+  reconstructions with raw counts at equal support."""
+  w = np.array(w, np.float32)
+  target_sparsity = float((np.asarray(x_target) == 0).mean())
+  k = int(target_sparsity * w.size)
+  if k <= 0:
+    return w
+  cut = np.partition(w.ravel(), k - 1)[k - 1]
+  w[w <= cut] = 0.0
+  return w
+
+
+class UnitTimer:
+  """Context-manager wall-clock timer (reference odin.utils.UnitTimer)."""
+
+  def __init__(self, name: str = "timer", print_log: bool = True):
+    self.name = name
+    self.print_log = print_log
+    self.duration = 0.0
+
+  def __enter__(self):
+    self._t0 = time.perf_counter()
+    return self
+
+  def __exit__(self, *exc):
+    self.duration = time.perf_counter() - self._t0
+    if self.print_log:
+      print(f"[{self.name}] {self.duration:.4f}s")
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/sisua_trace"):
+  """jax.profiler trace scope — first-class tracing the reference lacked
+  (view with tensorboard or xprof)."""
+  import jax
+  os.makedirs(logdir, exist_ok=True)
+  jax.profiler.start_trace(logdir)
+  try:
+    yield logdir
+  finally:
+    jax.profiler.stop_trace()
