@@ -1,6 +1,9 @@
 from .checkpoint import (load_metamodel, load_weights, save_metamodel,
                          save_weights)
+from .ensemble import VmapEnsemble
+from .scoreboard import ScoreBoard
 from .trainer import Trainer, TrainingCallback, TrainState
 
-__all__ = ["Trainer", "TrainingCallback", "TrainState", "save_weights",
-           "load_weights", "save_metamodel", "load_metamodel"]
+__all__ = ["Trainer", "TrainingCallback", "TrainState", "VmapEnsemble",
+           "ScoreBoard", "save_weights", "load_weights", "save_metamodel",
+           "load_metamodel"]

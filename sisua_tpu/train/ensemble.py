@@ -1,0 +1,146 @@
+"""Vmapped model ensembles: train N model replicas simultaneously on chip.
+
+The reference's "training multiple systems in parallel" is one process per
+model on separate devices (``/root/reference/sisua/train.py:206-220``). On
+TPU the idiomatic alternative (SURVEY.md §2.8) is a *vmapped ensemble*: stack
+N parameter pytrees and vmap the train step over the model axis — N seeds /
+configs of the same architecture train in one executable, sharing every
+batch read. With the device-resident epoch runner this trains an ensemble
+for nearly the cost of one model (the MLP matmuls batch perfectly on the
+MXU).
+
+Use:
+    ens = VmapEnsemble(lambda seed: VAE(...), n_models=8)
+    ens.fit(sco, epochs=50, batch_size=64)
+    losses = ens.history["loss"]          # (epochs, n_models)
+    best = ens.extract(int(np.argmin(losses[-1])))
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["VmapEnsemble"]
+
+
+class VmapEnsemble:
+
+  def __init__(self, model_fn: Callable[[int], "SingleCellModel"],
+               n_models: int = 4, base_seed: int = 0):
+    self.n_models = int(n_models)
+    self.models = [model_fn(base_seed + i) for i in range(self.n_models)]
+    m0 = self.models[0]
+    for m in self.models[1:]:
+      assert type(m) is type(m0), "ensemble members must share the class"
+    self.model = m0  # structural template
+    self.history: Dict[str, np.ndarray] = {}
+    self._stacked = None
+
+  def _stack_states(self, tx):
+    states = []
+    for m in self.models:
+      m._ensure_initialized()
+      st = m.state
+      if st.opt_state is None:
+        st = st.replace(opt_state=tx.init(st.params))
+      states.append(st)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+  def fit(self,
+          train,
+          epochs: int = 100,
+          batch_size: int = 64,
+          learning_rate: float = 1e-3,
+          clipnorm: float = 100.0,
+          labels_percent: float = 0.0,
+          shared_batches: bool = True,
+          verbose: bool = False) -> "VmapEnsemble":
+    """Device-resident ensemble training: one lax.scan epoch executable,
+    vmapped over the model axis. ``shared_batches=True`` feeds every member
+    the same shuffled batches (pure seed ensembling); False gives each
+    member its own shuffle stream."""
+    model = self.model
+    if not model.is_semi_supervised:
+      labels_percent = 0.0
+    feeder = model._to_feeder(train, batch_size, labels_percent)
+    tx = optax.chain(optax.clip_by_global_norm(clipnorm),
+                     optax.adam(learning_rate))
+    core = model.make_train_step_core(tx)
+    stacked = self._stacked if self._stacked is not None \
+        else self._stack_states(tx)
+
+    # dense device-resident data (shared across members)
+    n = feeder.n_obs
+    xs = [jnp.asarray(src.gather(np.arange(n, dtype=np.int64),
+                                 out=np.empty((n, src.shape[1]), np.float32)))
+          for src in feeder.sources]
+    library = (jnp.asarray(feeder.library)
+               if feeder.library is not None else None)
+    B = int(batch_size)
+    lp = float(labels_percent)
+    n_models = self.n_models
+
+    def member_epoch(state, x_list, lib, key):
+      steps = n // B
+      kperm, kmask, kstep = jax.random.split(key, 3)
+      perm = jax.random.permutation(kperm, n)
+      mask_all = (jax.random.uniform(kmask, (n,)) < lp).astype(jnp.float32)
+      keys = jax.random.split(kstep, steps)
+
+      def body(carry, scan_in):
+        st, loss_sum = carry
+        i, kk = scan_in
+        rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+        batch = {"inputs": [jnp.take(x, rows, axis=0) for x in x_list],
+                 "mask": jnp.take(mask_all, rows, axis=0)}
+        if lib is not None:
+          batch["library"] = jnp.take(lib, rows, axis=0)
+        st, metrics = core(st, batch, kk)
+        return (st, loss_sum + metrics["loss"]), None
+
+      (state, loss_sum), _ = jax.lax.scan(
+          body, (state, jnp.zeros(())), (jnp.arange(steps), keys))
+      return state, loss_sum / (n // B)
+
+    vmapped = jax.jit(jax.vmap(member_epoch,
+                               in_axes=(0, None, None, 0),
+                               out_axes=(0, 0)),
+                      donate_argnums=(0,))
+    key = jax.random.PRNGKey(17)
+    losses: List[np.ndarray] = []
+    times: List[float] = []
+    for epoch in range(epochs):
+      t0 = time.perf_counter()
+      key, sub = jax.random.split(key)
+      if shared_batches:
+        member_keys = jnp.broadcast_to(sub, (n_models,) + sub.shape)
+      else:
+        member_keys = jax.random.split(sub, n_models)
+      stacked, epoch_loss = vmapped(stacked, xs, library, member_keys)
+      losses.append(np.asarray(epoch_loss))
+      times.append(time.perf_counter() - t0)
+      if verbose:
+        print(f"[ensemble epoch {epoch:03d}] "
+              f"loss={np.round(losses[-1], 2)} ({times[-1]:.3f}s)")
+    self._stacked = stacked
+    self.history["loss"] = np.stack(losses)       # (epochs, n_models)
+    self.history["epoch_time"] = np.asarray(times)
+    # write trained params back into the member models
+    for i, m in enumerate(self.models):
+      member = jax.tree_util.tree_map(lambda x: x[i], stacked)
+      m._state = member
+    return self
+
+  def extract(self, index: int):
+    """Return member ``index`` as a standalone trained model."""
+    return self.models[index]
+
+  def best(self):
+    assert "loss" in self.history, "fit first"
+    return self.extract(int(np.argmin(self.history["loss"][-1])))

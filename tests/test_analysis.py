@@ -1,0 +1,164 @@
+"""Analysis layer: Posterior pipeline, metric families, Criticizer suite,
+callbacks, ResultsSheet (mirrors the evaluation flow of reference
+``sisua/analysis``)."""
+
+import numpy as np
+import pytest
+
+from sisua_tpu.analysis import (ClusteringScores, CorrelationScores,
+                                Criticizer, ImputationError,
+                                NegativeLogLikelihood, Posterior,
+                                ResultsSheet, clustering_scores,
+                                imputation_mean_score, imputation_score,
+                                streamline_classifier,
+                                unsupervised_clustering_accuracy)
+from sisua_tpu.data import OMIC
+from sisua_tpu.models import SISUA, VAE, NetConf, RVmeta
+
+
+@pytest.fixture(scope="module")
+def trained(splits_module):
+  train, test = splits_module
+  small = dict(encoder=NetConf((32, 32), batchnorm=True),
+               decoder=NetConf((32, 32), batchnorm=True))
+  vae = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small)
+  vae.fit(train, epochs=4, batch_size=64)
+  return vae, train, test
+
+
+@pytest.fixture(scope="module")
+def splits_module(request):
+  from sisua_tpu.data import generate_synthetic
+  sco = generate_synthetic(n_cells=600, n_genes=80, n_proteins=8,
+                           n_celltypes=4, seed=5218)
+  return sco.split(0.8, seed=1)
+
+
+@pytest.fixture(scope="module")
+def posterior(trained):
+  vae, train, test = trained
+  return vae.create_posterior(test, sample_shape=4)
+
+
+def test_posterior_analysis_dataset(posterior):
+  assert "itranscriptomic" in posterior.sco_analysis.omics
+  assert "latent" in posterior.sco_analysis.omics
+  assert posterior.factor_omics == ["proteomic", "celltype"]
+  assert set(posterior.criticizers) == {"proteomic", "celltype"}
+
+
+def test_posterior_llk_four_way(posterior):
+  llk = posterior.cal_llk()
+  assert len(llk) == 4
+  assert all(np.isfinite(v) for v in llk.values())
+  # reconstructing corrupted data must be at least as easy as original
+  assert llk["llk_transcriptomic_predcor_datacor"] >= \
+      llk["llk_transcriptomic_predcor_dataorg"]
+
+
+def test_posterior_imputation_scores(posterior):
+  s = posterior.cal_imputation_scores()
+  assert set(s) == {"imputation_med", "imputation_mean", "imputation_std"}
+  assert all(v >= 0 for v in s.values())
+
+
+def test_posterior_correlations_and_f1(posterior):
+  sp = posterior.cal_spearman()
+  assert "spearman_mean" in sp  # synthetic proteins use real marker names
+  f1 = posterior.cal_protein_classification()
+  assert "f1_F1macro" in f1 and 0 <= f1["f1_F1macro"] <= 1
+
+
+def test_posterior_marginal_llk(posterior):
+  m = posterior.cal_marginal_llk(sample_shape=8)
+  assert np.isfinite(m["marginal_llk_transcriptomic"])
+
+
+def test_criticizer_full_suite(posterior):
+  crt = posterior.criticizers["celltype"]
+  scores = crt.cal_all_scores()
+  expected = {"ASW", "ARI", "NMI", "UCA", "disentanglement", "completeness",
+              "informativeness", "dci", "mig", "tc", "sap", "rds", "rms",
+              "betavae", "factorvae"}
+  assert expected <= set(scores)
+  assert all(np.isfinite(v) for v in scores.values())
+  assert 0 <= scores["betavae"] <= 1 and 0 <= scores["factorvae"] <= 1
+
+
+def test_criticizer_matrices(posterior):
+  crt = posterior.criticizers["celltype"]
+  corr = crt.create_correlation_matrix("spearman")
+  mi = crt.create_mutualinfo_matrix()
+  assert corr.shape == mi.shape
+  assert np.abs(corr).max() <= 1.0 + 1e-6
+
+
+def test_posterior_figures(posterior, tmp_path):
+  posterior.plot_all()
+  posterior.save_figures(str(tmp_path))
+  import os
+  assert len(os.listdir(tmp_path)) >= 6
+
+
+def test_callbacks_inject_metrics(splits_module):
+  train, test = splits_module
+  small = dict(encoder=NetConf((16,)), decoder=NetConf((16,)))
+  cbs = [NegativeLogLikelihood(sco=test, freq=1),
+         ImputationError(sco=test, freq=1),
+         CorrelationScores(sco=test, freq=2),
+         ClusteringScores(sco=test, freq=2)]
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small)
+  m.fit(train, epochs=3, batch_size=64, callbacks=cbs)
+  h = m.history
+  assert "NegativeLogLikelihood_nllk" in h
+  assert "ImputationError_med" in h
+  assert "CorrelationScores_spearman" in h
+  assert "ClusteringScores_ARI" in h
+
+
+def test_results_sheet(trained, tmp_path):
+  vae, train, test = trained
+  small = dict(encoder=NetConf((16,)), decoder=NetConf((16,)))
+  sisua = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+                 RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+                **small)
+  sisua.fit(train, epochs=3, batch_size=64, labels_percent=0.5)
+  rs = ResultsSheet(vae.create_posterior(test, sample_shape=2),
+                    sisua.create_posterior(test, sample_shape=2))
+  df = rs.get_scores()
+  assert df.shape[0] == 2 and df.shape[1] > 10
+  rs.save_scores(str(tmp_path / "scores"))
+  import os
+  assert (tmp_path / "scores.csv").exists()
+  assert (tmp_path / "scores.html").exists()
+
+
+def test_metric_functions():
+  rng = np.random.default_rng(0)
+  org = rng.poisson(4, (50, 20)).astype(float)
+  imp = org + rng.normal(0, 0.5, org.shape)
+  cor = org.copy()
+  cor[:25] = 0  # half the cells corrupted
+  assert imputation_score(org, org) == 0.0
+  assert imputation_mean_score(org, cor, imp) >= 0
+  acc, _ = unsupervised_clustering_accuracy(
+      np.array([0, 0, 1, 1]), np.array([1, 1, 0, 0]))
+  assert acc == 1.0  # permutation-invariant
+  z = np.concatenate([rng.normal(0, 1, (40, 3)), rng.normal(5, 1, (40, 3))])
+  labels = np.array([0] * 40 + [1] * 40)
+  cs = clustering_scores(z, labels)
+  assert cs["ARI"] > 0.9 and cs["UCA"] > 0.9
+
+
+def test_posterior_no_factor_omics():
+  """Factor-dependent families degrade to {} without crashing."""
+  from sisua_tpu.data import SingleCellOMIC
+  rng = np.random.default_rng(0)
+  sco = SingleCellOMIC(rng.poisson(2, (200, 40)).astype(np.float32))
+  m = VAE(RVmeta(40, "zinb", name="rna"), encoder=NetConf((16,)),
+          decoder=NetConf((16,)))
+  m.fit(sco, epochs=2, batch_size=50)
+  post = m.create_posterior(sco, sample_shape=2)
+  assert post.factor_omics == []
+  assert post.cal_spearman() == {} and post.cal_mig() == {}
+  assert "imputation_med" in post.save_scores()

