@@ -200,10 +200,36 @@ def _save_matrix(path: str, m) -> None:
     np.savez_compressed(path + ".npz", data=np.asarray(m))
 
 
-def _load_matrix(path: str):
+def _load_matrix(path: str, mmap: bool = False):
   if os.path.isfile(path + ".sparse.npz"):
     return sparse.load_npz(path + ".sparse.npz")
+  if mmap and os.path.isfile(path + ".npy"):
+    return np.load(path + ".npy", mmap_mode="r")
   return np.load(path + ".npz", allow_pickle=False)["data"]
+
+
+def read_r_matrix(path: str):
+  """Read an R ``dgCMatrix``/matrix .rds file via rpy2 (reference
+  utils.py:80-106). rpy2+R are optional; raises an actionable error when
+  absent."""
+  try:
+    import rpy2.robjects as ro
+    from rpy2.robjects import numpy2ri
+  except ImportError as e:
+    raise RuntimeError(
+        "Reading .rds matrices requires rpy2 + R (not in this image). "
+        "Convert the file to .mtx/.npz externally instead: in R, "
+        "Matrix::writeMM(obj, 'out.mtx').") from e
+  obj = ro.r["readRDS"](path)
+  classes = list(ro.r["class"](obj))
+  if "dgCMatrix" in classes:
+    i = np.asarray(obj.slots["i"])
+    p = np.asarray(obj.slots["p"])
+    x = np.asarray(obj.slots["x"])
+    dims = tuple(np.asarray(obj.slots["Dim"]))
+    return sparse.csc_matrix((x, i, p), shape=dims).tocsr()
+  with (ro.default_converter + numpy2ri.converter).context():
+    return np.asarray(obj)
 
 
 def save_to_dataset(path: str,
