@@ -371,6 +371,7 @@ class SingleCellModel:
           checkpoint_path: Optional[str] = None,
           scan_steps: int = 1,
           device_cache: bool = False,
+          metrics_interval: int = 1,
           mesh=None,
           verbose: bool = False) -> "SingleCellModel":
     """Compile + train (the reference's fit combo :213-236).
@@ -391,6 +392,7 @@ class SingleCellModel:
                       patience=patience, terminate_on_nan=terminate_on_nan,
                       allow_rollback=allow_rollback, max_iter=max_iter,
                       scan_steps=scan_steps, device_cache=device_cache,
+                      metrics_interval=metrics_interval,
                       mesh=mesh, verbose=verbose)
     tx = trainer.make_optimizer()
     if self._state.opt_state is None:

@@ -87,6 +87,7 @@ class Trainer:
                max_iter: Optional[int] = None,
                scan_steps: int = 1,
                device_cache: bool = False,
+               metrics_interval: int = 1,
                mesh=None,
                verbose: bool = False):
     self.step_core = step_core
@@ -103,6 +104,7 @@ class Trainer:
     self.max_iter = max_iter
     self.scan_steps = max(1, int(scan_steps))
     self.device_cache = bool(device_cache)
+    self.metrics_interval = max(1, int(metrics_interval))
     self.verbose = bool(verbose)
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
@@ -350,20 +352,31 @@ class Trainer:
     best_loss = np.inf
     best_state = state
     wait = 0
+    interval = self.metrics_interval
+    t_window = time.perf_counter()
+    window_epochs = 0
     for epoch in range(epochs):
       logs: Dict[str, float] = {}
       for cb in callbacks:
         cb.on_epoch_begin(epoch, logs)
-      t0 = time.perf_counter()
       key, sub = jax.random.split(key)
       state, acc = epoch_fn(state, acc, xs, library, sub)
-      sums = jax.device_get(acc)  # the ONE sync point per epoch
-      dt = time.perf_counter() - t0
+      window_epochs += 1
+      # Fetching metrics forces a host↔device sync (an expensive RPC on
+      # remote-attached chips) — amortize it over `metrics_interval` epochs;
+      # dispatches in between run fully asynchronously on device.
+      if window_epochs < interval and epoch != epochs - 1:
+        continue
+      sums = jax.device_get(acc)  # the ONE sync point per window
+      dt = (time.perf_counter() - t_window) / window_epochs
       acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
       self._timings.append(dt)
-      logs.update({k: float(v) / steps_per_epoch for k, v in sums.items()})
+      logs.update({k: float(v) / (steps_per_epoch * window_epochs)
+                   for k, v in sums.items()})
       logs["epoch_time"] = dt
       logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
+      t_window = time.perf_counter()
+      window_epochs = 0
       if model is not None:
         model._state = state
       if valid_feeder is not None:
