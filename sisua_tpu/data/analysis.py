@@ -92,13 +92,12 @@ class _OMICanalyzer(_OMICbase):
     totals[totals == 0] = 1.0
     Xn = X / totals * np.median(X.sum(1))
     if flavor == "seurat":
+      # seurat recipe: stats in log space, mean/dispersion reported in
+      # expm1 space, dispersions z-scored within mean bins
       Xl = np.log1p(Xn)
-      mean = Xl.mean(0)
-      var = Xl.var(0)
-      mean_ = np.expm1(mean)  # seurat computes disp on expm1 space
-      disp = np.expm1(np.log1p(var) ) if False else var / np.maximum(mean_, 1e-12)
-      mean = mean_
-      disp = np.where(mean > 0, np.expm1(Xl).var(0) / np.maximum(mean, 1e-12), 0)
+      mean = np.expm1(Xl.mean(0))
+      disp = np.where(mean > 0,
+                      np.expm1(Xl).var(0) / np.maximum(mean, 1e-12), 0.0)
       log_disp = np.log(disp + 1e-12)
       # bin by mean, z-score log-dispersion within bins
       bins = np.quantile(mean, np.linspace(0, 1, n_bins + 1))
