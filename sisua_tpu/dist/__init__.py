@@ -28,6 +28,7 @@ from .count import (
     Bernoulli,
     NegativeBinomial,
     NegativeBinomialDisp,
+    NegativeBinomialMixture,
     Poisson,
     ZeroInflated,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "kl_divergence", "mc_kl_divergence", "register_kl", "stack_distributions",
     "Gamma", "LogNormal", "MultivariateNormalDiag", "MultivariateNormalTriL",
     "Normal", "VectorDeterministic", "Bernoulli", "NegativeBinomial",
-    "NegativeBinomialDisp", "Poisson", "ZeroInflated", "Categorical",
+    "NegativeBinomialDisp", "NegativeBinomialMixture", "Poisson",
+    "ZeroInflated", "Categorical",
     "OneHotCategorical", "MixtureSameFamily",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "Bernoulli",
     "NegativeBinomial",
     "NegativeBinomialDisp",
+    "NegativeBinomialMixture",
     "ZeroInflated",
 ]
 
@@ -171,6 +172,75 @@ class NegativeBinomialDisp(Distribution):
     theta = jnp.broadcast_to(self.disp, shape)
     g = jax.random.gamma(kg, theta) * (self.loc / self.disp)
     return jax.random.poisson(kp, g).astype(jnp.result_type(self.loc))
+
+
+class NegativeBinomialMixture(Distribution):
+  """Element-wise two-component NB mixture (TotalVI's protein likelihood,
+  Gayoso et al. 2021): each feature mixes a *background* NB(μ_b, θ) and a
+  *foreground* NB(μ_b·α, θ) with mixing probability σ(mixing_logits) for the
+  background component. Unlike MixtureSameFamily (joint-event mixture), the
+  mixture is independent per element."""
+
+  loc_back: Array        # background mean μ_b > 0
+  loc_fore: Array        # foreground mean μ_f > 0 (μ_b·α, α > 1)
+  disp: Array            # shared inverse-dispersion θ > 0
+  mixing_logits: Array   # σ(·) = P(background)
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(jnp.shape(self.loc_back),
+                                jnp.shape(self.loc_fore),
+                                jnp.shape(self.disp),
+                                jnp.shape(self.mixing_logits))
+
+  def _components(self):
+    return (NegativeBinomialDisp(loc=self.loc_back, disp=self.disp),
+            NegativeBinomialDisp(loc=self.loc_fore, disp=self.disp))
+
+  @property
+  def mixing_probs(self):
+    return jax.nn.sigmoid(self.mixing_logits)
+
+  def log_prob(self, x):
+    back, fore = self._components()
+    log_pi = log_sigmoid(self.mixing_logits)
+    log_1mpi = log_sigmoid(-self.mixing_logits)
+    return jnp.logaddexp(log_pi + back.log_prob(x),
+                         log_1mpi + fore.log_prob(x))
+
+  def mean(self):
+    pi = self.mixing_probs
+    return pi * self.loc_back + (1.0 - pi) * self.loc_fore
+
+  def foreground_probability(self, x):
+    """Posterior P(foreground | x) — the 'denoised protein' signal."""
+    back, fore = self._components()
+    log_pi = log_sigmoid(self.mixing_logits)
+    log_1mpi = log_sigmoid(-self.mixing_logits)
+    lb = log_pi + back.log_prob(x)
+    lf = log_1mpi + fore.log_prob(x)
+    return jnp.exp(lf - jnp.logaddexp(lb, lf))
+
+  def variance(self):
+    pi = self.mixing_probs
+    back, fore = self._components()
+    m = self.mean()
+    return (pi * (back.variance() + jnp.square(self.loc_back - m))
+            + (1 - pi) * (fore.variance() + jnp.square(self.loc_fore - m)))
+
+  def mode(self):
+    return jnp.where(self.mixing_probs > 0.5,
+                     self._components()[0].mode(),
+                     self._components()[1].mode())
+
+  def sample(self, key, sample_shape=()):
+    kb, kf, km = jax.random.split(key, 3)
+    back, fore = self._components()
+    b = back.sample(kb, sample_shape)
+    f = fore.sample(kf, sample_shape)
+    use_back = jax.random.bernoulli(
+        km, jnp.broadcast_to(self.mixing_probs, b.shape))
+    return jnp.where(use_back, b, f)
 
 
 class ZeroInflated(Distribution):

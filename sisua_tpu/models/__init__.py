@@ -23,12 +23,13 @@ from .fvae import FVAE, SemiFVAE
 from .module import SCVIModule, VAEModule, VAEOutput
 from .objective import compute_loss, elbo_terms
 from .scale import SCALAR, SCALE
-from .scvi import SCVI, TotalVI
+from .scvi import SCVI
+from .totalvi import TotalVI, TotalVIModule
 from .vae import MISA, SISUA, VAE
 
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
-    "SCVI", "TotalVI", "SCALE", "SCALAR", "FVAE", "SemiFVAE",
+    "SCVI", "TotalVI", "TotalVIModule", "SCALE", "SCALAR", "FVAE", "SemiFVAE",
     "get_model", "get_all_models", "load_model",
     "NetConf", "RVmeta", "Interpolation", "interpolation",
     "VAEModule", "SCVIModule", "VAEOutput", "compute_loss", "elbo_terms",

@@ -129,6 +129,12 @@ class SingleCellModel:
     """Whether the module consumes the per-cell library stats (SCVI)."""
     return False
 
+  def _module_input(self, inputs):
+    """Map the batch's input list to the module's encoder input. Default:
+    the first (main) omic; TotalVI concatenates all omics."""
+    x = inputs[0]
+    return x if isinstance(x, jnp.ndarray) else jnp.asarray(x)
+
   # ---------------------------------------------------------------- naming
   @property
   def name(self) -> str:
@@ -260,7 +266,7 @@ class SingleCellModel:
   # -------------------------------------------------------------- loss/step
   def _loss(self, params, batch_stats, batch, key, beta, training: bool,
             aux_params=None):
-    x = batch["inputs"][0]
+    x = self._module_input(batch["inputs"])
     library = batch.get("library")
     variables = {"params": params}
     if batch_stats is not None:
@@ -448,7 +454,7 @@ class SingleCellModel:
     for batch in feeder.full_batches():
       key = self._next_key()
       out = fwd(self._state.params, self._state.batch_stats,
-                jnp.asarray(batch["inputs"][0]),
+                self._module_input(batch["inputs"]),
                 jnp.asarray(batch.get("library"))
                 if batch.get("library") is not None else None, key)
       outs.append(jax.device_get(out))
@@ -476,14 +482,14 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
 
     @jax.jit
-    def iw(params, batch_stats, x, library, key):
+    def iw(params, batch_stats, x, target, library, key):
       variables = {"params": params}
       if batch_stats is not None:
         variables["batch_stats"] = batch_stats
       out = self.module.apply(variables, x, rngs={"sample": key},
                               training=False, sample_shape=(sample_shape,),
                               **self._apply_kwargs(library))
-      llk = out.outputs[0].log_prob(x)               # (S, B)
+      llk = out.outputs[0].log_prob(target)          # (S, B)
       lq = sum(q.log_prob(z) for q, z in zip(out.latents,
                                              out.latent_samples))
       lp = sum((prior.log_prob(z) if prior is not None
@@ -498,6 +504,7 @@ class SingleCellModel:
       lib = batch.get("library")
       chunks.append(np.asarray(iw(
           self._state.params, self._state.batch_stats,
+          self._module_input(batch["inputs"]),
           jnp.asarray(batch["inputs"][0]),
           jnp.asarray(lib) if lib is not None else None, self._next_key())))
     return np.concatenate(chunks, 0)

@@ -22,7 +22,7 @@ from ..rv import RVmeta, parse_rv
 from .base import SingleCellModel, _flatten
 from .module import SCVIModule
 
-__all__ = ["SCVI", "TotalVI"]
+__all__ = ["SCVI"]
 
 
 class SCVI(SingleCellModel):
@@ -78,7 +78,3 @@ class SCVI(SingleCellModel):
   @property
   def uses_library(self) -> bool:
     return True
-
-
-class TotalVI(SingleCellModel):
-  """Placeholder parity with the reference stub (``scvi.py:174-175``)."""
