@@ -423,12 +423,64 @@ class Posterior(Visualizer):
     self.add_figure(f"{self.name}_confusion_{factor_omic}", fig)
     return self
 
+  def plot_disentanglement(self, factor_omic: Optional[str] = None):
+    """Per-criticizer summary: |spearman| latent×factor heatmap + the full
+    metric-suite bar chart (reference plot_disentanglement family)."""
+    import matplotlib.pyplot as plt
+    factors = ([factor_omic] if factor_omic is not None
+               else list(self.criticizers))
+    for f in factors:
+      crt = self.criticizers.get(f)
+      if crt is None:
+        continue
+      m = np.abs(crt.create_correlation_matrix("spearman"))
+      scores = crt.cal_all_scores()
+      fig, axes = plt.subplots(1, 2, figsize=(12, 4),
+                               gridspec_kw={"width_ratios": [1, 1.4]})
+      im = axes[0].imshow(m, aspect="auto", cmap="viridis", vmin=0, vmax=1)
+      axes[0].set_xlabel(f)
+      axes[0].set_ylabel("latent dim")
+      axes[0].set_title("|spearman| latent × factor")
+      fig.colorbar(im, ax=axes[0])
+      names = list(scores)
+      axes[1].bar(range(len(names)), [scores[k] for k in names])
+      axes[1].set_xticks(range(len(names)))
+      axes[1].set_xticklabels(names, rotation=45, fontsize=7, ha="right")
+      axes[1].set_title("disentanglement suite")
+      fig.tight_layout()
+      self.add_figure(f"{self.name}_disentanglement_{f}", fig)
+    return self
+
+  def plot_violins(self, omic: Optional[str] = None):
+    """Marker-variable violins on the analysis dataset (imputed omic)."""
+    omic = omic or f"i{self.main_omic}"
+    group = self.factor_omics[0] if self.factor_omics else None
+    if group is None or omic not in self.sco_analysis.omics:
+      return self
+    self.sco_analysis.plot_stacked_violins(X=omic, group_by=group)
+    self.figures.update(self.sco_analysis.figures)
+    self.sco_analysis.figures.clear()
+    return self
+
+  def plot_series(self):
+    """Original vs imputed sorted-expression series of top-variance genes."""
+    from ..utils.plot_utils import plot_series_statistics
+    import matplotlib.pyplot as plt
+    org = self.sco_original.numpy(self.main_omic)
+    imp = self.sco_analysis.numpy(f"i{self.main_omic}")
+    fig, ax = plt.subplots(figsize=(8, 4))
+    plot_series_statistics({"original": org.sum(0), "imputed": imp.sum(0)},
+                           title=self.name, ax=ax)
+    self.add_figure(f"{self.name}_series", fig)
+    return self
+
   def plot_all(self):
     """Render the standard figure battery (reference evaluate.py plotting)."""
     (self.plot_learning_curves().plot_imputation_scatter()
      .plot_scatter(algo="pca").plot_distance_heatmap()
      .plot_correlation_matrix().plot_latents_protein_pairs()
-     .plot_latents_binary().plot_confusion_matrix())
+     .plot_latents_binary().plot_confusion_matrix()
+     .plot_disentanglement().plot_series())
     return self
 
   def __repr__(self):

@@ -60,9 +60,6 @@ def _tpe_sample(space, trials: List[Tuple[Dict, float]],
 def _trial_worker(payload):
   """Run one trial in a fresh process (spawned: clean device runtime)."""
   (model_name, dataset_name, cfg, epochs, batch_size, seed) = payload
-  import os
-  os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS",
-                                                        ""))
   from .. import models as M
   from ..data import get_dataset
   from ..nn import NetConf
