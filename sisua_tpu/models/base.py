@@ -428,6 +428,23 @@ class SingleCellModel:
   def history(self) -> Dict[str, List[float]]:
     return self.trainer.history if self.trainer is not None else {}
 
+  # ---------------------------------------------------------------- evaluate
+  def evaluate(self, data, batch_size: int = 256) -> Dict[str, float]:
+    """Average loss/LLK/KL metrics over a dataset (keras-feel companion to
+    fit/predict; mask = 1 as in validation)."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(data, batch_size, 1.0, shuffle=False)
+    eval_step = self.make_eval_step()
+    agg: Dict[str, list] = {}
+    n = 0
+    for batch in feeder.full_batches():
+      b = batch["inputs"][0].shape[0]
+      metrics = eval_step(self._state, batch, self._next_key())
+      for k, v in metrics.items():
+        agg.setdefault(k, []).append(np.asarray(v) * b)
+      n += b
+    return {k: float(np.sum(v) / n) for k, v in agg.items()}
+
   # ---------------------------------------------------------------- predict
   def predict(self,
               inputs,

@@ -180,3 +180,12 @@ def test_nan_seed_sweep(splits, small_nets):
     m.fit(train, valid=test, epochs=3, batch_size=64, labels_percent=0.5,
           patience=50)
     assert np.isfinite(m.history["loss"]).all()
+
+
+def test_evaluate_method(splits, small_nets):
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=2, batch_size=64)
+  ev = m.evaluate(test)
+  assert {"loss", "elbo", "llk_x", "klqp_z"} <= set(ev)
+  assert np.isfinite(list(ev.values())).all()
