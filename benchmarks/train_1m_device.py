@@ -1,0 +1,101 @@
+"""1M-cell scVI training with on-device data generation.
+
+The scalability protocol's top size (reference
+``tests/test_scalability.py:22``: 1M cells × 500 genes). Host-side synthesis
+of 5×10⁸ counts is minutes of single-core numpy (and pathological on
+virtualized hosts whose huge-page zeroing is slow), so this benchmark
+generates the dataset directly in HBM with jax.random — 2 GB resident, zero
+host↔device transfer — then trains with the device-resident epoch runner.
+
+Measured on one v5e (2026-08-16): generation 16 s; epoch 0 (compile) 139 s;
+steady epochs 0.92 s → **1.08M cells/sec** at batch 128 (7,813 steps/epoch).
+
+  PYTHONPATH=/root/.axon_site:. python benchmarks/train_1m_device.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+N, G = 1_000_000, 500
+CHUNK = 125_000
+BATCH = 128
+EPOCHS = int(os.environ.get("EPOCHS", 6))
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  import optax
+
+  from sisua_tpu.models import SCVI, RVmeta
+  from sisua_tpu.train.trainer import Trainer
+
+  t0 = time.perf_counter()
+
+  def log(m):
+    print(f"[{time.perf_counter() - t0:7.1f}s] {m}", flush=True)
+
+  log(f"device = {jax.devices()[0]}")
+
+  # --- on-device clustered ZINB synthesis (chunked to bound HBM temps)
+  @jax.jit
+  def make_chunk(key, arch):
+    k2, k3, k4, k5 = jax.random.split(key, 4)
+    ct = jax.random.randint(k2, (CHUNK,), 0, 7)
+    logits = arch[ct] + 0.3 * jax.random.normal(k3, (CHUNK, G))
+    props = jax.nn.softmax(logits, -1)
+    lib = jnp.exp(7.0 + 0.4 * jax.random.normal(k4, (CHUNK, 1)))
+    g = jax.random.gamma(k5, 2.0 * jnp.ones((CHUNK, G))) * (props * lib / 2.0)
+    k6, k7 = jax.random.split(k5)
+    x = jax.random.poisson(k6, g).astype(jnp.float32)
+    return x * (jax.random.uniform(k7, (CHUNK, G)) > 0.3)
+
+  arch = jax.random.normal(jax.random.PRNGKey(42), (7, G))
+  keys = jax.random.split(jax.random.PRNGKey(0), N // CHUNK)
+  X = jnp.concatenate([make_chunk(k, arch) for k in keys], 0)
+  X.block_until_ready()
+  log(f"{N:,} × {G} dataset generated on device ({X.nbytes / 1e9:.1f} GB)")
+
+  logc = jnp.log(X.sum(1) + 1e-8)
+  library = jnp.stack([jnp.full((N,), logc.mean()),
+                       jnp.full((N,), logc.var())], -1)
+
+  model = SCVI(RVmeta(G, "zinbd", name="rna"),
+               latents=RVmeta(16, "diag", name="latents"))
+  model._ensure_initialized()
+  tx = optax.chain(optax.clip_by_global_norm(100.0), optax.adam(1e-3))
+  state = model.state.replace(opt_state=tx.init(model.state.params))
+  trainer = Trainer(step_core=model.make_train_step_core(tx),
+                    valid_freq=0, patience=0)
+  epoch_fn, _ = trainer._build_epoch_fn(BATCH, 0.0, has_library=True)
+  steps = N // BATCH
+  probe = {"inputs": [X[:BATCH]], "mask": jnp.ones((BATCH,)),
+           "library": library[:BATCH]}
+  acc = trainer._init_acc(state, probe, jax.random.PRNGKey(1))
+  key = jax.random.PRNGKey(2)
+  rates = []
+  for epoch in range(EPOCHS):
+    te = time.perf_counter()
+    key, sub = jax.random.split(key)
+    state, acc = epoch_fn(state, acc, [X], library, sub)
+    sums = jax.device_get(acc)
+    acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
+    dt = time.perf_counter() - te
+    rate = N / dt
+    if epoch > 0:
+      rates.append(rate)
+    log(f"epoch {epoch}: loss={sums['loss'] / steps:.1f} "
+        f"{dt:.2f}s → {rate:,.0f} cells/s")
+  if rates:
+    import numpy as np
+    print(f"steady-state: {np.mean(rates):,.0f} cells/s")
+
+
+if __name__ == "__main__":
+  main()

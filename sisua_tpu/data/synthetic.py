@@ -39,26 +39,36 @@ def generate_synthetic(n_cells: int = 3000,
   """Clustered multi-omic counts → SingleCellOMIC with 3 omics."""
   rng = np.random.default_rng(seed)
   # per-celltype gene programs (log-space archetypes)
-  archetypes = rng.normal(0.0, 1.0, size=(n_celltypes, n_genes))
+  archetypes = rng.normal(0.0, 1.0, size=(n_celltypes, n_genes)
+                          ).astype(np.float32)
   celltype = rng.integers(0, n_celltypes, size=n_cells)
-  logits = archetypes[celltype] + rng.normal(0, 0.3, (n_cells, n_genes))
-  props = np.exp(logits)
-  props /= props.sum(1, keepdims=True)
-  # per-cell library size (log-normal)
-  lib = np.exp(rng.normal(library_loc, library_scale, size=(n_cells, 1)))
-  rate = props * lib
-  # NB sampling via gamma-poisson (theta=2 typical over-dispersion)
-  theta = 2.0
-  g = rng.gamma(theta, rate / theta)
-  X = rng.poisson(g).astype(np.float32)
-  # zero inflation
-  X *= (rng.random((n_cells, n_genes)) > zero_inflation)
-  # proteins: NB counts driven by celltype-specific means
-  prot_arch = np.abs(rng.normal(2.0, 1.0, size=(n_celltypes, n_proteins)))
-  prot_rate = prot_arch[celltype] * np.exp(
-      rng.normal(0, 0.2, (n_cells, n_proteins))) * 20.0
-  gp = rng.gamma(theta, prot_rate / theta)
-  Y = rng.poisson(gp).astype(np.float32)
+  theta = 2.0  # typical NB over-dispersion
+  # Generate in row chunks of float32: at 1M cells the straightforward
+  # whole-matrix float64 pipeline allocates a chain of multi-GB temporaries
+  # whose huge-page zeroing dominates wall-clock on virtualized hosts.
+  X = np.empty((n_cells, n_genes), np.float32)
+  Y = np.empty((n_cells, n_proteins), np.float32)
+  prot_arch = np.abs(rng.normal(2.0, 1.0, size=(n_celltypes, n_proteins))
+                     ).astype(np.float32)
+  chunk = max(1, min(n_cells, 100_000))
+  for lo in range(0, n_cells, chunk):
+    hi = min(lo + chunk, n_cells)
+    ct = celltype[lo:hi]
+    logits = archetypes[ct] + rng.normal(
+        0, 0.3, (hi - lo, n_genes)).astype(np.float32)
+    props = np.exp(logits, out=logits)  # reuse the buffer
+    props /= props.sum(1, keepdims=True)
+    lib = np.exp(rng.normal(library_loc, library_scale,
+                            size=(hi - lo, 1))).astype(np.float32)
+    rate = props * lib
+    g = rng.gamma(theta, rate / theta).astype(np.float32)
+    Xc = rng.poisson(g).astype(np.float32)
+    Xc *= (rng.random((hi - lo, n_genes)) > zero_inflation)
+    X[lo:hi] = Xc
+    prot_rate = prot_arch[ct] * np.exp(
+        rng.normal(0, 0.2, (hi - lo, n_proteins)).astype(np.float32)) * 20.0
+    gp = rng.gamma(theta, prot_rate / theta).astype(np.float32)
+    Y[lo:hi] = rng.poisson(gp).astype(np.float32)
 
   # use real marker names so marker-based metrics (gene↔protein correlation,
   # importance, marker pairs) are exercised end-to-end on synthetic data

@@ -51,11 +51,10 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
       lab = np.asarray(["+".join(np.asarray(var_names)[row > 0.5]) or "none"
                         for row in x])
       return name, lab
-    if name in ("proteomic", "iproteomic"):  # probabilize counts
-      _, _, ybin = self.probabilistic_embedding(omic)
-      lab = np.asarray(var_names)[np.argmax(ybin * x.mean(0), -1)] \
-          if False else np.asarray(var_names)[np.argmax(x, -1)]
-      return name, lab
+    if name in ("proteomic", "iproteomic"):
+      # dominant protein per cell (reference resolves protein labels via the
+      # probabilistic embedding; argmax of raw counts is its binary analogue)
+      return name, np.asarray(var_names)[np.argmax(x, -1)]
     # continuous fallback: argmax variable
     return name, np.asarray(var_names)[np.argmax(x, -1)]
 
