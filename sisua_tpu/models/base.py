@@ -426,7 +426,9 @@ class SingleCellModel:
 
   @property
   def history(self) -> Dict[str, List[float]]:
-    return self.trainer.history if self.trainer is not None else {}
+    if self.trainer is not None:
+      return self.trainer.history
+    return getattr(self, "_loaded_history", {})
 
   # ---------------------------------------------------------------- evaluate
   def evaluate(self, data, batch_size: int = 256) -> Dict[str, float]:
@@ -547,6 +549,13 @@ class SingleCellModel:
                  self._state.aux_params)
     save_metamodel(path, type(self).__name__, self.dataset, self.metadata,
                    self._init_kwargs_for_save)
+    # persist the training history so reloaded models keep their learning
+    # curves (the reference loses keras history on load)
+    hist = self.history
+    if hist:
+      import json
+      with open(os.path.join(path, "history.json"), "w") as f:
+        json.dump({k: [float(x) for x in v] for k, v in hist.items()}, f)
     return path
 
   def load_weights(self, path: str, raise_notfound: bool = False
@@ -561,6 +570,11 @@ class SingleCellModel:
                                    self._state.aux_params)
     self._state = self._state.replace(params=params, batch_stats=bs,
                                       aux_params=aux)
+    hist_path = os.path.join(path, "history.json")
+    if os.path.isfile(hist_path) and self.trainer is None:
+      import json
+      with open(hist_path) as f:
+        self._loaded_history = json.load(f)
     return self
 
   save = save_weights
