@@ -77,3 +77,13 @@ def test_resume_training(splits, small_nets, tmp_path):
   m2.load_weights(path)
   m2.fit(train, epochs=2, batch_size=64)
   assert np.isfinite(m2.history["loss"]).all()
+
+
+def test_history_persisted(splits, small_nets, tmp_path):
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=3, batch_size=64)
+  path = str(tmp_path / "hist")
+  m.save_weights(path)
+  loaded = load_model(path)
+  assert loaded.history["loss"] == [float(x) for x in m.history["loss"]]
