@@ -4,6 +4,30 @@ trungnt13/sisua re-designed TPU-first."""
 
 __version__ = "0.1.0"
 
+
+def _honor_jax_platforms_env():
+  """Restore JAX_PLATFORMS env-var semantics.
+
+  Ambient site customizations (e.g. the axon TPU plugin's sitecustomize)
+  may call ``jax.config.update("jax_platforms", ...)`` at interpreter
+  start, which silently overrides the user's ``JAX_PLATFORMS`` env var.
+  If the env var is set and the backend is not yet initialized, write it
+  back so ``JAX_PLATFORMS=cpu python -m sisua_tpu.cli.train ...`` works as
+  documented."""
+  import os
+  env = os.environ.get("JAX_PLATFORMS")
+  if not env:
+    return
+  try:
+    import jax
+    if jax.config.jax_platforms != env:
+      jax.config.update("jax_platforms", env)
+  except Exception:
+    pass  # jax missing or backend already initialized — leave as-is
+
+
+_honor_jax_platforms_env()
+
 _SUBMODULES = ("data", "models", "analysis", "train", "dist", "nn", "rv",
                "parallel", "ops", "utils", "interpolation",
                "label_threshold", "baselines", "cross_analyze", "native",
@@ -12,7 +36,8 @@ _SUBMODULES = ("data", "models", "analysis", "train", "dist", "nn", "rv",
 
 def __getattr__(name):
   """Lazy top-level re-exports: `sisua_tpu.VAE`, `sisua_tpu.get_dataset`, …
-  (kept lazy so importing the package does not pull jax/flax eagerly).
+  (kept lazy so importing the package does not pull jax/flax eagerly —
+  except when JAX_PLATFORMS is set, where jax config must be written early).
   Submodule names resolve directly first — required so intra-package
   `from . import dist`-style imports do not recurse through this hook."""
   import importlib

@@ -4,8 +4,12 @@ Must set env vars before jax initializes (import side effects)."""
 
 import os
 
-# force CPU: the ambient environment points JAX_PLATFORMS at the (slow,
-# single-chip) axon TPU tunnel; tests run on an 8-virtual-device CPU mesh.
+# force CPU: the ambient environment points JAX at the (slow, single-chip)
+# axon TPU tunnel; tests run on an 8-virtual-device CPU mesh. The axon
+# sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which OVERRIDES the JAX_PLATFORMS env var — so the env
+# var alone is not enough; we must write the config back before the backend
+# initializes (jax.config.update raises once a backend is live).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -13,6 +17,14 @@ if "host_platform_device_count" not in flags:
       flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("SISUA_DATA", "/tmp/sisua_test_data")
 os.environ.setdefault("SISUA_EXP", "/tmp/sisua_test_exp")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
+    "tests require an 8-virtual-device CPU backend; got "
+    f"{jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
