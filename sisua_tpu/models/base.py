@@ -66,6 +66,7 @@ class SingleCellModel:
                gamma: float = 1.0,
                analytic: bool = True,
                reduce_latent: str = "concat",
+               compute_dtype: Optional[str] = None,
                seed: int = UNIVERSAL_RANDOM_SEED,
                dataset: Optional[str] = None,
                metadata: Optional[Dict] = None,
@@ -86,6 +87,13 @@ class SingleCellModel:
       decoder = NetConf((64, 64), batchnorm=True, name="decoder")
     decoder = tuple(parse_netconf(d, f"decoder{i}")
                     for i, d in enumerate(_flatten(decoder)))
+    if compute_dtype:
+      # mixed precision: MLP trunks + head matmuls in bf16 on the MXU;
+      # params, batch stats, and all log-prob math stay float32
+      encoder = tuple(e.replace(compute_dtype=compute_dtype) for e in encoder)
+      decoder = tuple(d.replace(compute_dtype=compute_dtype) for d in decoder)
+      module_kwargs.setdefault("compute_dtype", compute_dtype)
+    self.compute_dtype = compute_dtype
 
     self.outputs = outputs
     self.latents = latents
@@ -110,7 +118,8 @@ class SingleCellModel:
         outputs=outputs, latents=latents, encoder=encoder, decoder=decoder,
         log_norm=log_norm, beta=getattr(self.beta, "vmax", 1.0), alpha=alpha,
         gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
-        seed=seed, name=self._name, **module_kwargs)
+        compute_dtype=compute_dtype, seed=seed, name=self._name,
+        **{k: v for k, v in module_kwargs.items() if k != "compute_dtype"})
 
   # ------------------------------------------------------------- construct
   def _build_module(self, **kwargs):
@@ -352,7 +361,9 @@ class SingleCellModel:
       return data.create_dataset(omics=omics,
                                  labels_percent=labels_percent,
                                  batch_size=batch_size, shuffle=shuffle)
-    arrs = [np.asarray(a, np.float32) for a in _flatten(data)]
+    from scipy import sparse as _sp
+    arrs = [a if _sp.issparse(a) else np.asarray(a, np.float32)
+            for a in _flatten(data)]
     from ..data.utils import get_library_size
     mean, var = get_library_size(arrs[0])
     lib = np.concatenate([mean, var], 1)
@@ -484,9 +495,11 @@ class SingleCellModel:
     pX = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=ax_out),
         *[o.outputs for o in outs])
+    # modules may carry extra nuisance posteriors (e.g. TotalVI's q(log β))
+    # beyond the model's declared latents — only the embeddings are merged
     qZ = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0),
-        *[o.latents for o in outs])
+        *[o.latents[:self.n_latents] for o in outs])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
@@ -543,10 +556,12 @@ class SingleCellModel:
                      verbose=verbose)
 
   # -------------------------------------------------------------------- io
-  def save_weights(self, path: str) -> str:
+  def save_weights(self, path: str, backend: str = "msgpack") -> str:
+    """``backend='orbax'`` writes a sharded-array-aware orbax checkpoint
+    (multi-chip states restore with their shardings); default msgpack."""
     self._ensure_initialized()
     save_weights(path, self._state.params, self._state.batch_stats,
-                 self._state.aux_params)
+                 self._state.aux_params, backend=backend)
     save_metamodel(path, type(self).__name__, self.dataset, self.metadata,
                    self._init_kwargs_for_save)
     # persist the training history so reloaded models keep their learning
@@ -560,7 +575,8 @@ class SingleCellModel:
 
   def load_weights(self, path: str, raise_notfound: bool = False
                    ) -> "SingleCellModel":
-    if not os.path.isfile(os.path.join(path, "params.msgpack")):
+    if (not os.path.isfile(os.path.join(path, "params.msgpack"))
+        and not os.path.isdir(os.path.join(path, "orbax"))):
       if raise_notfound:
         raise FileNotFoundError(f"No checkpoint at {path}")
       return self

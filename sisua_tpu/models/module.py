@@ -58,6 +58,9 @@ class VAEModule(nn.Module):
   decoder_confs: Tuple[NetConf, ...]
   log_norm: bool = True
   reduce_latent: str = "concat"
+  # 'bfloat16' → head matmuls on the MXU in bf16 (raw distribution params
+  # are cast back to float32 inside DistributionDense); None → exact float32
+  compute_dtype: Optional[str] = None
 
   def setup(self):
     self.encoders = [c.build(name=f"encoder{i}")
@@ -65,10 +68,12 @@ class VAEModule(nn.Module):
     self.decoders = [c.build(name=f"decoder{i}")
                      for i, c in enumerate(self.decoder_confs)]
     self.latent_heads = [
-        DistributionDense(rv, name=f"latent_head_{rv.name or i}")
+        DistributionDense(rv, compute_dtype=self.compute_dtype,
+                          name=f"latent_head_{rv.name or i}")
         for i, rv in enumerate(self.latents)]
     self.output_heads = [
-        DistributionDense(rv, name=f"output_head_{rv.name or i}")
+        DistributionDense(rv, compute_dtype=self.compute_dtype,
+                          name=f"output_head_{rv.name or i}")
         for i, rv in enumerate(self.outputs)]
 
   # ---- pieces -------------------------------------------------------------
@@ -143,11 +148,15 @@ class SCVIModule(VAEModule):
   def setup(self):
     super().setup()
     n_dims = self.outputs[0].dim
-    self.px_scale = nn.Dense(n_dims, name="MeanScale")
+    # the gene-dim-wide decoder heads are the dominant matmuls — run them in
+    # the compute dtype (bf16 on MXU); results are cast back to float32 in
+    # decode() before softmax/exp so the likelihood math stays exact
+    dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+    self.px_scale = nn.Dense(n_dims, dtype=dt, name="MeanScale")
     if self.outputs[0].is_zero_inflated and self.inflation == "full":
-      self.px_dropout = nn.Dense(n_dims, name="DropoutLogits")
+      self.px_dropout = nn.Dense(n_dims, dtype=dt, name="DropoutLogits")
     if self.dispersion == "full":
-      self.px_r = nn.Dense(n_dims, name="Dispersion")
+      self.px_r = nn.Dense(n_dims, dtype=dt, name="Dispersion")
     else:
       self.px_r_single = self.param(
           "px_r_single", nn.initializers.zeros, (n_dims,))
@@ -167,16 +176,17 @@ class SCVIModule(VAEModule):
     z, l = latent_samples
     l = jnp.clip(l, 0.0, self.clip_library)
     d = self.decoders[0](z, training=training)
-    px_scale = jax.nn.softmax(self.px_scale(d), axis=-1)
+    px_scale = jax.nn.softmax(
+        self.px_scale(d).astype(jnp.float32), axis=-1)
     px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
     px_rate = jnp.exp(l) * px_scale
     if self.dispersion == "full":
-      px_r = jnp.exp(self.px_r(d))
+      px_r = jnp.exp(self.px_r(d).astype(jnp.float32))
     else:
       px_r = jnp.broadcast_to(jnp.exp(self.px_r_single), px_rate.shape)
     params = [px_rate, px_r]
     if self.outputs[0].is_zero_inflated and self.inflation == "full":
-      params.append(self.px_dropout(d))
+      params.append(self.px_dropout(d).astype(jnp.float32))
     flat = jnp.concatenate(params, axis=-1)
     pX = self.output_heads[0](flat)
     pY = tuple(head(d) for head in self.output_heads[1:])

@@ -24,6 +24,12 @@ from .rv import RVmeta
 __all__ = ["NetConf", "MLP", "DistributionDense", "parse_netconf"]
 
 
+def _resolve_dtype(name: Optional[str]):
+  if name is None or name == "float32":
+    return None  # flax default: float32 throughout
+  return jnp.dtype(name)
+
+
 _ACTIVATIONS = {
     "relu": nn.relu,
     "gelu": nn.gelu,
@@ -52,6 +58,9 @@ class NetConf:
   pyramid: bool = False
   use_conv: bool = False
   kernel_size: int = 5
+  # 'bfloat16' runs the dense stack's matmuls on the MXU in bf16 (params and
+  # batchnorm statistics stay float32); None/'float32' is the exact path.
+  compute_dtype: Optional[str] = None
   name: Optional[str] = None
 
   def __post_init__(self):
@@ -102,6 +111,9 @@ class MLP(nn.Module):
   def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
     c = self.conf
     act = _ACTIVATIONS[c.activation]
+    dtype = _resolve_dtype(c.compute_dtype)
+    if dtype is not None:
+      x = x.astype(dtype)
     if c.input_dropout > 0:
       x = nn.Dropout(rate=c.input_dropout, deterministic=not training,
                      name="input_dropout")(x)
@@ -110,15 +122,16 @@ class MLP(nn.Module):
       h = x[..., None]
       for i, u in enumerate(c.units):
         h = nn.Conv(features=u, kernel_size=(c.kernel_size,), strides=(2,),
-                    name=f"conv{i}")(h)
+                    dtype=dtype, name=f"conv{i}")(h)
         h = act(h)
       x = h.reshape(h.shape[:-2] + (-1,))
       return x
     for i, u in enumerate(c.units):
-      x = nn.Dense(features=u, name=f"dense{i}")(x)
+      x = nn.Dense(features=u, dtype=dtype, name=f"dense{i}")(x)
       if c.batchnorm:
+        # batch statistics accumulate in float32 regardless of compute dtype
         x = nn.BatchNorm(use_running_average=not training,
-                         momentum=0.9, name=f"bn{i}")(x)
+                         momentum=0.9, dtype=dtype, name=f"bn{i}")(x)
       x = act(x)
       if c.dropout > 0:
         x = nn.Dropout(rate=c.dropout, deterministic=not training,
@@ -137,14 +150,21 @@ class DistributionDense(nn.Module):
   """
 
   rv: RVmeta
+  # bf16 runs the (often gene-dim-wide, MXU-dominant) head matmul in
+  # bfloat16; raw parameters are always cast back to float32 before the
+  # distribution is constrained, so log-prob math stays in float32.
+  compute_dtype: Optional[str] = None
 
   @nn.compact
   def __call__(self, h: jax.Array):
     if self.rv.projection:
       raw = nn.Dense(features=self.rv.n_params,
+                     dtype=_resolve_dtype(self.compute_dtype),
                      name=f"{self.rv.name or 'rv'}_params")(h)
+      raw = raw.astype(jnp.float32)
     else:
       # projection=False: the model computed final (already-constrained)
       # parameters itself — package only (SCVI path).
-      return self.rv.create_distribution(h, constrained=True)
+      return self.rv.create_distribution(h.astype(jnp.float32),
+                                         constrained=True)
     return self.rv.create_distribution(raw)

@@ -163,7 +163,7 @@ class Trainer:
     B = int(batch_size)
     lp = float(labels_percent)
 
-    def epoch_fn(state, acc, xs, library, key):
+    def epoch_body(state, acc, xs, library, key):
       n = xs[0].shape[0]
       steps = n // B
       kperm, kmask, kstep = jax.random.split(key, 3)
@@ -186,7 +186,26 @@ class Trainer:
           body, (state, acc), (jnp.arange(steps), keys))
       return state, acc
 
-    return jax.jit(epoch_fn, donate_argnums=(0, 1)), None
+    return jax.jit(epoch_body, donate_argnums=(0, 1)), epoch_body
+
+  def _build_window_fn(self, epoch_body, n_epochs: int):
+    """``n_epochs`` whole epochs inside ONE executable (epoch scan around the
+    step scan). On remote-attached devices this makes the dispatch RPC — not
+    just the metric fetch — per-window instead of per-epoch."""
+    E = int(n_epochs)
+
+    def window_fn(state, acc, xs, library, key):
+      keys = jax.random.split(key, E)
+
+      def body(carry, kk):
+        st, ac = carry
+        st, ac = epoch_body(st, ac, xs, library, kk)
+        return (st, ac), None
+
+      (state, acc), _ = jax.lax.scan(body, (state, acc), keys)
+      return state, acc
+
+    return jax.jit(window_fn, donate_argnums=(0, 1))
 
   def _batch_sharding(self, chunked: bool):
     if self.mesh is None or int(np.prod(list(self.mesh.shape.values()))) <= 1:
@@ -340,7 +359,7 @@ class Trainer:
           rows, out=np.empty((n, src.shape[1]), np.float32))))
     library = (jnp.asarray(train_feeder.library)
                if train_feeder.library is not None else None)
-    epoch_fn, _ = self._build_epoch_fn(
+    epoch_fn, epoch_body = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=library is not None)
     steps_per_epoch = n // B
     probe_batch = {"inputs": [x[:B] for x in xs],
@@ -353,20 +372,29 @@ class Trainer:
     best_state = state
     wait = 0
     interval = self.metrics_interval
+    # Each window of `metrics_interval` epochs is ONE executable (epoch scan
+    # wrapping the step scan) and ends in ONE metric fetch: on remote-attached
+    # chips both the dispatch RPC and the sync are paid per-window, not
+    # per-epoch. A trailing partial window reuses the single-epoch executable.
+    window_fn = (self._build_window_fn(epoch_body, interval)
+                 if interval > 1 and epochs >= interval else None)
     t_window = time.perf_counter()
-    window_epochs = 0
-    for epoch in range(epochs):
+    epoch = -1
+    while epoch + 1 < epochs:
+      remaining = epochs - (epoch + 1)
+      window = interval if (window_fn is not None
+                            and remaining >= interval) else 1
       logs: Dict[str, float] = {}
-      for cb in callbacks:
-        cb.on_epoch_begin(epoch, logs)
+      for e in range(epoch + 1, epoch + 1 + window):
+        for cb in callbacks:
+          cb.on_epoch_begin(e, logs)
       key, sub = jax.random.split(key)
-      state, acc = epoch_fn(state, acc, xs, library, sub)
-      window_epochs += 1
-      # Fetching metrics forces a host↔device sync (an expensive RPC on
-      # remote-attached chips) — amortize it over `metrics_interval` epochs;
-      # dispatches in between run fully asynchronously on device.
-      if window_epochs < interval and epoch != epochs - 1:
-        continue
+      if window > 1:
+        state, acc = window_fn(state, acc, xs, library, sub)
+      else:
+        state, acc = epoch_fn(state, acc, xs, library, sub)
+      epoch += window
+      window_epochs = window
       sums = jax.device_get(acc)  # the ONE sync point per window
       dt = (time.perf_counter() - t_window) / window_epochs
       acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
@@ -376,7 +404,6 @@ class Trainer:
       logs["epoch_time"] = dt
       logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
       t_window = time.perf_counter()
-      window_epochs = 0
       if model is not None:
         model._state = state
       if valid_feeder is not None:
