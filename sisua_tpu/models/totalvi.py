@@ -14,9 +14,12 @@ model's core semantics:
     ``sisua_tpu.dist``). ``foreground_probability`` of the returned
     distribution is the denoised protein signal.
 
-Implementation notes: a simplified but faithful core — the background prior
-is parameterized per cell from the decoder (no hierarchical β prior), and
-protein dispersion is a per-protein learned parameter.
+Implementation notes: the background mean is *hierarchical* as in the paper —
+per cell the decoder parameterizes a posterior q(log β | z) = Normal(μ, σ),
+a reparameterized draw sets the background NB mean, and KL(q(log β) ‖
+p(log β)) joins the ELBO against a learned per-protein Normal prior
+(TotalVI's β_nt ~ LogNormal(c_t, d_t)). Protein dispersion is a per-protein
+learned parameter.
 """
 
 from __future__ import annotations
@@ -51,12 +54,20 @@ class TotalVIModule(VAEModule):
     self.px_r = nn.Dense(self.n_genes, name="RnaDispersion")
     if self.outputs[0].is_zero_inflated:
       self.px_dropout = nn.Dense(self.n_genes, name="RnaDropout")
-    # protein heads (background/foreground NB mixture)
-    self.py_back = nn.Dense(self.n_proteins, name="ProteinBackground")
+    # protein heads (background/foreground NB mixture). The background mean
+    # is hierarchical: q(log β | z) = Normal(μ(d), σ(d)) with a learned
+    # per-protein Normal prior (β_nt ~ LogNormal(c_t, d_t) in the paper).
+    self.py_back_mean = nn.Dense(self.n_proteins, name="ProteinBackMean")
+    self.py_back_scale = nn.Dense(self.n_proteins, name="ProteinBackScale")
     self.py_fore_scale = nn.Dense(self.n_proteins, name="ProteinForeScale")
     self.py_mixing = nn.Dense(self.n_proteins, name="ProteinMixing")
     self.py_r = self.param("protein_dispersion", nn.initializers.zeros,
                            (self.n_proteins,))
+    self.back_prior_mean = self.param(
+        "background_prior_mean", nn.initializers.zeros, (self.n_proteins,))
+    self.back_prior_logscale = self.param(
+        "background_prior_log_scale", nn.initializers.zeros,
+        (self.n_proteins,))
 
   def latent_priors(self, library=None):
     priors = [rv.create_prior() for rv in self.latents]
@@ -65,7 +76,10 @@ class TotalVIModule(VAEModule):
       priors[-1] = D.Independent(D.Normal(loc=mean, scale=jnp.sqrt(var)), 1)
     return tuple(priors)
 
-  def decode(self, latent_samples, library=None, training: bool = False):
+  def _decode_full(self, latent_samples, library=None,
+                   training: bool = False):
+    """Full decode: output distributions + the background posterior triple
+    (q(log β), reparameterized log β draw, p(log β)) for the ELBO."""
     z, l = latent_samples
     l = jnp.clip(l, 0.0, self.clip_library)
     d = self.decoders[0](z, training=training)
@@ -80,15 +94,31 @@ class TotalVIModule(VAEModule):
                                         gate_logits=self.px_dropout(d)), 1)
     else:
       pX = D.Independent(rna_nb, 1)
+    # --- protein background: hierarchical q(log β | z) vs learned prior
+    qb_mean = jnp.clip(self.py_back_mean(d), -8.0, 12.0)
+    qb_scale = jax.nn.softplus(self.py_back_scale(d)) + 1e-4
+    q_back = D.Independent(D.Normal(loc=qb_mean, scale=qb_scale), 1)
+    if self.has_rng("sample"):
+      log_back = q_back.sample(self.make_rng("sample"))
+    else:  # deterministic decode (no rng stream): use the posterior mean
+      log_back = qb_mean
+    p_back = D.Independent(
+        D.Normal(loc=self.back_prior_mean,
+                 scale=jnp.exp(self.back_prior_logscale)), 1)
     # --- protein: background NB vs foreground NB(β·(1+α)) mixture
-    back = jnp.exp(jnp.clip(self.py_back(d), -8.0, 12.0))
+    back = jnp.exp(jnp.clip(log_back, -8.0, 12.0))
     alpha = jax.nn.softplus(self.py_fore_scale(d)) + 1.0 + 1e-4
     fore = back * alpha
     disp = jnp.broadcast_to(jnp.exp(self.py_r), fore.shape)
     pY = D.Independent(D.NegativeBinomialMixture(
         loc_back=back, loc_fore=fore, disp=disp,
         mixing_logits=self.py_mixing(d)), 1)
-    return (pX, pY)
+    return (pX, pY), (q_back, log_back, p_back)
+
+  def decode(self, latent_samples, library=None, training: bool = False):
+    outs, _ = self._decode_full(latent_samples, library=library,
+                                training=training)
+    return outs
 
   def __call__(self, x, library=None, training: bool = False,
                sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
@@ -96,9 +126,14 @@ class TotalVIModule(VAEModule):
     key = self.make_rng("sample")
     keys = jax.random.split(key, len(qZ))
     zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
-    pX = self.decode(zs, library=library, training=training)
-    return VAEOutput(outputs=pX, latents=qZ, latent_samples=zs,
-                     priors=self.latent_priors(library=library))
+    pX, (q_back, log_back, p_back) = self._decode_full(
+        zs, library=library, training=training)
+    # the background posterior rides the latent tuples: elbo_terms adds
+    # KL(q(log β) ‖ p(log β)) like any other latent (objective.py:109-113)
+    return VAEOutput(outputs=pX,
+                     latents=qZ + (q_back,),
+                     latent_samples=zs + (log_back,),
+                     priors=self.latent_priors(library=library) + (p_back,))
 
 
 class TotalVI(SingleCellModel):
@@ -150,6 +185,14 @@ class TotalVI(SingleCellModel):
   @property
   def uses_library(self) -> bool:
     return True
+
+  def encode(self, x, library=None, training: bool = False,
+             sample_shape: Tuple[int, ...] = ()):
+    """(q(z|x), q(l|x)) — the background posterior q(log β) is an ELBO
+    nuisance latent, not an embedding; it is excluded here."""
+    res = super().encode(x, library=library, training=training,
+                         sample_shape=sample_shape)
+    return res[:self.n_latents] if isinstance(res, tuple) else res
 
   def _module_input(self, inputs):
     assert len(inputs) >= 2, "TotalVI batches need (rna, protein) inputs"

@@ -62,6 +62,30 @@ def test_totalvi_end_to_end(splits, tmp_path):
                              atol=1e-5)
 
 
+def test_totalvi_hierarchical_background_prior(splits):
+  """The background posterior q(log β|z) contributes a third KL term against
+  a *learned* per-protein Normal prior (TotalVI's β ~ LogNormal(c_t, d_t))."""
+  train, _ = splits
+  n_prot = train.get_dim("proteomic")
+  m = TotalVI([RVmeta(train.n_vars, "nbd", name="rna"),
+               RVmeta(n_prot, "nbd", name="adt")],
+              encoder={"units": [32]})
+  prior0 = np.asarray(m.params["background_prior_mean"]).copy()
+  assert prior0.shape == (n_prot,)
+  m.fit(train, epochs=3, batch_size=64)
+  # the background KL is tracked like any latent's (klqp_z2)
+  assert "klqp_z2" in m.history
+  assert np.isfinite(m.history["klqp_z2"]).all()
+  # the prior parameters are trained, not frozen buffers
+  prior1 = np.asarray(m.params["background_prior_mean"])
+  assert not np.allclose(prior0, prior1)
+  # deterministic decode (no rng) still works: uses the posterior mean
+  z = np.zeros((4, 16), np.float32)
+  l = np.zeros((4, 1), np.float32)
+  pX = m.decode((z, l))
+  assert isinstance(pX[1].base, D.NegativeBinomialMixture)
+
+
 def test_totalvi_requires_two_outputs():
   with pytest.raises(AssertionError):
     TotalVI(RVmeta(10, "nbd"))
