@@ -62,8 +62,15 @@ def decode_spec(obj):
 
 
 def save_weights(path: str, params, batch_stats=None,
-                 aux_params=None) -> str:
-  """Write <path>/params.msgpack (+ batch_stats / aux_params)."""
+                 aux_params=None, backend: str = "msgpack") -> str:
+  """Write <path>/params.msgpack (+ batch_stats / aux_params).
+
+  ``backend='orbax'`` writes an orbax PyTree checkpoint instead
+  (<path>/orbax/): sharded-array aware and the right choice for large
+  multi-chip states; msgpack stays the default (single-file, dependency-
+  light, byte-stable)."""
+  if backend == "orbax":
+    return _save_weights_orbax(path, params, batch_stats, aux_params)
   os.makedirs(path, exist_ok=True)
   with open(os.path.join(path, "params.msgpack"), "wb") as f:
     f.write(serialization.to_bytes(jax.device_get(params)))
@@ -78,6 +85,11 @@ def save_weights(path: str, params, batch_stats=None,
 
 def load_weights(path: str, params_template, batch_stats_template=None,
                  aux_params_template=None) -> Tuple[Any, Any, Any]:
+  """Load weights; auto-detects the backend (msgpack file vs orbax dir)."""
+  if (not os.path.isfile(os.path.join(path, "params.msgpack"))
+      and os.path.isdir(os.path.join(path, "orbax"))):
+    return _load_weights_orbax(path, params_template, batch_stats_template,
+                               aux_params_template)
   with open(os.path.join(path, "params.msgpack"), "rb") as f:
     params = serialization.from_bytes(params_template, f.read())
   batch_stats = batch_stats_template
@@ -91,6 +103,37 @@ def load_weights(path: str, params_template, batch_stats_template=None,
     with open(aux_path, "rb") as f:
       aux = serialization.from_bytes(aux_params_template, f.read())
   return params, batch_stats, aux
+
+
+def _orbax_tree(params, batch_stats, aux_params):
+  tree = {"params": params}
+  if batch_stats is not None:
+    tree["batch_stats"] = batch_stats
+  if aux_params is not None:
+    tree["aux_params"] = aux_params
+  return tree
+
+
+def _save_weights_orbax(path: str, params, batch_stats, aux_params) -> str:
+  import orbax.checkpoint as ocp
+  os.makedirs(path, exist_ok=True)
+  target = os.path.abspath(os.path.join(path, "orbax"))
+  with ocp.StandardCheckpointer() as ckptr:
+    ckptr.save(target, _orbax_tree(params, batch_stats, aux_params),
+               force=True)
+  return path
+
+
+def _load_weights_orbax(path: str, params_template, batch_stats_template,
+                        aux_params_template) -> Tuple[Any, Any, Any]:
+  import orbax.checkpoint as ocp
+  target = os.path.abspath(os.path.join(path, "orbax"))
+  template = _orbax_tree(params_template, batch_stats_template,
+                         aux_params_template)
+  with ocp.StandardCheckpointer() as ckptr:
+    tree = ckptr.restore(target, template)
+  return (tree["params"], tree.get("batch_stats", batch_stats_template),
+          tree.get("aux_params", aux_params_template))
 
 
 def save_metamodel(path: str, class_name: str, dataset: Optional[str],

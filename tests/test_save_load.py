@@ -2,6 +2,8 @@
 reload must reproduce latent mean/scale allclose and the metamodel manifest
 must reconstruct the exact model class/specs."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -87,3 +89,19 @@ def test_history_persisted(splits, small_nets, tmp_path):
   m.save_weights(path)
   loaded = load_model(path)
   assert loaded.history["loss"] == [float(x) for x in m.history["loss"]]
+
+
+def test_orbax_backend_roundtrip(splits, small_nets, tmp_path):
+  """backend='orbax' writes a sharded-array-aware orbax checkpoint that
+  load_model auto-detects (no backend flag needed on load)."""
+  train, _ = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=2, batch_size=64)
+  path = str(tmp_path / "orbax_ckpt")
+  m.save_weights(path, backend="orbax")
+  assert os.path.isdir(os.path.join(path, "orbax"))
+  assert not os.path.isfile(os.path.join(path, "params.msgpack"))
+  loaded = load_model(path)
+  x = train.numpy()[:16]
+  np.testing.assert_allclose(np.asarray(m.encode(x).mean()),
+                             np.asarray(loaded.encode(x).mean()), atol=1e-6)
