@@ -30,7 +30,7 @@ N_CELLS = int(os.environ.get("BENCH_CELLS", 40_000))
 N_GENES = 500
 N_PROTEINS = 10
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
-EPOCHS = int(os.environ.get("BENCH_EPOCHS", 20))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", 24))
 METRICS_INTERVAL = int(os.environ.get("BENCH_METRICS_INTERVAL", 8))
 
 

@@ -20,7 +20,9 @@ def _honor_jax_platforms_env():
     return
   try:
     import jax
-    if jax.config.jax_platforms != env:
+    # Only undo the known sitecustomize override ("axon,cpu") — never a
+    # value the user set programmatically in this process.
+    if jax.config.jax_platforms == "axon,cpu" and env != "axon,cpu":
       jax.config.update("jax_platforms", env)
   except Exception:
     pass  # jax missing or backend already initialized — leave as-is

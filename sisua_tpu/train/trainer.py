@@ -163,6 +163,17 @@ class Trainer:
     B = int(batch_size)
     lp = float(labels_percent)
 
+    # On a >1-device data mesh, every minibatch is constrained to stay
+    # cell-sharded over 'data' (XLA turns the permutation gather into ICI
+    # traffic and all-reduces the gradients; no explicit collectives here).
+    row_sh = mask_sh = None
+    if self.mesh is not None and self.mesh.shape.get(DATA_AXIS, 1) > 1:
+      row_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+      mask_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def _constrain(x, sh):
+      return jax.lax.with_sharding_constraint(x, sh) if sh is not None else x
+
     def epoch_body(state, acc, xs, library, key):
       n = xs[0].shape[0]
       steps = n // B
@@ -175,10 +186,13 @@ class Trainer:
         st, ac = carry
         i, kk = scan_in
         rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-        batch = {"inputs": [jnp.take(x, rows, axis=0) for x in xs],
-                 "mask": jnp.take(mask_all, rows, axis=0)}
+        batch = {"inputs": [_constrain(jnp.take(x, rows, axis=0), row_sh)
+                            for x in xs],
+                 "mask": _constrain(jnp.take(mask_all, rows, axis=0),
+                                    mask_sh)}
         if has_library:
-          batch["library"] = jnp.take(library, rows, axis=0)
+          batch["library"] = _constrain(jnp.take(library, rows, axis=0),
+                                        row_sh)
         st, m = core(st, batch, kk)
         return (st, _tree_add(ac, m)), None
 
@@ -352,13 +366,33 @@ class Trainer:
     # densify feeder sources in row chunks, upload once
     n = train_feeder.n_obs
     B = train_feeder.batch_size
+    multichip = (self.mesh is not None
+                 and self.mesh.shape.get(DATA_AXIS, 1) > 1)
+    if multichip:
+      n_data = self.mesh.shape[DATA_AXIS]
+      assert B % n_data == 0, (
+          f"batch_size {B} must divide evenly over the {n_data}-way data "
+          "mesh axis")
+    row_sh = (NamedSharding(self.mesh, P(DATA_AXIS, None)) if multichip
+              else None)
+    def _put(a):
+      return jax.device_put(a, row_sh) if row_sh is not None \
+          else jnp.asarray(a)
     xs = []
     for src in train_feeder.sources:
       rows = np.arange(n, dtype=np.int64)
-      xs.append(jnp.asarray(src.gather(
+      xs.append(_put(src.gather(
           rows, out=np.empty((n, src.shape[1]), np.float32))))
-    library = (jnp.asarray(train_feeder.library)
+    library = (_put(train_feeder.library)
                if train_feeder.library is not None else None)
+    if multichip:
+      # replicate params/opt state (wide kernels column-shard over 'model')
+      from ..parallel import shard_params
+      state = state.replace(
+          params=shard_params(state.params, self.mesh),
+          opt_state=shard_params(state.opt_state, self.mesh),
+          batch_stats=(shard_params(state.batch_stats, self.mesh)
+                       if state.batch_stats is not None else None))
     epoch_fn, epoch_body = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=library is not None)
     steps_per_epoch = n // B

@@ -66,3 +66,28 @@ def test_dp_matches_single_device_loss(splits, small_nets):
 def test_model_axis_mesh():
   mesh = create_mesh(n_data=4, n_model=2)
   assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_device_cached_training_on_mesh(splits, small_nets):
+  """The device-resident (fastest) path shards the cell axis over 'data':
+  the dataset lives sharded in HBM, every scanned minibatch is constrained
+  to stay data-sharded, and XLA all-reduces the gradients over ICI."""
+  import jax
+  train, _ = splits
+  mesh = create_mesh(n_data=4, n_model=2)
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=7, **small_nets)
+  m.fit(train, epochs=4, batch_size=64, device_cache=True,
+        metrics_interval=2, mesh=mesh, valid_freq=0, patience=0)
+  losses = m.history["loss"]
+  assert np.isfinite(losses).all() and losses[-1] < losses[0]
+  leaf = jax.tree_util.tree_leaves(m.params)[0]
+  assert len(leaf.sharding.device_set) == 8
+
+
+def test_device_cached_mesh_rejects_odd_batch(splits, small_nets):
+  train, _ = splits
+  mesh = create_mesh(n_data=8, n_model=1)
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  with pytest.raises(AssertionError, match="divide evenly"):
+    m.fit(train, epochs=1, batch_size=60, device_cache=True, mesh=mesh,
+          valid_freq=0, patience=0)
