@@ -73,24 +73,31 @@ def main():
   state = model.state.replace(opt_state=tx.init(model.state.params))
   trainer = Trainer(step_core=model.make_train_step_core(tx),
                     valid_freq=0, patience=0)
-  epoch_fn, _ = trainer._build_epoch_fn(BATCH, 0.0, has_library=True)
+  epoch_fn, epoch_body = trainer._build_epoch_fn(BATCH, 0.0,
+                                                 has_library=True)
+  window = int(os.environ.get("WINDOW", 2))  # epochs per executable
+  win_fn = (trainer._build_window_fn(epoch_body, window) if window > 1
+            else epoch_fn)
   steps = N // BATCH
   probe = {"inputs": [X[:BATCH]], "mask": jnp.ones((BATCH,)),
            "library": library[:BATCH]}
   acc = trainer._init_acc(state, probe, jax.random.PRNGKey(1))
   key = jax.random.PRNGKey(2)
   rates = []
-  for epoch in range(EPOCHS):
+  for w in range(EPOCHS // window):
     te = time.perf_counter()
     key, sub = jax.random.split(key)
-    state, acc = epoch_fn(state, acc, [X], library, sub)
+    if window > 1:
+      state, acc = win_fn(state, acc, [X], library, sub)
+    else:
+      state, acc = epoch_fn(state, acc, [X], library, sub)
     sums = jax.device_get(acc)
     acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
     dt = time.perf_counter() - te
-    rate = N / dt
-    if epoch > 0:
+    rate = N * window / dt
+    if w > 0:
       rates.append(rate)
-    log(f"epoch {epoch}: loss={sums['loss'] / steps:.1f} "
+    log(f"window {w} ({window} ep): loss={sums['loss'] / (steps * window):.1f} "
         f"{dt:.2f}s → {rate:,.0f} cells/s")
   if rates:
     import numpy as np

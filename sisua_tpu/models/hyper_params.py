@@ -18,7 +18,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["fit_hyper", "DEFAULT_SPACE"]
+__all__ = ["fit_hyper", "fit_hyper_vmap", "DEFAULT_SPACE"]
 
 DEFAULT_SPACE = {
     "nlayers": (1, 2, 3, 4),
@@ -142,4 +142,49 @@ def fit_hyper(model: str,
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     with open(save_path, "w") as f:
       json.dump(result, f, indent=2, default=float)
+  return result
+
+
+def fit_hyper_vmap(model_fn: Callable[[int], Any],
+                   train,
+                   learning_rates: Sequence[float] = (1e-4, 3e-4, 1e-3, 3e-3),
+                   seeds_per_rate: int = 1,
+                   epochs: int = 10,
+                   batch_size: int = 64,
+                   base_seed: int = 8,
+                   save_path: Optional[str] = None,
+                   verbose: bool = False) -> Dict[str, Any]:
+  """On-chip hyper-parameter search: ALL trials train simultaneously in one
+  vmapped executable (a capability the reference's one-process-per-trial
+  search cannot express). Fixed architecture; the search axes are learning
+  rate × seed — each member's lr rides in its stacked optimizer state via
+  ``optax.inject_hyperparams``.
+
+  ``model_fn(seed) → SingleCellModel`` must build the same architecture.
+  Returns {'best', 'loss', 'trials', 'ensemble'}; ``ensemble.extract(i)``
+  yields any trained trial as a standalone model.
+  """
+  from ..train.ensemble import VmapEnsemble
+  configs = [{"learning_rate": float(lr), "seed": base_seed + s}
+             for lr in learning_rates for s in range(seeds_per_rate)]
+  ens = VmapEnsemble(model_fn, n_models=len(configs), base_seed=base_seed)
+  # map member i → its config seed (VmapEnsemble numbers seeds serially, so
+  # rebuild members with the intended seeds)
+  ens.models = [model_fn(c["seed"]) for c in configs]
+  ens.fit(train, epochs=epochs, batch_size=batch_size,
+          learning_rate=[c["learning_rate"] for c in configs],
+          shared_batches=False, verbose=verbose)
+  final = ens.history["loss"][-1]  # (n_models,)
+  trials = [{"config": c, "loss": float(l)} for c, l in zip(configs, final)]
+  best_i = int(np.argmin(final))
+  result = {"best": configs[best_i], "loss": float(final[best_i]),
+            "trials": trials, "ensemble": ens}
+  if verbose:
+    for t in trials:
+      print(f"[hyper-vmap] {t['config']} → {t['loss']:.4f}")
+  if save_path:
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    with open(save_path, "w") as f:
+      json.dump({k: v for k, v in result.items() if k != "ensemble"},
+                f, indent=2, default=float)
   return result

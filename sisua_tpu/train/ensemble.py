@@ -42,9 +42,12 @@ class VmapEnsemble:
     self.history: Dict[str, np.ndarray] = {}
     self._stacked = None
 
-  def _stack_states(self, tx):
+  def _stack_states(self, txs):
+    """Stack member states; ``txs`` is one transformation per member (their
+    states must share structure — e.g. inject_hyperparams carrying different
+    learning rates)."""
     states = []
-    for m in self.models:
+    for m, tx in zip(self.models, txs):
       m._ensure_initialized()
       st = m.state
       if st.opt_state is None:
@@ -69,11 +72,26 @@ class VmapEnsemble:
     if not model.is_semi_supervised:
       labels_percent = 0.0
     feeder = model._to_feeder(train, batch_size, labels_percent)
-    tx = optax.chain(optax.clip_by_global_norm(clipnorm),
-                     optax.adam(learning_rate))
+    # Per-member learning rates (hyper-search mode): inject_hyperparams puts
+    # the lr INSIDE the optimizer state, so stacking member states carries a
+    # different lr through the single vmapped update.
+    if isinstance(learning_rate, (tuple, list, np.ndarray)):
+      lrs = [float(x) for x in learning_rate]
+      assert len(lrs) == self.n_models, \
+          f"got {len(lrs)} learning rates for {self.n_models} members"
+      def make_tx(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(clipnorm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+      txs = [make_tx(lr) for lr in lrs]
+      tx = txs[0]
+    else:
+      tx = optax.chain(optax.clip_by_global_norm(clipnorm),
+                       optax.adam(learning_rate))
+      txs = [tx] * self.n_models
     core = model.make_train_step_core(tx)
     stacked = self._stacked if self._stacked is not None \
-        else self._stack_states(tx)
+        else self._stack_states(txs)
 
     # dense device-resident data (shared across members)
     n = feeder.n_obs

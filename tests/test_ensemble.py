@@ -29,3 +29,27 @@ def test_vmap_ensemble_independent_batches(sco):
       n_models=2)
   ens.fit(sco, epochs=2, batch_size=64, shared_batches=False)
   assert np.isfinite(ens.history["loss"]).all()
+
+
+def test_vmapped_hyper_search(sco):
+  """All lr×seed trials train simultaneously in one vmapped executable;
+  per-member learning rates ride in the stacked optimizer state via
+  optax.inject_hyperparams."""
+  from sisua_tpu.models.hyper_params import fit_hyper_vmap
+  res = fit_hyper_vmap(
+      lambda seed: VAE(RVmeta(sco.n_vars, "zinb", name="rna"), seed=seed,
+                       encoder=NetConf((16,)), decoder=NetConf((16,))),
+      sco, learning_rates=(1e-4, 3e-3), seeds_per_rate=2,
+      epochs=5, batch_size=64)
+  assert len(res["trials"]) == 4
+  losses = {t["config"]["learning_rate"]: [] for t in res["trials"]}
+  for t in res["trials"]:
+    assert np.isfinite(t["loss"])
+    losses[t["config"]["learning_rate"]].append(t["loss"])
+  # the larger lr must clearly win within 5 epochs
+  assert np.mean(losses[3e-3]) < np.mean(losses[1e-4])
+  assert res["best"]["learning_rate"] == 3e-3
+  # any trial extracts as a standalone trained model
+  m = res["ensemble"].extract(0)
+  _, qZ = m.predict(sco[np.arange(20)])
+  assert qZ.batch_shape == (20,)
