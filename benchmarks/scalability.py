@@ -30,6 +30,8 @@ def main(argv=None):
   p.add_argument("--sizes", default="1k,10k,40k")
   p.add_argument("--epochs", type=int, default=10)
   p.add_argument("--batch", type=int, default=128)
+  p.add_argument("--metrics-interval", type=int, default=4,
+                 help="epochs per executable window (multi-epoch scan)")
   p.add_argument("--out", default="/tmp/sisua_scalability.csv")
   args = p.parse_args(argv)
 
@@ -55,7 +57,7 @@ def main(argv=None):
       t0 = time.perf_counter()
       model.fit(sco, epochs=args.epochs, batch_size=args.batch,
                 labels_percent=0.5, valid_freq=0, patience=0,
-                device_cache=True)
+                device_cache=True, metrics_interval=args.metrics_interval)
       fit_s = time.perf_counter() - t0
       rates = model.history["cells_per_sec"][1:] or \
           model.history["cells_per_sec"]

@@ -74,3 +74,15 @@ def test_predict_accepts_scipy_sparse(tiny):
   m.fit(tiny, epochs=1, batch_size=64, valid_freq=0, patience=0)
   pX, qZ = m.predict(tiny.X[:48])  # CSR straight in
   assert np.asarray(pX.mean()).shape == (48, 40)
+
+
+def test_kl_warmup_progresses_inside_window_executables(tiny):
+  """beta is derived from state.step inside the compiled window, so the KL
+  warm-up schedule advances across (and within) multi-epoch executables."""
+  from sisua_tpu.interpolation import linear
+  m = VAE(RVmeta(40, "zinb", name="rna"),
+          beta=linear(vmin=0.0, vmax=1.0, norm=30))
+  m.fit(tiny, epochs=8, batch_size=64, device_cache=True,
+        metrics_interval=4, valid_freq=0, patience=0)
+  betas = m.history["beta"]  # window-averaged
+  assert betas[0] < betas[-1] <= 1.0
