@@ -73,11 +73,13 @@ class Posterior(Visualizer):
                sample_shape: int = 10,
                batch_size: int = 256,
                seed: int = 8,
+               device_cache: bool = False,
                verbose: bool = False):
     self.scm = scm
     self.sco_original = sco
     self.sample_shape = int(sample_shape)
     self.batch_size = int(batch_size)
+    self.device_cache = bool(device_cache)
     self.verbose = bool(verbose)
     self.seed = int(seed)
     self._cache: Dict[str, object] = {}
@@ -97,10 +99,11 @@ class Posterior(Visualizer):
     self.output_omics = omics
     # predictions on corrupted and original data
     self.pX_cor, self.qZ_cor = scm.predict(
-        sco, sample_shape=(self.sample_shape,), batch_size=self.batch_size)
+        sco, sample_shape=(self.sample_shape,), batch_size=self.batch_size,
+        device_cache=self.device_cache)
     self.pX_org, self.qZ_org = scm.predict(
         self.sco_original, sample_shape=(self.sample_shape,),
-        batch_size=self.batch_size)
+        batch_size=self.batch_size, device_cache=self.device_cache)
     pX = self.pX_cor if isinstance(self.pX_cor, (tuple, list)) \
         else (self.pX_cor,)
     qZ = self.qZ_cor if isinstance(self.qZ_cor, (tuple, list)) \

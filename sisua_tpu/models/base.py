@@ -463,13 +463,21 @@ class SingleCellModel:
               inputs,
               sample_shape: Tuple[int, ...] = (),
               batch_size: int = 256,
+              device_cache: bool = False,
               verbose: bool = False):
     """Minibatch inference → (pX dists, qZ dists), each merged across batches
-    (reference :153-211; merging is one tree-concat here)."""
+    (reference :153-211; merging is one tree-concat here).
+
+    ``device_cache=True`` uploads the whole dataset once and runs every
+    batch inside ONE executable (``lax.map`` over stacked batches) with a
+    single result fetch — on remote-attached chips this replaces 2 RPCs per
+    batch with 2 total."""
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
+    if device_cache:
+      return self._predict_device_cached(feeder, sample_shape)
 
     @partial(jax.jit, static_argnames=("training",))
     def fwd(params, batch_stats, x, library, key, training=False):
@@ -500,6 +508,59 @@ class SingleCellModel:
     qZ = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0),
         *[o.latents[:self.n_latents] for o in outs])
+    pX = pX if len(pX) > 1 else pX[0]
+    qZ = qZ if len(qZ) > 1 else qZ[0]
+    return pX, qZ
+
+  def _predict_device_cached(self, feeder, sample_shape: Tuple[int, ...]):
+    """All-batches-in-one-executable inference (see predict)."""
+    n = feeder.n_obs
+    B = feeder.batch_size
+    k = -(-n // B)        # ceil: last batch zero-padded, trimmed after
+    n_pad = k * B
+    rows = np.arange(n, dtype=np.int64)
+    inputs = []
+    for src in feeder.sources:
+      buf = np.zeros((n_pad, src.shape[1]), np.float32)
+      src.gather(rows, out=buf[:n])
+      inputs.append(jnp.asarray(buf))
+    x_full = self._module_input(inputs)
+    xb = x_full.reshape(k, B, x_full.shape[-1])
+    lib_b = None
+    if feeder.library is not None:
+      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
+      lib[:n] = feeder.library
+      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    keys = jax.random.split(self._next_key(), k)
+    module, apply_kwargs = self.module, self._apply_kwargs
+
+    @jax.jit
+    def run(params, batch_stats, xb, lib_b, keys):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      def one(args):
+        x, l, kk = args
+        return module.apply(variables, x, rngs={"sample": kk},
+                            training=False, sample_shape=sample_shape,
+                            **apply_kwargs(l))
+      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
+      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+
+    out = jax.device_get(run(self._state.params, self._state.batch_stats,
+                             xb, lib_b, keys))  # ONE fetch
+    ax_out = len(sample_shape)
+
+    def merge(leaf, ax):
+      # (k, S..., B, ...) → (S..., k·B, ...) → trim padding to n rows
+      leaf = np.moveaxis(leaf, 0, ax)
+      s = leaf.shape
+      leaf = leaf.reshape(s[:ax] + (s[ax] * s[ax + 1],) + s[ax + 2:])
+      return leaf[(slice(None),) * ax + (slice(0, n),)]
+
+    pX = jax.tree_util.tree_map(lambda x: merge(x, ax_out), out.outputs)
+    qZ = jax.tree_util.tree_map(
+        lambda x: merge(x, 0), out.latents[:self.n_latents])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
@@ -546,14 +607,17 @@ class SingleCellModel:
                        retain_rate: float = 0.2,
                        corruption_distribution: str = "binomial",
                        sample_shape: int = 10, batch_size: int = 256,
+                       device_cache: bool = False,
                        verbose: bool = False):
-    """Posterior analysis hub (reference :247-281 → analysis/posterior)."""
+    """Posterior analysis hub (reference :247-281 → analysis/posterior).
+    ``device_cache=True`` runs the predictions one-executable-per-dataset
+    (single fetch — much faster on remote-attached chips)."""
     from ..analysis.posterior import Posterior
     return Posterior(self, test, dropout_rate=dropout_rate,
                      retain_rate=retain_rate,
                      corruption_distribution=corruption_distribution,
                      sample_shape=sample_shape, batch_size=batch_size,
-                     verbose=verbose)
+                     device_cache=device_cache, verbose=verbose)
 
   # -------------------------------------------------------------------- io
   def save_weights(self, path: str, backend: str = "msgpack") -> str:

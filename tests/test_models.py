@@ -189,3 +189,38 @@ def test_evaluate_method(splits, small_nets):
   ev = m.evaluate(test)
   assert {"loss", "elbo", "llk_x", "klqp_z"} <= set(ev)
   assert np.isfinite(list(ev.values())).all()
+
+
+def test_predict_device_cached_matches_streamed(splits, small_nets):
+  """device_cache=True runs all batches in one executable with one fetch;
+  the deterministic pieces must match the streamed path exactly (latent
+  posteriors always; output dists for DCA's deterministic latent), and the
+  zero-padded final batch must be trimmed."""
+  train, test = splits  # test size not divisible by 128 → padding path
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=1, batch_size=64)
+  _, zA = m.predict(test, batch_size=128)
+  pB, zB = m.predict(test, batch_size=128, device_cache=True)
+  np.testing.assert_allclose(np.asarray(zA.mean()), np.asarray(zB.mean()),
+                             rtol=1e-5, atol=1e-5)
+  assert np.asarray(pB.mean()).shape == (test.n_obs, train.n_vars)
+  dca = DeepCountAutoencoder(RVmeta(train.n_vars, "nb", name="rna"),
+                             **small_nets)
+  dca.fit(train, epochs=1, batch_size=64)
+  pA, _ = dca.predict(test, batch_size=128)
+  pB, _ = dca.predict(test, batch_size=128, device_cache=True)
+  np.testing.assert_allclose(np.asarray(pA.mean()), np.asarray(pB.mean()),
+                             rtol=1e-5, atol=1e-5)
+  # MC sample dims lead the batch axis, as in the streamed path
+  pM, _ = dca.predict(test, sample_shape=3, batch_size=128,
+                      device_cache=True)
+  assert np.asarray(pM.mean()).shape == (3, test.n_obs, train.n_vars)
+
+
+def test_posterior_device_cached(splits, small_nets):
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=1, batch_size=64)
+  post = m.create_posterior(test, sample_shape=2, device_cache=True)
+  scores = post.cal_imputation_scores()
+  assert all(np.isfinite(v) for v in scores.values())
