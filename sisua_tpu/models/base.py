@@ -565,6 +565,62 @@ class SingleCellModel:
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
 
+  def predict_mean(self, inputs, sample_shape: Tuple[int, ...] = (),
+                   batch_size: int = 256):
+    """Posterior means only, computed ON DEVICE and fetched as (n, d)
+    arrays: ``(output_means, latent_means)``. MC sample dims are averaged
+    in-executable. On remote-attached chips full ``predict`` is transfer-
+    bound (it ships every distribution parameter, ×MC samples); this ships
+    3–30× less for the common imputation/embedding workflow."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
+    sample_shape = tuple(sample_shape) if not isinstance(
+        sample_shape, int) else (sample_shape,)
+    n = feeder.n_obs
+    B = feeder.batch_size
+    k = -(-n // B)
+    n_pad = k * B
+    rows = np.arange(n, dtype=np.int64)
+    inputs_np = []
+    for src in feeder.sources:
+      buf = np.zeros((n_pad, src.shape[1]), np.float32)
+      src.gather(rows, out=buf[:n])
+      inputs_np.append(jnp.asarray(buf))
+    x_full = self._module_input(inputs_np)
+    xb = x_full.reshape(k, B, x_full.shape[-1])
+    lib_b = None
+    if feeder.library is not None:
+      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
+      lib[:n] = feeder.library
+      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    keys = jax.random.split(self._next_key(), k)
+    module, apply_kwargs = self.module, self._apply_kwargs
+    n_latents = self.n_latents
+    mc_axes = tuple(range(len(sample_shape)))
+
+    @jax.jit
+    def run(params, batch_stats, xb, lib_b, keys):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      def one(args):
+        x, l, kk = args
+        out = module.apply(variables, x, rngs={"sample": kk},
+                           training=False, sample_shape=sample_shape,
+                           **apply_kwargs(l))
+        x_means = tuple(jnp.mean(p.mean(), axis=mc_axes) if mc_axes
+                        else p.mean() for p in out.outputs)
+        z_means = tuple(q.mean() for q in out.latents[:n_latents])
+        return x_means, z_means
+      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
+      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+
+    x_means, z_means = jax.device_get(
+        run(self._state.params, self._state.batch_stats, xb, lib_b, keys))
+    def unstack(leaf):  # (k, B, d) → (n, d)
+      return leaf.reshape(k * B, *leaf.shape[2:])[:n]
+    return ([unstack(m) for m in x_means], [unstack(m) for m in z_means])
+
   def marginal_log_prob(self, inputs, sample_shape: int = 100,
                         batch_size: int = 32) -> np.ndarray:
     """Importance-weighted marginal log-likelihood

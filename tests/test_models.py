@@ -224,3 +224,20 @@ def test_posterior_device_cached(splits, small_nets):
   post = m.create_posterior(test, sample_shape=2, device_cache=True)
   scores = post.cal_imputation_scores()
   assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_predict_mean(splits, small_nets):
+  """On-device MC-averaged posterior means: (n, d) fetches only; latent
+  means match the full predict path exactly."""
+  train, test = splits
+  m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+             RVmeta(train.get_dim(OMIC.proteomic), "nb", name="adt")],
+            **small_nets)
+  m.fit(train, epochs=1, batch_size=64, labels_percent=0.5)
+  xm, zm = m.predict_mean(test, sample_shape=3, batch_size=128)
+  assert xm[0].shape == (test.n_obs, train.n_vars)
+  assert xm[1].shape == (test.n_obs, train.get_dim(OMIC.proteomic))
+  _, qZ = m.predict(test, batch_size=128)
+  q0 = qZ[0] if isinstance(qZ, tuple) else qZ
+  np.testing.assert_allclose(zm[0], np.asarray(q0.mean()),
+                             rtol=1e-5, atol=1e-5)
