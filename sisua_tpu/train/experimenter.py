@@ -295,6 +295,9 @@ class SisuaExperimenter(Experimenter):
         max_iter=None if max_iter <= 0 else max_iter,
         checkpoint_path=os.path.join(exp_dir, "model"),
         mesh=mesh,
+        scan_steps=int(tr_cfg.get("scan_steps", 1)),
+        device_cache=bool(tr_cfg.get("device_cache", False)),
+        metrics_interval=int(tr_cfg.get("metrics_interval", 1)),
         verbose=bool(cfg.get("verbose", False)))
     model.save_weights(os.path.join(exp_dir, "model"))
 
