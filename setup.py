@@ -36,6 +36,7 @@ setup(
             "sisua-tpu-evaluate=sisua_tpu.cli.evaluate:main",
             "sisua-tpu-embed=sisua_tpu.label_threshold:main",
             "sisua-tpu-showdata=sisua_tpu.cli.showdata:main",
+            "sisua-tpu-predict=sisua_tpu.cli.predict:main",
         ],
     },
     test_suite="tests",

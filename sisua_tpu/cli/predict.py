@@ -1,0 +1,87 @@
+"""sisua-predict — batch scoring with a trained model checkpoint.
+
+A production-serving entry point the reference lacks: load any saved model
+(``save_weights`` dir: msgpack or orbax backend) and score a dataset or a
+raw count file, writing imputed posterior means, latent embeddings, and
+(optionally) denoised proteins for TotalVI. Uses ``predict_mean`` — all MC
+averaging happens on device, only (n, d) arrays come back.
+
+Inputs: a registry dataset name, an ``.npz`` (array under 'X' or the first
+key), or a ``.csv`` (cells × genes, header + index column tolerated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _load_counts(path: str):
+  import numpy as np
+  if path.endswith(".npz"):
+    f = np.load(path)
+    key = "X" if "X" in f else list(f.keys())[0]
+    return np.asarray(f[key], np.float32)
+  if path.endswith(".csv") or path.endswith(".csv.gz"):
+    import pandas as pd
+    df = pd.read_csv(path, index_col=0)
+    return df.to_numpy(np.float32)
+  raise ValueError(f"unsupported input file: {path}")
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser("sisua-predict")
+  p.add_argument("model", help="checkpoint dir written by save_weights")
+  p.add_argument("input", help="dataset name, .npz, or .csv of counts")
+  p.add_argument("-o", "--outpath", default="/tmp/sisua_predict")
+  p.add_argument("--batch", type=int, default=256)
+  p.add_argument("--sample-shape", type=int, default=10,
+                 help="MC samples averaged on device")
+  args = p.parse_args(argv)
+
+  import numpy as np
+
+  from ..data import get_dataset_meta
+  from ..models import load_model
+
+  model = load_model(args.model)
+  if args.input in get_dataset_meta():
+    from ..data import get_dataset
+    data = get_dataset(args.input)
+    n = data.n_obs
+  else:
+    data = _load_counts(args.input)
+    n = data.shape[0]
+  x_means, z_means = model.predict_mean(
+      data, sample_shape=(args.sample_shape,), batch_size=args.batch)
+
+  os.makedirs(args.outpath, exist_ok=True)
+  np.savez_compressed(os.path.join(args.outpath, "imputed.npz"),
+                      **{f"output{i}": m for i, m in enumerate(x_means)})
+  np.savez_compressed(os.path.join(args.outpath, "latents.npz"),
+                      **{f"latent{i}": m for i, m in enumerate(z_means)})
+  extra = {}
+  if hasattr(model, "denoised_proteins") and hasattr(data, "numpy"):
+    try:
+      fg = model.denoised_proteins(data, batch_size=args.batch)
+      np.savez_compressed(os.path.join(args.outpath,
+                                       "denoised_proteins.npz"), fg=fg)
+      extra["denoised_proteins"] = "denoised_proteins.npz"
+    except Exception:
+      pass
+  manifest = {
+      "model": type(model).__name__,
+      "n_cells": int(n),
+      "outputs": [list(m.shape) for m in x_means],
+      "latents": [list(m.shape) for m in z_means],
+      "files": {"imputed": "imputed.npz", "latents": "latents.npz", **extra},
+  }
+  with open(os.path.join(args.outpath, "manifest.json"), "w") as f:
+    json.dump(manifest, f, indent=2)
+  print(f"scored {n} cells → {args.outpath}")
+  return manifest
+
+
+if __name__ == "__main__":
+  main()

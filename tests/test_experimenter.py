@@ -87,3 +87,30 @@ def test_experimenter_end_to_end(tmp_path, monkeypatch):
   assert len(found) == 1 and found[0][1] is not None
   # semi-supervised auto-detect: sisua keeps 2 outputs, vae keeps 1
   assert len(found[0][1].outputs) == 1
+
+
+def test_predict_cli_scores_checkpoint(tmp_path, splits, small_nets):
+  """sisua-predict: load any save_weights checkpoint, score raw counts,
+  write imputed means + latents (+ manifest) via on-device predict_mean."""
+  import json
+
+  from sisua_tpu.cli.predict import main as predict_main
+  from sisua_tpu.models import VAE, RVmeta
+
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=1, batch_size=64)
+  ckpt = str(tmp_path / "ckpt")
+  m.save_weights(ckpt)
+  inp = str(tmp_path / "counts.npz")
+  np.savez(inp, X=test.numpy())
+  out = str(tmp_path / "scored")
+  manifest = predict_main([ckpt, inp, "-o", out, "--sample-shape", "2"])
+  assert manifest["n_cells"] == test.n_obs
+  imputed = np.load(f"{out}/imputed.npz")["output0"]
+  latents = np.load(f"{out}/latents.npz")["latent0"]
+  assert imputed.shape == (test.n_obs, train.n_vars)
+  assert latents.shape[0] == test.n_obs
+  assert np.isfinite(imputed).all()
+  with open(f"{out}/manifest.json") as f:
+    assert json.load(f)["model"] == "VAE"
