@@ -41,21 +41,36 @@ _PALLAS_MIN_ELEMENTS = 4_000_000
 
 def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
   """Row-summed log-prob, routed through the fused Pallas ZINB kernel when
-  the shape is in its winning regime; falls back to the dist math."""
+  the shape is in its winning regime; falls back to the dist math. Both NB
+  parameterizations route: logits ('zinb'/'nb' heads) directly, and
+  mean/dispersion ('zinbd'/'nbd' — SCVI's decode) via the exact remap
+  NB(μ, θ) = NB(total_count=θ, logits=log μ − log θ)."""
   if (isinstance(dist, D.Independent)
       and dist.reinterpreted_batch_ndims == 1
-      and isinstance(dist.base, D.ZeroInflated)
-      and isinstance(dist.base.count_distribution, D.NegativeBinomial)
       and x.ndim == 2
       and x.shape[0] % 8 == 0
       and x.size >= _PALLAS_MIN_ELEMENTS):
-    from ..ops.zinb_pallas import pallas_available, zinb_log_prob_rowsum
-    if pallas_available():
-      nb = dist.base.count_distribution
-      count = jnp.broadcast_to(nb.total_count, x.shape)
-      logits = jnp.broadcast_to(nb.logits, x.shape)
-      gate = jnp.broadcast_to(dist.base.gate_logits, x.shape)
-      return zinb_log_prob_rowsum(x, count, logits, gate, constrained=True)
+    base = dist.base
+    zi = isinstance(base, D.ZeroInflated)
+    count = base.count_distribution if zi else base
+    kind = (
+        "logits" if isinstance(count, D.NegativeBinomial) else
+        "disp" if isinstance(count, D.NegativeBinomialDisp) else None)
+    if kind is not None:
+      from ..ops import zinb_pallas as zp
+      if zp.pallas_available():
+        if kind == "logits":
+          r = jnp.broadcast_to(count.total_count, x.shape)
+          logits = jnp.broadcast_to(count.logits, x.shape)
+        else:
+          r = jnp.broadcast_to(count.disp, x.shape)
+          logits = zp._disp_to_logits(jnp.broadcast_to(count.loc, x.shape),
+                                      r)
+        if zi:
+          gate = jnp.broadcast_to(base.gate_logits, x.shape)
+          return zp.zinb_log_prob_rowsum(x, r, logits, gate,
+                                         constrained=True)
+        return zp.nb_log_prob_rowsum(x, r, logits, constrained=True)
   return dist.log_prob(x)
 
 

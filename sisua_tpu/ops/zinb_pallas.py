@@ -29,7 +29,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["zinb_log_prob_rowsum", "nb_log_prob_rowsum", "pallas_available"]
+__all__ = ["zinb_log_prob_rowsum", "nb_log_prob_rowsum",
+           "zinbd_log_prob_rowsum", "nbd_log_prob_rowsum",
+           "pallas_available"]
 
 _LANCZOS_G = 7.0
 _LANCZOS = (
@@ -179,3 +181,21 @@ def nb_log_prob_rowsum(x, count_raw, logits, constrained: bool = False):
   with a very negative gate (σ(gate)→0 exactly in float32 at -40)."""
   gate = jnp.full_like(logits, -40.0)
   return _zinb_rowsum(x, count_raw, logits, gate, constrained)
+
+
+def _disp_to_logits(mu, theta, eps: float = 1e-8):
+  """Mean/dispersion → (total_count, logits): NB(μ, θ) is exactly
+  NB(total_count=θ, logits=log μ − log θ) — p = μ/(μ+θ)."""
+  return jnp.log(mu + eps) - jnp.log(theta + eps)
+
+
+def zinbd_log_prob_rowsum(x, mu, theta, gate_logits):
+  """ZINB in scVI's mean/dispersion parameterization (the 'zinbd' head and
+  SCVI's decode path) through the same fused kernel."""
+  return _zinb_rowsum(x, theta, _disp_to_logits(mu, theta), gate_logits,
+                      True)
+
+
+def nbd_log_prob_rowsum(x, mu, theta):
+  """NB mean/dispersion variant ('nbd')."""
+  return nb_log_prob_rowsum(x, theta, _disp_to_logits(mu, theta), True)

@@ -76,3 +76,31 @@ def test_objective_fast_path_consistency(sco):
       gate_logits=jnp.zeros((16, 30))), 1)
   np.testing.assert_allclose(np.asarray(_fast_log_prob(dist, x)),
                              np.asarray(dist.log_prob(x)), rtol=1e-5)
+
+
+def test_disp_parameterization_remap_exact():
+  """NB(mean μ, dispersion θ) == NB(total_count=θ, logits=log μ − log θ):
+  the remap that routes 'zinbd'/'nbd' heads through the fused kernel."""
+  import sisua_tpu.dist as D
+  from sisua_tpu.ops.zinb_pallas import (_disp_to_logits,
+                                         _rowsum_ref)
+  rng = np.random.default_rng(4)
+  x = jnp.asarray(rng.poisson(3.0, (16, 24)).astype(np.float32))
+  mu = jnp.asarray(rng.gamma(2.0, 2.0, (16, 24)).astype(np.float32))
+  theta = jnp.asarray(rng.gamma(3.0, 1.0, (16, 24)).astype(np.float32))
+  gate = jnp.asarray(rng.normal(0, 1, (16, 24)).astype(np.float32))
+  ref = D.Independent(
+      D.ZeroInflated(
+          count_distribution=D.NegativeBinomialDisp(loc=mu, disp=theta),
+          gate_logits=gate), 1).log_prob(x)
+  remapped = _rowsum_ref(x, theta, _disp_to_logits(mu, theta), gate,
+                         constrained=True)
+  np.testing.assert_allclose(np.asarray(remapped), np.asarray(ref),
+                             rtol=2e-5, atol=2e-4)
+  # gate-free NBD
+  ref_nb = D.Independent(
+      D.NegativeBinomialDisp(loc=mu, disp=theta), 1).log_prob(x)
+  remap_nb = _rowsum_ref(x, theta, _disp_to_logits(mu, theta),
+                         jnp.full_like(gate, -40.0), constrained=True)
+  np.testing.assert_allclose(np.asarray(remap_nb), np.asarray(ref_nb),
+                             rtol=2e-5, atol=2e-4)
