@@ -243,9 +243,12 @@ class Trainer:
       if model is not None:
         cb.set_model(model)
     if self.device_cache:
-      return self._fit_device_cached(state, train_feeder, valid_feeder,
-                                     epochs, key, callbacks, checkpoint_fn,
-                                     model)
+      if self._fits_device(train_feeder):
+        return self._fit_device_cached(state, train_feeder, valid_feeder,
+                                       epochs, key, callbacks,
+                                       checkpoint_fn, model)
+      print("[trainer] device_cache requested but the dense dataset "
+            "exceeds the device-memory budget — streaming instead")
     k = self.scan_steps
     use_scan = k > 1 and train_feeder.n_chunks(k) >= 1
     step1, stepk = self._build_steps()
@@ -358,6 +361,23 @@ class Trainer:
     return state
 
   # ------------------------------------------------------- device-resident
+  def _fits_device(self, feeder, budget_fraction: float = 0.5) -> bool:
+    """Whether the densified dataset fits the device-memory budget (half of
+    HBM by default — params, activations, and the donation double-buffer
+    need the rest). Falls back to a 16 GB assumption when the runtime
+    doesn't report a limit. Sharding over a data mesh divides the cost."""
+    dense_bytes = sum(4 * feeder.n_obs * src.shape[1]
+                      for src in feeder.sources)
+    n_data = 1
+    if self.mesh is not None:
+      n_data = max(1, self.mesh.shape.get(DATA_AXIS, 1))
+    try:
+      stats = jax.devices()[0].memory_stats() or {}
+      limit = int(stats.get("bytes_limit", 16 * 1024 ** 3))
+    except Exception:
+      limit = 16 * 1024 ** 3
+    return dense_bytes / n_data <= budget_fraction * limit
+
   def _fit_device_cached(self, state, train_feeder, valid_feeder, epochs,
                          key, callbacks, checkpoint_fn, model):
     """Device-resident variant: the dense training matrices live in HBM for

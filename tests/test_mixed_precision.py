@@ -86,3 +86,14 @@ def test_kl_warmup_progresses_inside_window_executables(tiny):
         metrics_interval=4, valid_freq=0, patience=0)
   betas = m.history["beta"]  # window-averaged
   assert betas[0] < betas[-1] <= 1.0
+
+
+def test_device_cache_falls_back_when_dataset_exceeds_hbm(tiny, monkeypatch):
+  """Oversized datasets must stream instead of OOMing the device."""
+  from sisua_tpu.train.trainer import Trainer
+  monkeypatch.setattr(Trainer, "_fits_device",
+                      lambda self, feeder, budget_fraction=0.5: False)
+  m = VAE(RVmeta(40, "zinb", name="rna"))
+  m.fit(tiny, epochs=2, batch_size=64, device_cache=True,
+        valid_freq=0, patience=0)
+  assert np.isfinite(m.history["loss"]).all()
