@@ -1,0 +1,103 @@
+"""Wide-gene regime benchmark: full-transcriptome SCVI (33k genes).
+
+The 10x full-transcriptome regime (e.g. `neuron10k`/`heart10k`: ~33k gene
+columns) is where the gene-dimension head matmuls (hidden → 3·G ZINB
+params) dominate the step — the regime `compute_dtype='bfloat16'` and the
+fused Pallas ZINB row-sum (>4M elements/batch) are built for. Compares
+f32 vs bf16 window throughput and reports the ELBO trajectory of both.
+
+  PYTHONPATH=/root/.axon_site:. python benchmarks/wide_genes.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+N = int(os.environ.get("CELLS", 8192))
+G = int(os.environ.get("GENES", 33_000))
+BATCH = int(os.environ.get("BATCH", 512))
+EPOCHS = int(os.environ.get("EPOCHS", 4))
+WINDOW = int(os.environ.get("WINDOW", 2))
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  import optax
+
+  from sisua_tpu.models import SCVI, RVmeta
+  from sisua_tpu.train.trainer import Trainer
+
+  t0 = time.perf_counter()
+  def log(m):
+    print(f"[{time.perf_counter() - t0:7.1f}s] {m}", flush=True)
+  log(f"device = {jax.devices()[0]}; {N:,} cells × {G:,} genes, "
+      f"batch {BATCH}")
+
+  # on-device synthesis (host synthesis of N×G counts is minutes)
+  CHUNK = 1024
+  @jax.jit
+  def make_chunk(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    lam = jnp.exp(-2.5 + 1.2 * jax.random.normal(k1, (CHUNK, G)))
+    x = jax.random.poisson(k2, lam).astype(jnp.float32)
+    return x * (jax.random.uniform(k3, (CHUNK, G)) > 0.5)
+
+  keys = jax.random.split(jax.random.PRNGKey(0), N // CHUNK)
+  X = jnp.concatenate([make_chunk(k) for k in keys], 0)
+  X.block_until_ready()
+  log(f"dataset in HBM ({X.nbytes / 1e9:.1f} GB)")
+  logc = jnp.log(X.sum(1) + 1e-8)
+  library = jnp.stack([jnp.full((N,), logc.mean()),
+                       jnp.full((N,), logc.var())], -1)
+
+  results = {}
+  for dtype in (None, "bfloat16"):
+    model = SCVI(RVmeta(G, "zinbd", name="rna"),
+                 latents=RVmeta(16, "diag", name="latents"),
+                 encoder={"units": [128, 128], "batchnorm": True},
+                 decoder={"units": [128, 128], "batchnorm": True},
+                 compute_dtype=dtype)
+    model._ensure_initialized()
+    tx = optax.chain(optax.clip_by_global_norm(100.0), optax.adam(1e-3))
+    state = model.state.replace(opt_state=tx.init(model.state.params))
+    trainer = Trainer(step_core=model.make_train_step_core(tx),
+                      valid_freq=0, patience=0)
+    _, body = trainer._build_epoch_fn(BATCH, 0.0, has_library=True)
+    win = trainer._build_window_fn(body, WINDOW)
+    probe = {"inputs": [X[:BATCH]], "mask": jnp.ones((BATCH,)),
+             "library": library[:BATCH]}
+    acc = trainer._init_acc(state, probe, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    rates, losses = [], []
+    for w in range(EPOCHS // WINDOW):
+      te = time.perf_counter()
+      key, sub = jax.random.split(key)
+      state, acc = win(state, acc, [X], library, sub)
+      sums = jax.device_get(acc)
+      acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
+      dt = time.perf_counter() - te
+      rate = N * WINDOW / dt
+      loss = sums["loss"] / ((N // BATCH) * WINDOW)
+      losses.append(loss)
+      if w > 0:
+        rates.append(rate)
+      log(f"dtype={dtype or 'float32'} window {w}: loss={loss:.1f} "
+          f"{dt:.2f}s → {rate:,.0f} cells/s")
+    results[dtype or "float32"] = (float(np.mean(rates)) if rates
+                                   else rate, losses[-1])
+  f32_rate, f32_loss = results["float32"]
+  bf_rate, bf_loss = results["bfloat16"]
+  print(f"\nfloat32:  {f32_rate:,.0f} cells/s (loss {f32_loss:.1f})")
+  print(f"bfloat16: {bf_rate:,.0f} cells/s (loss {bf_loss:.1f}) "
+        f"→ {bf_rate / f32_rate:.2f}× throughput")
+
+
+if __name__ == "__main__":
+  main()

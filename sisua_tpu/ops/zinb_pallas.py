@@ -99,35 +99,52 @@ def pallas_available() -> bool:
 _LGAMMA = _lgamma_ref
 
 
+# Column tile: bounds the VMEM working set (the Lanczos evaluation holds
+# ~a dozen (block_b × block_d) f32 temporaries; 8×4096×4B ≈ 128 KB each
+# keeps the whole block far under the 16 MB scoped-VMEM limit even for
+# 33k-gene full-transcriptome heads).
+_BLOCK_D = 4096
+
+
 def _make_kernel(d: int, block_b: int, constrained: bool):
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
-  d_pad = ((d + 127) // 128) * 128
+  block_d = min(_BLOCK_D, ((d + 127) // 128) * 128)
+  n_col = -(-d // block_d)
+  d_pad = n_col * block_d
 
   def kernel(x_ref, count_ref, logits_ref, gate_ref, out_ref):
+    j = pl.program_id(1)
     x = x_ref[:]
     # Mosaic has no lgamma primitive — use the Lanczos evaluation
     lp = _zinb_elem(x, count_ref[:], logits_ref[:], gate_ref[:],
                     constrained, lgamma=_lgamma_lanczos)
-    # mask padded gene columns
-    col = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+    # mask padded gene columns (global column index vs true width d)
+    col = j * block_d + jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
     lp = jnp.where(col < d, lp, 0.0)
-    out_ref[:] = jnp.sum(lp, axis=1, keepdims=True)
+    partial = jnp.sum(lp, axis=1, keepdims=True)
+    # column blocks iterate fastest (last grid dim): accumulate into out
+    @pl.when(j == 0)
+    def _init():
+      out_ref[:] = partial
+    @pl.when(j != 0)
+    def _acc():
+      out_ref[:] += partial
 
   def call(x, count_raw, logits, gate):
     b = x.shape[0]
     pad_cols = d_pad - d
     def pad(a):
       return jnp.pad(a, ((0, 0), (0, pad_cols))) if pad_cols else a
-    grid = (max(1, b // block_b),)
+    grid = (max(1, b // block_b), n_col)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((block_b, d_pad), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_b, block_d), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_b, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
     )(pad(x), pad(count_raw), pad(logits), pad(gate))
     return out[:, 0]
