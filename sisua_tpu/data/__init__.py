@@ -23,6 +23,7 @@ from .const import (MARKER_ADT_GENE, MARKER_ADTS, MARKER_ATAC, MARKER_GENES,
 from .core import get_all_omics
 from .dataset import SingleCellOMIC
 from .feeder import DataFeeder
+from .h5ad import read_h5ad, write_h5ad
 from .path import CONFIG_PATH, DATA_DIR, DOWNLOAD_DIR, EXP_DIR
 from .synthetic import generate_synthetic, read_synthetic
 from .utils import (apply_artificial_corruption, get_library_size,
@@ -30,7 +31,8 @@ from .utils import (apply_artificial_corruption, get_library_size,
 
 __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
-    "generate_synthetic", "apply_artificial_corruption", "get_library_size",
+    "generate_synthetic", "read_h5ad", "write_h5ad",
+    "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",
     "MARKER_ADT_GENE", "MARKER_ADTS", "MARKER_ATAC", "MARKER_GENES",
     "PROTEIN_PAIR_NEGATIVE", "PROTEIN_PAIR_POSITIVE",
