@@ -6,8 +6,9 @@ raw count file, writing imputed posterior means, latent embeddings, and
 (optionally) denoised proteins for TotalVI. Uses ``predict_mean`` — all MC
 averaging happens on device, only (n, d) arrays come back.
 
-Inputs: a registry dataset name, an ``.npz`` (array under 'X' or the first
-key), or a ``.csv`` (cells × genes, header + index column tolerated).
+Inputs: a registry dataset name, an ``.h5ad`` (AnnData — native reader),
+an ``.npz`` (array under 'X' or the first key), or a ``.csv`` (cells ×
+genes, header + index column tolerated).
 """
 
 from __future__ import annotations
@@ -19,6 +20,9 @@ import os
 
 def _load_counts(path: str):
   import numpy as np
+  if path.endswith(".h5ad"):
+    from ..data import read_h5ad
+    return read_h5ad(path)
   if path.endswith(".npz"):
     f = np.load(path)
     key = "X" if "X" in f else list(f.keys())[0]
@@ -52,7 +56,7 @@ def main(argv=None):
     n = data.n_obs
   else:
     data = _load_counts(args.input)
-    n = data.shape[0]
+    n = data.n_obs if hasattr(data, "n_obs") else data.shape[0]
   x_means, z_means = model.predict_mean(
       data, sample_shape=(args.sample_shape,), batch_size=args.batch)
 

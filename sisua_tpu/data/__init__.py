@@ -130,7 +130,11 @@ def get_dataset_meta() -> Dict[str, Callable]:
 def get_dataset(name: str, override: bool = False, verbose: bool = False,
                 **kwargs) -> SingleCellOMIC:
   """Load a dataset by registry alias → SingleCellOMIC
-  (reference data/__init__.py:249-301)."""
+  (reference data/__init__.py:249-301). A path ending in ``.h5ad`` loads
+  directly via the native AnnData reader."""
+  import os as _os
+  if str(name).endswith(".h5ad") and _os.path.isfile(str(name)):
+    return read_h5ad(str(name))
   name = str(name).lower().strip()
   meta = get_dataset_meta()
   if name not in meta:
