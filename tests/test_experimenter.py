@@ -114,3 +114,19 @@ def test_predict_cli_scores_checkpoint(tmp_path, splits, small_nets):
   assert np.isfinite(imputed).all()
   with open(f"{out}/manifest.json") as f:
     assert json.load(f)["model"] == "VAE"
+
+
+def test_multirun_parallel_processes(tmp_path, monkeypatch):
+  """-m --ncpu 2: one spawned process per config (the reference's
+  'training multiple systems in parallel'). Also guards the jax-0.9
+  environment regression: spawned children must land on the CPU backend
+  (JAX_PLATFORMS env is honored by the package import hook)."""
+  monkeypatch.setenv("SISUA_EXP", str(tmp_path))
+  from sisua_tpu.train.experimenter import SisuaExperimenter
+  exp = SisuaExperimenter(save_path=str(tmp_path))
+  res = exp.run(["model.name=vae,dca", "dataset.name=synthetic",
+                 "train.epochs=1", "train.valid_freq=0",
+                 "dataset.batch_size=64", "-m", "--ncpu", "2"])
+  assert len(res) == 2
+  for r in res:
+    assert all(np.isfinite(v) for v in r.values() if isinstance(v, float))
