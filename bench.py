@@ -53,12 +53,12 @@ def main():
   model.fit(sco, epochs=EPOCHS, batch_size=BATCH, learning_rate=1e-3,
             valid_freq=0, patience=0, device_cache=True,
             metrics_interval=METRICS_INTERVAL, verbose=False)
-  # steady state: skip the first window (includes compile) and any trailing
-  # partial window (unamortized sync)
+  # steady state: skip the first window's epochs (they include compile);
+  # history is per-epoch, with epochs in a window sharing the window rate
   rates = model.history["cells_per_sec"]
-  full = EPOCHS // METRICS_INTERVAL
-  steady = rates[1:full] if full > 1 else rates
-  cells_per_sec = float(np.mean(steady)) if steady else float(rates[0])
+  steady = rates[METRICS_INTERVAL:] if len(rates) > METRICS_INTERVAL \
+      else rates
+  cells_per_sec = float(np.mean(steady))
   result = {
       "metric": "scvi_train_cells_per_sec_per_chip",
       "value": round(cells_per_sec, 1),

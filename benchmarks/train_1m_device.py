@@ -31,6 +31,7 @@ EPOCHS = int(os.environ.get("EPOCHS", 6))
 def main():
   import jax
   import jax.numpy as jnp
+  import numpy as np
   import optax
 
   from sisua_tpu.models import SCVI, RVmeta
@@ -97,7 +98,8 @@ def main():
     rate = N * window / dt
     if w > 0:
       rates.append(rate)
-    log(f"window {w} ({window} ep): loss={sums['loss'] / (steps * window):.1f} "
+    loss = float(np.sum(sums["loss"])) / (steps * window)
+    log(f"window {w} ({window} ep): loss={loss:.1f} "
         f"{dt:.2f}s → {rate:,.0f} cells/s")
   if rates:
     import numpy as np

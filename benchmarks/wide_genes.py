@@ -84,7 +84,7 @@ def main():
       acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
       dt = time.perf_counter() - te
       rate = N * WINDOW / dt
-      loss = sums["loss"] / ((N // BATCH) * WINDOW)
+      loss = float(np.sum(sums["loss"])) / ((N // BATCH) * WINDOW)
       losses.append(loss)
       if w > 0:
         rates.append(rate)

@@ -205,21 +205,24 @@ class Trainer:
   def _build_window_fn(self, epoch_body, n_epochs: int):
     """``n_epochs`` whole epochs inside ONE executable (epoch scan around the
     step scan). On remote-attached devices this makes the dispatch RPC — not
-    just the metric fetch — per-window instead of per-epoch."""
+    just the metric fetch — per-window instead of per-epoch. Each epoch's
+    metric sums come back as scan outputs, so per-epoch history (and
+    per-epoch early-stopping checks) survive windowing at zero extra sync.
+    """
     E = int(n_epochs)
 
     def window_fn(state, acc, xs, library, key):
       keys = jax.random.split(key, E)
 
-      def body(carry, kk):
-        st, ac = carry
+      def body(st, kk):
+        ac = jax.tree_util.tree_map(jnp.zeros_like, acc)
         st, ac = epoch_body(st, ac, xs, library, kk)
-        return (st, ac), None
+        return st, ac
 
-      (state, acc), _ = jax.lax.scan(body, (state, acc), keys)
-      return state, acc
+      state, accs = jax.lax.scan(body, state, keys)
+      return state, accs  # metric leaves stacked (E, ...)
 
-    return jax.jit(window_fn, donate_argnums=(0, 1))
+    return jax.jit(window_fn, donate_argnums=(0,))
 
   def _batch_sharding(self, chunked: bool):
     if self.mesh is None or int(np.prod(list(self.mesh.shape.values()))) <= 1:
@@ -434,60 +437,70 @@ class Trainer:
                  if interval > 1 and epochs >= interval else None)
     t_window = time.perf_counter()
     epoch = -1
-    while epoch + 1 < epochs:
+    stop = False
+    while epoch + 1 < epochs and not stop:
       remaining = epochs - (epoch + 1)
       window = interval if (window_fn is not None
                             and remaining >= interval) else 1
-      logs: Dict[str, float] = {}
+      base_logs: Dict[str, float] = {}
       for e in range(epoch + 1, epoch + 1 + window):
         for cb in callbacks:
-          cb.on_epoch_begin(e, logs)
+          cb.on_epoch_begin(e, base_logs)
       key, sub = jax.random.split(key)
       if window > 1:
-        state, acc = window_fn(state, acc, xs, library, sub)
+        state, accs = window_fn(state, acc, xs, library, sub)
+        sums = jax.device_get(accs)  # per-epoch sums, leaves (window, …)
       else:
         state, acc = epoch_fn(state, acc, xs, library, sub)
-      epoch += window
-      window_epochs = window
-      sums = jax.device_get(acc)  # the ONE sync point per window
-      dt = (time.perf_counter() - t_window) / window_epochs
-      acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
-      self._timings.append(dt)
-      logs.update({k: float(v) / (steps_per_epoch * window_epochs)
-                   for k, v in sums.items()})
-      logs["epoch_time"] = dt
-      logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
+        sums_1 = jax.device_get(acc)
+        acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
+        sums = {k: np.asarray(v)[None] for k, v in sums_1.items()}
+      dt = (time.perf_counter() - t_window) / window
       t_window = time.perf_counter()
+      self._timings.append(dt)
       if model is not None:
         model._state = state
+      val: Dict[str, float] = {}
       if valid_feeder is not None:
         val = self.evaluate(state, valid_feeder, key)
-        logs.update({f"val_{k}": float(v) for k, v in val.items()})
-      for cb in callbacks:
-        cb.on_epoch_end(epoch, logs)
-      for k, v in logs.items():
-        self.history.setdefault(k, []).append(v)
-      if self.verbose:
-        msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items()
-                       if k in ("loss", "val_loss"))
-        print(f"[epoch {epoch:03d}] {msg} ({dt:.3f}s)")
-      if self.terminate_on_nan and not np.isfinite(logs.get("loss", 0.0)):
-        if self.allow_rollback:
-          state = best_state
-        break
-      monitored = logs.get("val_loss", logs.get("loss", np.inf))
-      if monitored < best_loss - self.min_delta:
-        best_loss = monitored
-        best_state = state
-        wait = 0
-        if checkpoint_fn is not None:
-          checkpoint_fn(state)
-      else:
-        wait += 1
-        if self.patience > 0 and wait >= self.patience:
+      # one fetch per window; one history entry per EPOCH
+      for w in range(window):
+        epoch += 1
+        logs = dict(base_logs)
+        logs.update({k: float(v[w]) / steps_per_epoch
+                     for k, v in sums.items()})
+        logs["epoch_time"] = dt
+        logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
+        if w == window - 1:
+          logs.update({f"val_{k}": float(v) for k, v in val.items()})
+        for cb in callbacks:
+          cb.on_epoch_end(epoch, logs)
+        for k, v in logs.items():
+          self.history.setdefault(k, []).append(v)
+        if self.verbose:
+          msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items()
+                         if k in ("loss", "val_loss"))
+          print(f"[epoch {epoch:03d}] {msg} ({dt:.3f}s)")
+        if self.terminate_on_nan and not np.isfinite(
+            logs.get("loss", 0.0)):
           if self.allow_rollback:
             state = best_state
+          stop = True
           break
+        monitored = logs.get("val_loss", logs.get("loss", np.inf))
+        if monitored < best_loss - self.min_delta:
+          best_loss = monitored
+          best_state = state  # post-window state (finest rollback grain)
+          wait = 0
+          if checkpoint_fn is not None and w == window - 1:
+            checkpoint_fn(state)
+        else:
+          wait += 1
+          if self.patience > 0 and wait >= self.patience:
+            if self.allow_rollback:
+              state = best_state
+            stop = True
+            break
     for cb in callbacks:
       cb.on_train_end(dict(self.history))
     if model is not None:
