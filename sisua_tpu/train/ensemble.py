@@ -63,11 +63,14 @@ class VmapEnsemble:
           clipnorm: float = 100.0,
           labels_percent: float = 0.0,
           shared_batches: bool = True,
+          metrics_interval: int = 1,
           verbose: bool = False) -> "VmapEnsemble":
     """Device-resident ensemble training: one lax.scan epoch executable,
     vmapped over the model axis. ``shared_batches=True`` feeds every member
     the same shuffled batches (pure seed ensembling); False gives each
-    member its own shuffle stream."""
+    member its own shuffle stream. ``metrics_interval=K`` compiles K whole
+    epochs into one executable with per-epoch losses as scan outputs (one
+    loss fetch per window)."""
     model = self.model
     if not model.is_semi_supervised:
       labels_percent = 0.0
@@ -126,26 +129,51 @@ class VmapEnsemble:
           body, (state, jnp.zeros(())), (jnp.arange(steps), keys))
       return state, loss_sum / (n // B)
 
-    vmapped = jax.jit(jax.vmap(member_epoch,
+    interval = max(1, int(metrics_interval))
+
+    def member_window(state, x_list, lib, keys):  # keys: (E, key)
+      def body(st, kk):
+        st, loss = member_epoch(st, x_list, lib, kk)
+        return st, loss
+      return jax.lax.scan(body, state, keys)      # losses: (E,)
+
+    vmapped = jax.jit(jax.vmap(member_window,
                                in_axes=(0, None, None, 0),
                                out_axes=(0, 0)),
                       donate_argnums=(0,))
     key = jax.random.PRNGKey(17)
     losses: List[np.ndarray] = []
     times: List[float] = []
-    for epoch in range(epochs):
+    done = 0
+    while done < epochs:
+      window = min(interval, epochs - done)
       t0 = time.perf_counter()
       key, sub = jax.random.split(key)
       if shared_batches:
-        member_keys = jnp.broadcast_to(sub, (n_models,) + sub.shape)
+        epoch_keys = jax.random.split(sub, window)             # (E, key)
+        member_keys = jnp.broadcast_to(
+            epoch_keys, (n_models,) + epoch_keys.shape)        # (M, E, key)
       else:
-        member_keys = jax.random.split(sub, n_models)
-      stacked, epoch_loss = vmapped(stacked, xs, library, member_keys)
-      losses.append(np.asarray(epoch_loss))
-      times.append(time.perf_counter() - t0)
-      if verbose:
-        print(f"[ensemble epoch {epoch:03d}] "
-              f"loss={np.round(losses[-1], 2)} ({times[-1]:.3f}s)")
+        member_keys = jax.random.split(
+            sub, n_models * window).reshape((n_models, window) +
+                                            sub.shape)
+      if window != interval:
+        # trailing partial window: separate (smaller) executable
+        stacked, win_losses = jax.jit(
+            jax.vmap(member_window, in_axes=(0, None, None, 0),
+                     out_axes=(0, 0)),
+            donate_argnums=(0,))(stacked, xs, library, member_keys)
+      else:
+        stacked, win_losses = vmapped(stacked, xs, library, member_keys)
+      win_losses = np.asarray(win_losses)      # (M, E): one fetch/window
+      dt = (time.perf_counter() - t0) / window
+      for e in range(window):
+        losses.append(win_losses[:, e])
+        times.append(dt)
+        if verbose:
+          print(f"[ensemble epoch {done + e:03d}] "
+                f"loss={np.round(losses[-1], 2)} ({dt:.3f}s)")
+      done += window
     self._stacked = stacked
     self.history["loss"] = np.stack(losses)       # (epochs, n_models)
     self.history["epoch_time"] = np.asarray(times)

@@ -53,3 +53,17 @@ def test_vmapped_hyper_search(sco):
   m = res["ensemble"].extract(0)
   _, qZ = m.predict(sco[np.arange(20)])
   assert qZ.batch_shape == (20,)
+
+
+def test_vmap_ensemble_window_executables(sco):
+  """metrics_interval compiles K epochs into one executable; per-epoch
+  per-member losses still come back (scan outputs, one fetch/window)."""
+  ens = VmapEnsemble(
+      lambda seed: VAE(RVmeta(sco.n_vars, "zinb", name="rna"), seed=seed,
+                       encoder=NetConf((16,)), decoder=NetConf((16,))),
+      n_models=2)
+  ens.fit(sco, epochs=5, batch_size=64, metrics_interval=2)
+  loss = ens.history["loss"]
+  assert loss.shape == (5, 2)
+  assert np.isfinite(loss).all()
+  assert (loss[-1] < loss[0]).all()
