@@ -390,6 +390,7 @@ class SingleCellModel:
           device_cache: bool = False,
           metrics_interval: int = 1,
           mesh=None,
+          profile_dir: Optional[str] = None,
           verbose: bool = False) -> "SingleCellModel":
     """Compile + train (the reference's fit combo :213-236).
 
@@ -420,10 +421,18 @@ class SingleCellModel:
     if checkpoint_path is not None:
       ckpt_fn = lambda st: save_weights(  # noqa: E731
           checkpoint_path, st.params, st.batch_stats, st.aux_params)
-    self._state = trainer.fit(self._state, train_feeder, valid_feeder,
-                              epochs=epochs, key=self._next_key(),
-                              callbacks=callbacks, checkpoint_fn=ckpt_fn,
-                              model=self)
+    import contextlib
+    trace_cm = contextlib.nullcontext()
+    if profile_dir is not None:
+      # first-class tracing (SURVEY §5: the reference had none) — view the
+      # trace with tensorboard/xprof pointed at profile_dir
+      from ..utils.others import profile_trace
+      trace_cm = profile_trace(profile_dir)
+    with trace_cm:
+      self._state = trainer.fit(self._state, train_feeder, valid_feeder,
+                                epochs=epochs, key=self._next_key(),
+                                callbacks=callbacks, checkpoint_fn=ckpt_fn,
+                                model=self)
     # merge histories across successive fit calls (reference keeps one)
     if self.trainer is None:
       self.trainer = trainer

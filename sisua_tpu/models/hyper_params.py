@@ -152,6 +152,7 @@ def fit_hyper_vmap(model_fn: Callable[[int], Any],
                    epochs: int = 10,
                    batch_size: int = 64,
                    base_seed: int = 8,
+                   metrics_interval: int = 1,
                    save_path: Optional[str] = None,
                    verbose: bool = False) -> Dict[str, Any]:
   """On-chip hyper-parameter search: ALL trials train simultaneously in one
@@ -173,7 +174,8 @@ def fit_hyper_vmap(model_fn: Callable[[int], Any],
   ens.models = [model_fn(c["seed"]) for c in configs]
   ens.fit(train, epochs=epochs, batch_size=batch_size,
           learning_rate=[c["learning_rate"] for c in configs],
-          shared_batches=False, verbose=verbose)
+          shared_batches=False, metrics_interval=metrics_interval,
+          verbose=verbose)
   final = ens.history["loss"][-1]  # (n_models,)
   trials = [{"config": c, "loss": float(l)} for c, l in zip(configs, final)]
   best_i = int(np.argmin(final))
