@@ -283,6 +283,12 @@ class SingleCellModel:
     k1, k2 = jax.random.split(key)
     rngs = {"sample": k1, "dropout": k2}
     kwargs = dict(training=training, **self._apply_kwargs(library))
+    # training-time MC: S reparameterized draws per example; llk and MC-KL
+    # terms average over the leading sample dim inside elbo_terms
+    # (the reference train config's `sample_shape`, configs/base.yaml:53)
+    mc = int(getattr(self, "_train_mc_samples", 1) or 1)
+    if training and mc > 1:
+      kwargs["sample_shape"] = (mc,)
     if training and batch_stats is not None:
       out, mut = self.module.apply(variables, x, rngs=rngs,
                                    mutable=["batch_stats"], **kwargs)
@@ -391,6 +397,7 @@ class SingleCellModel:
           metrics_interval: int = 1,
           mesh=None,
           profile_dir: Optional[str] = None,
+          mc_samples: int = 1,
           verbose: bool = False) -> "SingleCellModel":
     """Compile + train (the reference's fit combo :213-236).
 
@@ -400,6 +407,7 @@ class SingleCellModel:
     epoch, so coverage is unbiased)."""
     if not self.is_semi_supervised:
       labels_percent = 0.0
+    self._train_mc_samples = int(mc_samples)
     train_feeder = self._to_feeder(train, batch_size, labels_percent)
     valid_feeder = (self._to_feeder(valid, batch_size, 1.0, shuffle=False)
                     if valid is not None else None)

@@ -192,6 +192,17 @@ class Experimenter:
     return results
 
 
+def _mc_from_sample_shape(x) -> int:
+  """train.sample_shape (reference configs/base.yaml:53: int or list) →
+  number of training-time MC draws (1 = plain reparameterized ELBO)."""
+  if isinstance(x, (list, tuple)):
+    n = 1
+    for v in x:
+      n *= int(v)
+    return max(1, n)
+  return max(1, int(x or 1))
+
+
 def _run_config_in_subprocess(payload):
   module_name, qualname, cfg = payload
   import importlib
@@ -295,6 +306,7 @@ class SisuaExperimenter(Experimenter):
         max_iter=None if max_iter <= 0 else max_iter,
         checkpoint_path=os.path.join(exp_dir, "model"),
         mesh=mesh,
+        mc_samples=_mc_from_sample_shape(tr_cfg.get("sample_shape", [])),
         scan_steps=int(tr_cfg.get("scan_steps", 1)),
         device_cache=bool(tr_cfg.get("device_cache", False)),
         metrics_interval=int(tr_cfg.get("metrics_interval", 1)),

@@ -241,3 +241,17 @@ def test_predict_mean(splits, small_nets):
   q0 = qZ[0] if isinstance(qZ, tuple) else qZ
   np.testing.assert_allclose(zm[0], np.asarray(q0.mean()),
                              rtol=1e-5, atol=1e-5)
+
+
+def test_training_time_mc_samples(splits, small_nets):
+  """fit(mc_samples=S): S reparameterized draws per example in the ELBO
+  (the reference train config's sample_shape); works with analytic KL and
+  with SCALE's MC-KL mixture posterior."""
+  from sisua_tpu.models import SCALE
+  train, _ = splits
+  for cls in (VAE, SCALE):
+    m = cls(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+    m.fit(train, epochs=2, batch_size=64, mc_samples=3, valid_freq=0,
+          patience=0)
+    l = m.history["loss"]
+    assert np.isfinite(l).all() and l[-1] < l[0]
