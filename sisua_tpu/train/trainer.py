@@ -69,6 +69,15 @@ def _tree_add(a, b):
   return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _snapshot(state):
+  """Deep-copy a TrainState's buffers. The train step donates its input
+  state, so a best-state kept by reference would alias buffers that a LATER
+  step donates — rolling back to it then touches deleted arrays. A device-
+  side copy breaks the aliasing (params-sized, dispatched async)."""
+  return jax.tree_util.tree_map(
+      lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+
+
 class Trainer:
   """Drives a pure train-step core over a DataFeeder."""
 
@@ -258,7 +267,7 @@ class Trainer:
     batch_sh = self._batch_sharding(chunked=use_scan)
 
     best_loss = np.inf
-    best_state = state
+    best_state = _snapshot(state)
     wait = 0
     global_step = int(state.step)
     stop = False
@@ -343,7 +352,7 @@ class Trainer:
       monitored = logs.get("val_loss", logs.get("loss", np.inf))
       if monitored < best_loss - self.min_delta:
         best_loss = monitored
-        best_state = state
+        best_state = _snapshot(state)
         wait = 0
         if checkpoint_fn is not None:
           checkpoint_fn(state)
@@ -426,7 +435,7 @@ class Trainer:
     acc = self._init_acc(state, probe_batch, key)
 
     best_loss = np.inf
-    best_state = state
+    best_state = _snapshot(state)
     wait = 0
     interval = self.metrics_interval
     # Each window of `metrics_interval` epochs is ONE executable (epoch scan
@@ -490,7 +499,7 @@ class Trainer:
         monitored = logs.get("val_loss", logs.get("loss", np.inf))
         if monitored < best_loss - self.min_delta:
           best_loss = monitored
-          best_state = state  # post-window state (finest rollback grain)
+          best_state = _snapshot(state)  # post-window state (finest grain)
           wait = 0
           if checkpoint_fn is not None and w == window - 1:
             checkpoint_fn(state)

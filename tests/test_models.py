@@ -255,3 +255,17 @@ def test_training_time_mc_samples(splits, small_nets):
           patience=0)
     l = m.history["loss"]
     assert np.isfinite(l).all() and l[-1] < l[0]
+
+
+def test_rollback_to_stale_best_state(splits, small_nets):
+  """Regression: the train step donates its input state, so the best-state
+  snapshot must deep-copy buffers — rolling back to a best state more than
+  one dispatch old used to touch donated (deleted) arrays. lr=0 makes the
+  first epoch the permanent best; patience then forces a stale rollback."""
+  train, _ = splits
+  for kw in (dict(device_cache=True, metrics_interval=2), dict()):
+    m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+    m.fit(train, epochs=10, batch_size=64, learning_rate=0.0,
+          valid_freq=0, patience=3, allow_rollback=True, **kw)
+    pX, _ = m.predict(train.numpy()[:16])
+    assert np.isfinite(np.asarray(pX.mean())).all()
