@@ -496,6 +496,11 @@ class Trainer:
             state = best_state
           stop = True
           break
+        # when validating, monitor val_loss only (computed once per window
+        # — intermediate epochs must not compare train loss against a
+        # val-loss best); without validation, every epoch's train loss
+        if valid_feeder is not None and "val_loss" not in logs:
+          continue
         monitored = logs.get("val_loss", logs.get("loss", np.inf))
         if monitored < best_loss - self.min_delta:
           best_loss = monitored
