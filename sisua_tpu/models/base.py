@@ -550,6 +550,7 @@ class SingleCellModel:
       lib_b = jnp.asarray(lib).reshape(k, B, -1)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
+    n_latents = self.n_latents
 
     @jax.jit
     def run(params, batch_stats, xb, lib_b, keys):
@@ -558,14 +559,17 @@ class SingleCellModel:
         variables["batch_stats"] = batch_stats
       def one(args):
         x, l, kk = args
-        return module.apply(variables, x, rngs={"sample": kk},
-                            training=False, sample_shape=sample_shape,
-                            **apply_kwargs(l))
+        out = module.apply(variables, x, rngs={"sample": kk},
+                           training=False, sample_shape=sample_shape,
+                           **apply_kwargs(l))
+        # ship only what predict returns (not samples/priors/nuisances)
+        return out.outputs, out.latents[:n_latents]
       lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
       return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
 
-    out = jax.device_get(run(self._state.params, self._state.batch_stats,
-                             xb, lib_b, keys))  # ONE fetch
+    outputs, latents = jax.device_get(
+        run(self._state.params, self._state.batch_stats,
+            xb, lib_b, keys))  # ONE fetch
     ax_out = len(sample_shape)
 
     def merge(leaf, ax):
@@ -575,9 +579,8 @@ class SingleCellModel:
       leaf = leaf.reshape(s[:ax] + (s[ax] * s[ax + 1],) + s[ax + 2:])
       return leaf[(slice(None),) * ax + (slice(0, n),)]
 
-    pX = jax.tree_util.tree_map(lambda x: merge(x, ax_out), out.outputs)
-    qZ = jax.tree_util.tree_map(
-        lambda x: merge(x, 0), out.latents[:self.n_latents])
+    pX = jax.tree_util.tree_map(lambda x: merge(x, ax_out), outputs)
+    qZ = jax.tree_util.tree_map(lambda x: merge(x, 0), latents)
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
