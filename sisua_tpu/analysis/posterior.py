@@ -155,6 +155,10 @@ class Posterior(Visualizer):
     MC samples averaged with logsumexp − log S (reference :918-938)."""
     if "llk" in self._cache:
       return self._cache["llk"]
+    if self.device_cache:
+      out = self._cal_llk_on_device()
+      self._cache["llk"] = out
+      return out
     from scipy.special import logsumexp
     out = {}
     S = self.sample_shape
@@ -169,6 +173,26 @@ class Posterior(Visualizer):
             lp = logsumexp(lp, axis=0) - np.log(S)
           out[f"llk_{omic_name}_pred{tag}_data{data_tag}"] = float(lp.mean())
     self._cache["llk"] = out
+    return out
+
+  def _cal_llk_on_device(self) -> Dict[str, float]:
+    """device_cache variant of cal_llk: the 4-way LLK computes inside one
+    executable per prediction source — no distribution params ship to the
+    host (``SingleCellModel.compute_llk``)."""
+    targets = {
+        "dataorg": [self.sco_original.numpy(o) for o in self.output_omics],
+        "datacor": [self.sco_corrupted.numpy(o) for o in self.output_omics],
+    }
+    out: Dict[str, float] = {}
+    for tag, source in (("cor", self.sco_corrupted),
+                        ("org", self.sco_original)):
+      vals = self.scm.compute_llk(source, targets,
+                                  sample_shape=(self.sample_shape,),
+                                  batch_size=self.batch_size)
+      for key, v in vals.items():
+        data_tag, output_i = key.split("_output")
+        omic_name = self.output_omics[int(output_i)]
+        out[f"llk_{omic_name}_pred{tag}_{data_tag}"] = v
     return out
 
   def cal_marginal_llk(self, sample_shape: int = 100) -> Dict[str, float]:

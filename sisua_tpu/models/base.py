@@ -641,6 +641,84 @@ class SingleCellModel:
       return leaf.reshape(k * B, *leaf.shape[2:])[:n]
     return ([unstack(m) for m in x_means], [unstack(m) for m in z_means])
 
+  def compute_llk(self, inputs, targets: Dict[str, Sequence],
+                  sample_shape: Tuple[int, ...] = (),
+                  batch_size: int = 256) -> Dict[str, float]:
+    """Mean per-cell log-likelihood of each (tagged) target set under the
+    posterior predictive, computed entirely ON DEVICE in one executable.
+
+    ``targets``: tag → list of per-output target matrices (n × d_i). MC
+    sample dims are collapsed with logsumexp − log S. Returns
+    ``{f"{tag}_output{i}": mean_llk}``. This is Posterior.cal_llk's 4-way
+    computation without shipping distribution parameters to the host."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
+    sample_shape = tuple(sample_shape) if not isinstance(
+        sample_shape, int) else (sample_shape,)
+    n = feeder.n_obs
+    B = feeder.batch_size
+    k = -(-n // B)
+    n_pad = k * B
+    rows = np.arange(n, dtype=np.int64)
+
+    def densify(src_like):
+      from scipy import sparse as _sp
+      if hasattr(src_like, "gather"):
+        buf = np.zeros((n_pad, src_like.shape[1]), np.float32)
+        src_like.gather(rows, out=buf[:n])
+        return buf
+      a = np.asarray(src_like.todense() if _sp.issparse(src_like)
+                     else src_like, np.float32)
+      buf = np.zeros((n_pad, a.shape[1]), np.float32)
+      buf[:n] = a
+      return buf
+
+    inputs_np = [jnp.asarray(densify(src)) for src in feeder.sources]
+    x_full = self._module_input(inputs_np)
+    xb = x_full.reshape(k, B, x_full.shape[-1])
+    lib_b = None
+    if feeder.library is not None:
+      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
+      lib[:n] = feeder.library
+      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    tags = list(targets)
+    tgt_b = {t: [jnp.asarray(densify(m)).reshape(k, B, -1)
+                 for m in targets[t]] for t in tags}
+    row_mask = np.zeros((n_pad,), np.float32)
+    row_mask[:n] = 1.0
+    mask_b = jnp.asarray(row_mask).reshape(k, B)
+    keys = jax.random.split(self._next_key(), k)
+    module, apply_kwargs = self.module, self._apply_kwargs
+    S = int(np.prod(sample_shape)) if sample_shape else 1
+
+    @jax.jit
+    def run(params, batch_stats, xb, lib_b, tgt_b, mask_b, keys):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      def one(args):
+        x, l, tgts, msk, kk = args
+        out = module.apply(variables, x, rngs={"sample": kk},
+                           training=False, sample_shape=sample_shape,
+                           **apply_kwargs(l))
+        res = {}
+        for t, mats in tgts.items():
+          for i, (pX, m) in enumerate(zip(out.outputs, mats)):
+            lp = pX.log_prob(m)                       # (S…, B)
+            if lp.ndim > 1:
+              lp = jax.scipy.special.logsumexp(
+                  lp.reshape(-1, lp.shape[-1]), axis=0) - jnp.log(float(S))
+            res[f"{t}_output{i}"] = jnp.sum(lp * msk)
+        return res
+      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
+      sums = jax.lax.map(lambda a: one(a),
+                         (xb, lib_in, tgt_b, mask_b, keys))
+      return {kk: jnp.sum(v) for kk, v in sums.items()}
+
+    sums = jax.device_get(run(self._state.params, self._state.batch_stats,
+                              xb, lib_b, tgt_b, mask_b, keys))
+    return {kk: float(v) / n for kk, v in sums.items()}
+
   def marginal_log_prob(self, inputs, sample_shape: int = 100,
                         batch_size: int = 32) -> np.ndarray:
     """Importance-weighted marginal log-likelihood

@@ -162,3 +162,20 @@ def test_posterior_no_factor_omics():
   assert post.factor_omics == []
   assert post.cal_spearman() == {} and post.cal_mig() == {}
   assert "imputation_med" in post.save_scores()
+
+
+def test_cal_llk_on_device_matches_host(splits, small_nets):
+  """Posterior(device_cache=True) computes the 4-way LLK inside one
+  executable per prediction source (no distribution params shipped to the
+  host); values match the host path within MC noise."""
+  from sisua_tpu.models import VAE, RVmeta
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=3, batch_size=64)
+  host = m.create_posterior(test, sample_shape=10).cal_llk()
+  dev = m.create_posterior(test, sample_shape=10,
+                           device_cache=True).cal_llk()
+  assert set(host) == set(dev)
+  for k in host:
+    assert abs(host[k] - dev[k]) / max(abs(host[k]), 1.0) < 0.05, \
+        (k, host[k], dev[k])
