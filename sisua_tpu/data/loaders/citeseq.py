@@ -56,8 +56,8 @@ def _load_citeseq(which: str, filtered_genes: bool, override: bool,
     # keep human cells: study prefixes genes HUMAN_/MOUSE_
     human_genes = [g for g in rna.index if str(g).startswith("HUMAN_")]
     if human_genes:
-      human_counts = rna.loc[human_genes].sum(0)
-      total_counts = rna.sum(0)
+      human_counts = rna.loc[human_genes].sum(axis=0)
+      total_counts = rna.sum(axis=0)
       keep_cells = (human_counts / total_counts) > 0.9
       rna = rna.loc[human_genes, keep_cells]
       adt = adt.loc[:, keep_cells]

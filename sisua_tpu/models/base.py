@@ -325,6 +325,9 @@ class SingleCellModel:
                           training=True, aux_params=state.aux_params)
       (loss, (metrics, new_bs, _)), grads = jax.value_and_grad(
           loss_fn, has_aux=True)(state.params)
+      if getattr(self, "_track_grad_norms", False):
+        # reference train-config `track_gradient_norms` (configs/base.yaml:62)
+        metrics["grad_norm"] = optax.global_norm(grads)
       updates, new_opt = tx.update(grads, state.opt_state, state.params)
       new_params = optax.apply_updates(state.params, updates)
       new_state = state.replace(step=state.step + 1, params=new_params,
@@ -387,6 +390,8 @@ class SingleCellModel:
           labels_percent: float = 0.8,
           valid_freq: int = 500,
           patience: int = 20,
+          min_delta: float = 1e-4,
+          track_gradient_norms: bool = False,
           terminate_on_nan: bool = True,
           allow_rollback: bool = True,
           max_iter: Optional[int] = None,
@@ -408,6 +413,7 @@ class SingleCellModel:
     if not self.is_semi_supervised:
       labels_percent = 0.0
     self._train_mc_samples = int(mc_samples)
+    self._track_grad_norms = bool(track_gradient_norms)
     train_feeder = self._to_feeder(train, batch_size, labels_percent)
     valid_feeder = (self._to_feeder(valid, batch_size, 1.0, shuffle=False)
                     if valid is not None else None)
@@ -415,7 +421,8 @@ class SingleCellModel:
     trainer = Trainer(step_core=None, eval_fn=None, optimizer=optimizer,
                       learning_rate=learning_rate, clipnorm=clipnorm,
                       beta=self.beta, valid_freq=valid_freq,
-                      patience=patience, terminate_on_nan=terminate_on_nan,
+                      patience=patience, min_delta=min_delta,
+                      terminate_on_nan=terminate_on_nan,
                       allow_rollback=allow_rollback, max_iter=max_iter,
                       scan_steps=scan_steps, device_cache=device_cache,
                       metrics_interval=metrics_interval,

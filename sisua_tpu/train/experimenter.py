@@ -301,6 +301,8 @@ class SisuaExperimenter(Experimenter):
         labels_percent=float(ds_cfg.get("labels_percent", 0.0)),
         valid_freq=int(tr_cfg.get("valid_freq", 500)),
         patience=int(tr_cfg.get("earlystop_patience", 20)),
+        min_delta=float(tr_cfg.get("earlystop_threshold", 1e-4)),
+        track_gradient_norms=bool(tr_cfg.get("track_gradient_norms", False)),
         terminate_on_nan=bool(tr_cfg.get("terminate_on_nan", True)),
         allow_rollback=bool(tr_cfg.get("allow_rollback", True)),
         max_iter=None if max_iter <= 0 else max_iter,

@@ -169,6 +169,22 @@ def test_kl_warmup_schedule(splits, small_nets):
   assert betas[0] < betas[-1] <= 1.0
 
 
+def test_track_gradient_norms(splits, small_nets):
+  """configs/base.yaml `track_gradient_norms` records per-epoch mean
+  global grad-norm into history (finite, positive)."""
+  train, _ = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m.fit(train, epochs=3, batch_size=64, track_gradient_norms=True)
+  gn = np.asarray(m.history["grad_norm"])
+  assert gn.shape == (3,) and np.isfinite(gn).all() and (gn > 0).all()
+  # device-resident path tracks it too
+  m2 = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  m2.fit(train, epochs=3, batch_size=64, track_gradient_norms=True,
+         device_cache=True, metrics_interval=2)
+  gn2 = np.asarray(m2.history["grad_norm"])
+  assert gn2.shape == (3,) and np.isfinite(gn2).all() and (gn2 > 0).all()
+
+
 def test_nan_seed_sweep(splits, small_nets):
   """Regression: training must stay finite across seeds (the feeder race
   produced ~30% NaN runs before the fix)."""
