@@ -399,6 +399,7 @@ class SingleCellModel:
           checkpoint_path: Optional[str] = None,
           scan_steps: int = 1,
           device_cache: bool = False,
+          device_dtype: str = "float32",
           metrics_interval: int = 1,
           mesh=None,
           profile_dir: Optional[str] = None,
@@ -425,6 +426,7 @@ class SingleCellModel:
                       terminate_on_nan=terminate_on_nan,
                       allow_rollback=allow_rollback, max_iter=max_iter,
                       scan_steps=scan_steps, device_cache=device_cache,
+                      device_dtype=device_dtype,
                       metrics_interval=metrics_interval,
                       mesh=mesh, verbose=verbose)
     tx = trainer.make_optimizer()

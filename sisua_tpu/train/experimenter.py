@@ -311,6 +311,7 @@ class SisuaExperimenter(Experimenter):
         mc_samples=_mc_from_sample_shape(tr_cfg.get("sample_shape", [])),
         scan_steps=int(tr_cfg.get("scan_steps", 1)),
         device_cache=bool(tr_cfg.get("device_cache", False)),
+        device_dtype=str(tr_cfg.get("device_dtype", "float32")),
         metrics_interval=int(tr_cfg.get("metrics_interval", 1)),
         verbose=bool(cfg.get("verbose", False)))
     model.save_weights(os.path.join(exp_dir, "model"))

@@ -96,6 +96,7 @@ class Trainer:
                max_iter: Optional[int] = None,
                scan_steps: int = 1,
                device_cache: bool = False,
+               device_dtype: str = "float32",
                metrics_interval: int = 1,
                mesh=None,
                verbose: bool = False):
@@ -113,6 +114,10 @@ class Trainer:
     self.max_iter = max_iter
     self.scan_steps = max(1, int(scan_steps))
     self.device_cache = bool(device_cache)
+    if device_dtype not in ("float32", "bfloat16", "int16"):
+      raise ValueError(f"device_dtype must be float32|bfloat16|int16, "
+                       f"got {device_dtype!r}")
+    self.device_dtype = device_dtype
     self.metrics_interval = max(1, int(metrics_interval))
     self.verbose = bool(verbose)
     self.mesh = mesh
@@ -195,7 +200,11 @@ class Trainer:
         st, ac = carry
         i, kk = scan_in
         rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-        batch = {"inputs": [_constrain(jnp.take(x, rows, axis=0), row_sh)
+        # the HBM-resident matrices may be stored compressed (bf16/int16,
+        # see device_dtype) — gather the narrow rows, then widen to f32
+        # for the likelihood math (a free no-op when stored as f32)
+        batch = {"inputs": [_constrain(
+                     jnp.take(x, rows, axis=0).astype(jnp.float32), row_sh)
                             for x in xs],
                  "mask": _constrain(jnp.take(mask_all, rows, axis=0),
                                     mask_sh)}
@@ -377,8 +386,10 @@ class Trainer:
     """Whether the densified dataset fits the device-memory budget (half of
     HBM by default — params, activations, and the donation double-buffer
     need the rest). Falls back to a 16 GB assumption when the runtime
-    doesn't report a limit. Sharding over a data mesh divides the cost."""
-    dense_bytes = sum(4 * feeder.n_obs * src.shape[1]
+    doesn't report a limit. Sharding over a data mesh divides the cost;
+    compressed storage (device_dtype bf16/int16) halves it."""
+    itemsize = 4 if self.device_dtype == "float32" else 2
+    dense_bytes = sum(itemsize * feeder.n_obs * src.shape[1]
                       for src in feeder.sources)
     n_data = 1
     if self.mesh is not None:
@@ -413,8 +424,19 @@ class Trainer:
     xs = []
     for src in train_feeder.sources:
       rows = np.arange(n, dtype=np.int64)
-      xs.append(_put(src.gather(
-          rows, out=np.empty((n, src.shape[1]), np.float32))))
+      dense = src.gather(rows, out=np.empty((n, src.shape[1]), np.float32))
+      if self.device_dtype == "int16":
+        # exact for integer counts < 32768 (the usual scRNA-seq regime);
+        # refuse silent corruption otherwise
+        if dense.max() >= 32768 or np.any(dense != np.round(dense)):
+          raise ValueError(
+              "device_dtype='int16' needs integer counts < 32768; use "
+              "'bfloat16' (lossy) or 'float32' for this dataset")
+        dense = dense.astype(np.int16)
+      elif self.device_dtype == "bfloat16":
+        import ml_dtypes
+        dense = dense.astype(ml_dtypes.bfloat16)
+      xs.append(_put(dense))
     library = (_put(train_feeder.library)
                if train_feeder.library is not None else None)
     if multichip:
@@ -428,7 +450,7 @@ class Trainer:
     epoch_fn, epoch_body = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=library is not None)
     steps_per_epoch = n // B
-    probe_batch = {"inputs": [x[:B] for x in xs],
+    probe_batch = {"inputs": [x[:B].astype(jnp.float32) for x in xs],
                    "mask": jnp.ones((B,), jnp.float32)}
     if library is not None:
       probe_batch["library"] = library[:B]

@@ -185,6 +185,31 @@ def test_track_gradient_norms(splits, small_nets):
   assert gn2.shape == (3,) and np.isfinite(gn2).all() and (gn2 > 0).all()
 
 
+def test_device_dtype_compressed_cache(splits, small_nets):
+  """device_dtype stores the HBM-resident dataset compressed (int16/bf16):
+  training stays finite and lands near the float32 run; int16 refuses
+  non-integer data instead of silently corrupting it."""
+  train, _ = splits
+  finals = {}
+  for dd in ("float32", "int16", "bfloat16"):
+    m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=1, **small_nets)
+    m.fit(train, epochs=4, batch_size=64, device_cache=True,
+          device_dtype=dd)
+    loss = np.asarray(m.history["loss"])
+    assert np.isfinite(loss).all() and loss[-1] < loss[0], (dd, loss)
+    finals[dd] = loss[-1]
+  # counts <32768 are exact in int16 → same trajectory modulo PRNG use
+  assert abs(finals["int16"] - finals["float32"]) < 0.05 * finals["float32"]
+  assert abs(finals["bfloat16"] - finals["float32"]) \
+      < 0.05 * finals["float32"]
+  # non-integer data must be rejected for int16
+  m = VAE(RVmeta(8, "mse", name="rna"), log_norm=False, **small_nets)
+  bad = np.random.default_rng(0).uniform(0, 3, (128, 8)).astype(np.float32)
+  with pytest.raises(ValueError, match="int16"):
+    m.fit(bad, epochs=1, batch_size=32, device_cache=True,
+          device_dtype="int16")
+
+
 def test_nan_seed_sweep(splits, small_nets):
   """Regression: training must stay finite across seeds (the feeder race
   produced ~30% NaN runs before the fix)."""
