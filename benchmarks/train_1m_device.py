@@ -89,11 +89,14 @@ def main():
     te = time.perf_counter()
     key, sub = jax.random.split(key)
     if window > 1:
-      state, acc = win_fn(state, acc, [X], library, sub)
+      # window_fn returns per-epoch metric sums stacked (window, ...);
+      # `acc` is only the zero template (not donated) — reuse it as-is
+      state, accs = win_fn(state, acc, [X], library, sub)
+      sums = jax.device_get(accs)
     else:
       state, acc = epoch_fn(state, acc, [X], library, sub)
-    sums = jax.device_get(acc)
-    acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
+      sums = jax.device_get(acc)
+      acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
     dt = time.perf_counter() - te
     rate = N * window / dt
     if w > 0:

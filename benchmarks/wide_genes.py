@@ -79,9 +79,10 @@ def main():
     for w in range(EPOCHS // WINDOW):
       te = time.perf_counter()
       key, sub = jax.random.split(key)
-      state, acc = win(state, acc, [X], library, sub)
-      sums = jax.device_get(acc)
-      acc = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), acc)
+      # window_fn returns per-epoch metric sums stacked (WINDOW, ...);
+      # `acc` is only the zero template (not donated) — reuse it as-is
+      state, accs = win(state, acc, [X], library, sub)
+      sums = jax.device_get(accs)
       dt = time.perf_counter() - te
       rate = N * WINDOW / dt
       loss = float(np.sum(sums["loss"])) / ((N // BATCH) * WINDOW)
