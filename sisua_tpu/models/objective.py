@@ -35,8 +35,17 @@ Array = jax.Array
 
 # Fused-kernel size gate: the Pallas ZINB row-sum beats XLA's fusion only in
 # the bandwidth-bound regime (measured on v5e: ~12% faster at 4096×2048,
-# slower below ~2M elements where call overhead dominates).
+# slower below ~2M elements where call overhead dominates). End-to-end at
+# 512×33k (SCVI zinbd) the two are within ~5% steady-state (XLA slightly
+# ahead) but the Pallas executable compiles ~8× faster (8.6s vs 68s per
+# train executable on v5e) — worth it for interactive/short runs.
+# Override with SISUA_TPU_FUSED_LIKELIHOOD=on|off|auto (default auto).
 _PALLAS_MIN_ELEMENTS = 4_000_000
+
+
+def _pallas_mode() -> str:
+  import os
+  return os.environ.get("SISUA_TPU_FUSED_LIKELIHOOD", "auto").lower()
 
 
 def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
@@ -45,11 +54,13 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
   parameterizations route: logits ('zinb'/'nb' heads) directly, and
   mean/dispersion ('zinbd'/'nbd' — SCVI's decode) via the exact remap
   NB(μ, θ) = NB(total_count=θ, logits=log μ − log θ)."""
-  if (isinstance(dist, D.Independent)
+  mode = _pallas_mode()
+  if (mode != "off"
+      and isinstance(dist, D.Independent)
       and dist.reinterpreted_batch_ndims == 1
       and x.ndim == 2
       and x.shape[0] % 8 == 0
-      and x.size >= _PALLAS_MIN_ELEMENTS):
+      and (mode == "on" or x.size >= _PALLAS_MIN_ELEMENTS)):
     base = dist.base
     zi = isinstance(base, D.ZeroInflated)
     count = base.count_distribution if zi else base

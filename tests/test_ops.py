@@ -78,6 +78,29 @@ def test_objective_fast_path_consistency(sco):
                              np.asarray(dist.log_prob(x)), rtol=1e-5)
 
 
+def test_fused_likelihood_env_override(monkeypatch):
+  """SISUA_TPU_FUSED_LIKELIHOOD=off must route around the Pallas kernel
+  entirely; =on forces routing below the size gate (numerics unchanged —
+  on CPU the pallas_available() check still falls back to dist math)."""
+  from sisua_tpu.models import objective
+  from sisua_tpu.models.objective import _fast_log_prob
+  import sisua_tpu.dist as D
+  rng = np.random.default_rng(7)
+  x = jnp.asarray(rng.poisson(2, (16, 30)).astype(np.float32))
+  r = jnp.exp(jnp.asarray(rng.normal(0, 1, (16, 30)), jnp.float32))
+  dist = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomial(total_count=r,
+                                            logits=jnp.zeros((16, 30))),
+      gate_logits=jnp.zeros((16, 30))), 1)
+  ref = np.asarray(dist.log_prob(x))
+  for mode in ("off", "on", "auto"):
+    monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", mode)
+    np.testing.assert_allclose(np.asarray(_fast_log_prob(dist, x)), ref,
+                               rtol=1e-5)
+  monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", "nonsense")
+  assert objective._pallas_mode() == "nonsense"  # treated as not-off/on
+
+
 def test_disp_parameterization_remap_exact():
   """NB(mean μ, dispersion θ) == NB(total_count=θ, logits=log μ − log θ):
   the remap that routes 'zinbd'/'nbd' heads through the fused kernel."""
