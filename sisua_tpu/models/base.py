@@ -650,6 +650,64 @@ class SingleCellModel:
       return leaf.reshape(k * B, *leaf.shape[2:])[:n]
     return ([unstack(m) for m in x_means], [unstack(m) for m in z_means])
 
+  def get_normalized_expression(self, inputs,
+                                sample_shape: Tuple[int, ...] = (),
+                                batch_size: int = 256,
+                                output_index: int = 0) -> np.ndarray:
+    """Library-size-free denoised expression: each posterior draw's output
+    mean normalized to row proportions, MC-averaged on device → (n, d).
+
+    For SCVI/TotalVI decoders this is exactly ``px_scale`` (the decoder
+    emits ``px_rate = exp(L)·softmax(scale)``, so row-normalizing the mean
+    divides the sampled library back out) — the scvi-tools
+    ``get_normalized_expression`` surface. For other families it is the
+    mean-proportion denoised profile (reference ``scvi.py:128-171``)."""
+    self._ensure_initialized()
+    feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
+    sample_shape = tuple(sample_shape) if not isinstance(
+        sample_shape, int) else (sample_shape,)
+    n = feeder.n_obs
+    B = feeder.batch_size
+    k = -(-n // B)
+    n_pad = k * B
+    rows = np.arange(n, dtype=np.int64)
+    inputs_np = []
+    for src in feeder.sources:
+      buf = np.zeros((n_pad, src.shape[1]), np.float32)
+      src.gather(rows, out=buf[:n])
+      inputs_np.append(jnp.asarray(buf))
+    x_full = self._module_input(inputs_np)
+    xb = x_full.reshape(k, B, x_full.shape[-1])
+    lib_b = None
+    if feeder.library is not None:
+      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
+      lib[:n] = feeder.library
+      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    keys = jax.random.split(self._next_key(), k)
+    module, apply_kwargs = self.module, self._apply_kwargs
+    mc_axes = tuple(range(len(sample_shape)))
+    idx = int(output_index)
+
+    @jax.jit
+    def run(params, batch_stats, xb, lib_b, keys):
+      variables = {"params": params}
+      if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+      def one(args):
+        x, l, kk = args
+        out = module.apply(variables, x, rngs={"sample": kk},
+                           training=False, sample_shape=sample_shape,
+                           **apply_kwargs(l))
+        m = out.outputs[idx].mean()
+        scale = m / jnp.sum(m, axis=-1, keepdims=True)  # per-draw proportions
+        return jnp.mean(scale, axis=mc_axes) if mc_axes else scale
+      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
+      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+
+    scale = jax.device_get(run(self._state.params, self._state.batch_stats,
+                               xb, lib_b, keys))
+    return scale.reshape(k * B, -1)[:n]
+
   def compute_llk(self, inputs, targets: Dict[str, Sequence],
                   sample_shape: Tuple[int, ...] = (),
                   batch_size: int = 256) -> Dict[str, float]:

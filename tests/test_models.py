@@ -284,6 +284,28 @@ def test_predict_mean(splits, small_nets):
                              rtol=1e-5, atol=1e-5)
 
 
+def test_get_normalized_expression(splits, small_nets):
+  """Rows are proportions (sum to 1); for SCVI it equals px_scale — the
+  output mean divided by the sampled library exp(L)."""
+  train, test = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"),
+           latents=RVmeta(6, "diag", name="latents"))
+  m.fit(train, epochs=2, batch_size=64)
+  scale = m.get_normalized_expression(test, sample_shape=(3,),
+                                      batch_size=128)
+  assert scale.shape == (test.n_obs, train.n_vars)
+  assert np.isfinite(scale).all() and (scale >= 0).all()
+  np.testing.assert_allclose(scale.sum(-1), 1.0, rtol=1e-4)
+  # deterministic check without MC: row-normalized predict mean == scale
+  import jax
+  m._rng = jax.random.PRNGKey(7)
+  scale0 = m.get_normalized_expression(test, batch_size=128)
+  m._rng = jax.random.PRNGKey(7)
+  (x_means, _) = m.predict_mean(test, batch_size=128)
+  ref = x_means[0] / x_means[0].sum(-1, keepdims=True)
+  np.testing.assert_allclose(scale0, ref, rtol=1e-5)
+
+
 def test_training_time_mc_samples(splits, small_nets):
   """fit(mc_samples=S): S reparameterized draws per example in the ELBO
   (the reference train config's sample_shape); works with analytic KL and
