@@ -466,7 +466,6 @@ class Trainer:
     # per-epoch. A trailing partial window reuses the single-epoch executable.
     window_fn = (self._build_window_fn(epoch_body, interval)
                  if interval > 1 and epochs >= interval else None)
-    t_window = time.perf_counter()
     epoch = -1
     stop = False
     while epoch + 1 < epochs and not stop:
@@ -478,6 +477,10 @@ class Trainer:
         for cb in callbacks:
           cb.on_epoch_begin(e, base_logs)
       key, sub = jax.random.split(key)
+      # time the dispatch + fetch only: host-side bookkeeping between
+      # windows (callbacks, best-state snapshot) must not be charged to
+      # the next window's throughput
+      t_window = time.perf_counter()
       if window > 1:
         state, accs = window_fn(state, acc, xs, library, sub)
         sums = jax.device_get(accs)  # per-epoch sums, leaves (window, …)
@@ -487,13 +490,16 @@ class Trainer:
         acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
         sums = {k: np.asarray(v)[None] for k, v in sums_1.items()}
       dt = (time.perf_counter() - t_window) / window
-      t_window = time.perf_counter()
       self._timings.append(dt)
       if model is not None:
         model._state = state
       val: Dict[str, float] = {}
       if valid_feeder is not None:
         val = self.evaluate(state, valid_feeder, key)
+      # every epoch in the window monitors the SAME post-window state, so
+      # at most one snapshot is ever needed per window (each _snapshot is
+      # a dispatch RPC on remote-attached chips — 1 beats `window`)
+      window_snapshot = None
       # one fetch per window; one history entry per EPOCH
       for w in range(window):
         epoch += 1
@@ -526,7 +532,9 @@ class Trainer:
         monitored = logs.get("val_loss", logs.get("loss", np.inf))
         if monitored < best_loss - self.min_delta:
           best_loss = monitored
-          best_state = _snapshot(state)  # post-window state (finest grain)
+          if window_snapshot is None:
+            window_snapshot = _snapshot(state)  # post-window (finest grain)
+          best_state = window_snapshot
           wait = 0
           if checkpoint_fn is not None and w == window - 1:
             checkpoint_fn(state)
