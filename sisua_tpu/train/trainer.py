@@ -69,13 +69,25 @@ def _tree_add(a, b):
   return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _copy_leaf(x):
+  return x.copy() if isinstance(x, jax.Array) else x
+
+
+# All copies fused into ONE executable → one dispatch RPC per snapshot on
+# remote-attached chips (a per-leaf copy is ~20 dispatches).
+_snapshot_fused = jax.jit(
+    lambda s: jax.tree_util.tree_map(_copy_leaf, s))
+
+
 def _snapshot(state):
   """Deep-copy a TrainState's buffers. The train step donates its input
   state, so a best-state kept by reference would alias buffers that a LATER
   step donates — rolling back to it then touches deleted arrays. A device-
   side copy breaks the aliasing (params-sized, dispatched async)."""
-  return jax.tree_util.tree_map(
-      lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+  try:
+    return _snapshot_fused(state)
+  except Exception:  # unjittable leaf (e.g. a host object) → per-leaf copy
+    return jax.tree_util.tree_map(_copy_leaf, state)
 
 
 class Trainer:
