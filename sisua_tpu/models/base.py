@@ -114,6 +114,7 @@ class SingleCellModel:
     self._state: Optional[TrainState] = None
     self.trainer: Optional[Trainer] = None
     self._rng = jax.random.PRNGKey(self.seed)
+    self._jit_cache: Dict = {}
     self._init_kwargs_for_save = dict(
         outputs=outputs, latents=latents, encoder=encoder, decoder=decoder,
         log_norm=log_norm, beta=getattr(self.beta, "vmax", 1.0), alpha=alpha,
@@ -457,7 +458,7 @@ class SingleCellModel:
       for k, v in trainer.history.items():
         self.trainer.history.setdefault(k, []).extend(v)
       self.trainer._timings.extend(trainer._timings)
-      self.trainer.step_fn = trainer.step_fn
+      self.trainer.step_core = trainer.step_core
       self.trainer.eval_fn = trainer.eval_fn
     return self
 
@@ -473,7 +474,7 @@ class SingleCellModel:
     fit/predict; mask = 1 as in validation)."""
     self._ensure_initialized()
     feeder = self._to_feeder(data, batch_size, 1.0, shuffle=False)
-    eval_step = self.make_eval_step()
+    eval_step = self._cached_jit(("eval_step",), self.make_eval_step)
     agg: Dict[str, list] = {}
     n = 0
     for batch in feeder.full_batches():
@@ -485,6 +486,46 @@ class SingleCellModel:
     return {k: float(np.sum(v) / n) for k, v in agg.items()}
 
   # ---------------------------------------------------------------- predict
+  def _cached_jit(self, cache_key, builder):
+    """Per-model cache of jitted closures. A fresh ``@jax.jit`` per call
+    would recompile on EVERY invocation (jit's cache is keyed on the
+    function object); cached callables re-specialize only on new input
+    shapes. ``cache_key`` must cover every non-array value the closure
+    bakes into the trace (sample_shape, output index, …)."""
+    fn = self._jit_cache.get(cache_key)
+    if fn is None:
+      fn = self._jit_cache[cache_key] = builder()
+    return fn
+
+  @staticmethod
+  def _pad_to_batches(mat, k: int, B: int, n: int):
+    """Pad an (n, d) matrix (dense/sparse/gatherable) to k·B rows and
+    reshape to (k, B, d) device batches."""
+    from scipy import sparse as _sp
+    if hasattr(mat, "gather"):
+      buf = np.zeros((k * B, mat.shape[1]), np.float32)
+      mat.gather(np.arange(n, dtype=np.int64), out=buf[:n])
+    else:
+      a = np.asarray(mat.todense() if _sp.issparse(mat) else mat,
+                     np.float32)
+      buf = np.zeros((k * B, a.shape[1]), np.float32)
+      buf[:n] = a
+    return jnp.asarray(buf).reshape(k, B, -1)
+
+  def _device_batches(self, feeder):
+    """Densify the feeder's sources into full (k, B, d) device batches:
+    returns ``(xb, lib_b, k, B, n)`` (last batch zero-padded; trim to n
+    after the fetch). Shared by every device-cached inference path."""
+    n = feeder.n_obs
+    B = feeder.batch_size
+    k = -(-n // B)
+    xs = [self._pad_to_batches(src, k, B, n) for src in feeder.sources]
+    x_full = self._module_input([x.reshape(k * B, -1) for x in xs])
+    xb = x_full.reshape(k, B, x_full.shape[-1])
+    lib_b = (self._pad_to_batches(feeder.library, k, B, n)
+             if feeder.library is not None else None)
+    return xb, lib_b, k, B, n
+
   def predict(self,
               inputs,
               sample_shape: Tuple[int, ...] = (),
@@ -505,14 +546,18 @@ class SingleCellModel:
     if device_cache:
       return self._predict_device_cached(feeder, sample_shape)
 
-    @partial(jax.jit, static_argnames=("training",))
-    def fwd(params, batch_stats, x, library, key, training=False):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      return self.module.apply(
-          variables, x, rngs={"sample": key}, training=training,
-          sample_shape=sample_shape, **self._apply_kwargs(library))
+    def _build_fwd():
+      @partial(jax.jit, static_argnames=("training",))
+      def fwd(params, batch_stats, x, library, key, training=False):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        return self.module.apply(
+            variables, x, rngs={"sample": key}, training=training,
+            sample_shape=sample_shape, **self._apply_kwargs(library))
+      return fwd
+
+    fwd = self._cached_jit(("predict_fwd", sample_shape), _build_fwd)
 
     outs: List[VAEOutput] = []
     for batch in feeder.full_batches():
@@ -540,42 +585,30 @@ class SingleCellModel:
 
   def _predict_device_cached(self, feeder, sample_shape: Tuple[int, ...]):
     """All-batches-in-one-executable inference (see predict)."""
-    n = feeder.n_obs
-    B = feeder.batch_size
-    k = -(-n // B)        # ceil: last batch zero-padded, trimmed after
-    n_pad = k * B
-    rows = np.arange(n, dtype=np.int64)
-    inputs = []
-    for src in feeder.sources:
-      buf = np.zeros((n_pad, src.shape[1]), np.float32)
-      src.gather(rows, out=buf[:n])
-      inputs.append(jnp.asarray(buf))
-    x_full = self._module_input(inputs)
-    xb = x_full.reshape(k, B, x_full.shape[-1])
-    lib_b = None
-    if feeder.library is not None:
-      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
-      lib[:n] = feeder.library
-      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    xb, lib_b, k, B, n = self._device_batches(feeder)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
 
-    @jax.jit
-    def run(params, batch_stats, xb, lib_b, keys):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      def one(args):
-        x, l, kk = args
-        out = module.apply(variables, x, rngs={"sample": kk},
-                           training=False, sample_shape=sample_shape,
-                           **apply_kwargs(l))
-        # ship only what predict returns (not samples/priors/nuisances)
-        return out.outputs, out.latents[:n_latents]
-      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
-      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+    def _build_run():
+      @jax.jit
+      def run(params, batch_stats, xb, lib_b, keys):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        def one(args):
+          x, l, kk = args
+          out = module.apply(variables, x, rngs={"sample": kk},
+                             training=False, sample_shape=sample_shape,
+                             **apply_kwargs(l))
+          # ship only what predict returns (not samples/priors/nuisances)
+          return out.outputs, out.latents[:n_latents]
+        lib_in = lib_b if lib_b is not None else \
+            jnp.zeros((xb.shape[0], xb.shape[1], 0))
+        return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+      return run
 
+    run = self._cached_jit(("predict_dc", sample_shape), _build_run)
     outputs, latents = jax.device_get(
         run(self._state.params, self._state.batch_stats,
             xb, lib_b, keys))  # ONE fetch
@@ -605,45 +638,33 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    n = feeder.n_obs
-    B = feeder.batch_size
-    k = -(-n // B)
-    n_pad = k * B
-    rows = np.arange(n, dtype=np.int64)
-    inputs_np = []
-    for src in feeder.sources:
-      buf = np.zeros((n_pad, src.shape[1]), np.float32)
-      src.gather(rows, out=buf[:n])
-      inputs_np.append(jnp.asarray(buf))
-    x_full = self._module_input(inputs_np)
-    xb = x_full.reshape(k, B, x_full.shape[-1])
-    lib_b = None
-    if feeder.library is not None:
-      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
-      lib[:n] = feeder.library
-      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    xb, lib_b, k, B, n = self._device_batches(feeder)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
     mc_axes = tuple(range(len(sample_shape)))
 
-    @jax.jit
-    def run(params, batch_stats, xb, lib_b, keys):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      def one(args):
-        x, l, kk = args
-        out = module.apply(variables, x, rngs={"sample": kk},
-                           training=False, sample_shape=sample_shape,
-                           **apply_kwargs(l))
-        x_means = tuple(jnp.mean(p.mean(), axis=mc_axes) if mc_axes
-                        else p.mean() for p in out.outputs)
-        z_means = tuple(q.mean() for q in out.latents[:n_latents])
-        return x_means, z_means
-      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
-      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+    def _build_run():
+      @jax.jit
+      def run(params, batch_stats, xb, lib_b, keys):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        def one(args):
+          x, l, kk = args
+          out = module.apply(variables, x, rngs={"sample": kk},
+                             training=False, sample_shape=sample_shape,
+                             **apply_kwargs(l))
+          x_means = tuple(jnp.mean(p.mean(), axis=mc_axes) if mc_axes
+                          else p.mean() for p in out.outputs)
+          z_means = tuple(q.mean() for q in out.latents[:n_latents])
+          return x_means, z_means
+        lib_in = lib_b if lib_b is not None else \
+            jnp.zeros((xb.shape[0], xb.shape[1], 0))
+        return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+      return run
 
+    run = self._cached_jit(("predict_mean", sample_shape), _build_run)
     x_means, z_means = jax.device_get(
         run(self._state.params, self._state.batch_stats, xb, lib_b, keys))
     def unstack(leaf):  # (k, B, d) → (n, d)
@@ -666,44 +687,32 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    n = feeder.n_obs
-    B = feeder.batch_size
-    k = -(-n // B)
-    n_pad = k * B
-    rows = np.arange(n, dtype=np.int64)
-    inputs_np = []
-    for src in feeder.sources:
-      buf = np.zeros((n_pad, src.shape[1]), np.float32)
-      src.gather(rows, out=buf[:n])
-      inputs_np.append(jnp.asarray(buf))
-    x_full = self._module_input(inputs_np)
-    xb = x_full.reshape(k, B, x_full.shape[-1])
-    lib_b = None
-    if feeder.library is not None:
-      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
-      lib[:n] = feeder.library
-      lib_b = jnp.asarray(lib).reshape(k, B, -1)
+    xb, lib_b, k, B, n = self._device_batches(feeder)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     mc_axes = tuple(range(len(sample_shape)))
     idx = int(output_index)
 
-    @jax.jit
-    def run(params, batch_stats, xb, lib_b, keys):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      def one(args):
-        x, l, kk = args
-        out = module.apply(variables, x, rngs={"sample": kk},
-                           training=False, sample_shape=sample_shape,
-                           **apply_kwargs(l))
-        m = out.outputs[idx].mean()
-        scale = m / jnp.sum(m, axis=-1, keepdims=True)  # per-draw proportions
-        return jnp.mean(scale, axis=mc_axes) if mc_axes else scale
-      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
-      return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+    def _build_run():
+      @jax.jit
+      def run(params, batch_stats, xb, lib_b, keys):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        def one(args):
+          x, l, kk = args
+          out = module.apply(variables, x, rngs={"sample": kk},
+                             training=False, sample_shape=sample_shape,
+                             **apply_kwargs(l))
+          m = out.outputs[idx].mean()
+          scale = m / jnp.sum(m, axis=-1, keepdims=True)  # per-draw props
+          return jnp.mean(scale, axis=mc_axes) if mc_axes else scale
+        lib_in = lib_b if lib_b is not None else \
+            jnp.zeros((xb.shape[0], xb.shape[1], 0))
+        return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
+      return run
 
+    run = self._cached_jit(("norm_expr", sample_shape, idx), _build_run)
     scale = jax.device_get(run(self._state.params, self._state.batch_stats,
                                xb, lib_b, keys))
     return scale.reshape(k * B, -1)[:n]
@@ -722,66 +731,45 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    n = feeder.n_obs
-    B = feeder.batch_size
-    k = -(-n // B)
-    n_pad = k * B
-    rows = np.arange(n, dtype=np.int64)
-
-    def densify(src_like):
-      from scipy import sparse as _sp
-      if hasattr(src_like, "gather"):
-        buf = np.zeros((n_pad, src_like.shape[1]), np.float32)
-        src_like.gather(rows, out=buf[:n])
-        return buf
-      a = np.asarray(src_like.todense() if _sp.issparse(src_like)
-                     else src_like, np.float32)
-      buf = np.zeros((n_pad, a.shape[1]), np.float32)
-      buf[:n] = a
-      return buf
-
-    inputs_np = [jnp.asarray(densify(src)) for src in feeder.sources]
-    x_full = self._module_input(inputs_np)
-    xb = x_full.reshape(k, B, x_full.shape[-1])
-    lib_b = None
-    if feeder.library is not None:
-      lib = np.zeros((n_pad, feeder.library.shape[1]), np.float32)
-      lib[:n] = feeder.library
-      lib_b = jnp.asarray(lib).reshape(k, B, -1)
-    tags = list(targets)
-    tgt_b = {t: [jnp.asarray(densify(m)).reshape(k, B, -1)
-                 for m in targets[t]] for t in tags}
-    row_mask = np.zeros((n_pad,), np.float32)
+    xb, lib_b, k, B, n = self._device_batches(feeder)
+    tgt_b = {t: [self._pad_to_batches(m, k, B, n) for m in targets[t]]
+             for t in targets}
+    row_mask = np.zeros((k * B,), np.float32)
     row_mask[:n] = 1.0
     mask_b = jnp.asarray(row_mask).reshape(k, B)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     S = int(np.prod(sample_shape)) if sample_shape else 1
 
-    @jax.jit
-    def run(params, batch_stats, xb, lib_b, tgt_b, mask_b, keys):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      def one(args):
-        x, l, tgts, msk, kk = args
-        out = module.apply(variables, x, rngs={"sample": kk},
-                           training=False, sample_shape=sample_shape,
-                           **apply_kwargs(l))
-        res = {}
-        for t, mats in tgts.items():
-          for i, (pX, m) in enumerate(zip(out.outputs, mats)):
-            lp = pX.log_prob(m)                       # (S…, B)
-            if lp.ndim > 1:
-              lp = jax.scipy.special.logsumexp(
-                  lp.reshape(-1, lp.shape[-1]), axis=0) - jnp.log(float(S))
-            res[f"{t}_output{i}"] = jnp.sum(lp * msk)
-        return res
-      lib_in = lib_b if lib_b is not None else jnp.zeros((k, B, 0))
-      sums = jax.lax.map(lambda a: one(a),
-                         (xb, lib_in, tgt_b, mask_b, keys))
-      return {kk: jnp.sum(v) for kk, v in sums.items()}
+    def _build_run():
+      @jax.jit
+      def run(params, batch_stats, xb, lib_b, tgt_b, mask_b, keys):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        def one(args):
+          x, l, tgts, msk, kk = args
+          out = module.apply(variables, x, rngs={"sample": kk},
+                             training=False, sample_shape=sample_shape,
+                             **apply_kwargs(l))
+          res = {}
+          for t, mats in tgts.items():
+            for i, (pX, m) in enumerate(zip(out.outputs, mats)):
+              lp = pX.log_prob(m)                       # (S…, B)
+              if lp.ndim > 1:
+                lp = jax.scipy.special.logsumexp(
+                    lp.reshape(-1, lp.shape[-1]), axis=0) \
+                    - jnp.log(float(S))
+              res[f"{t}_output{i}"] = jnp.sum(lp * msk)
+          return res
+        lib_in = lib_b if lib_b is not None else \
+            jnp.zeros((xb.shape[0], xb.shape[1], 0))
+        sums = jax.lax.map(lambda a: one(a),
+                           (xb, lib_in, tgt_b, mask_b, keys))
+        return {kk: jnp.sum(v) for kk, v in sums.items()}
+      return run
 
+    run = self._cached_jit(("compute_llk", sample_shape), _build_run)
     sums = jax.device_get(run(self._state.params, self._state.batch_stats,
                               xb, lib_b, tgt_b, mask_b, keys))
     return {kk: float(v) / n for kk, v in sums.items()}
@@ -795,23 +783,28 @@ class SingleCellModel:
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
 
-    @jax.jit
-    def iw(params, batch_stats, x, target, library, key):
-      variables = {"params": params}
-      if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-      out = self.module.apply(variables, x, rngs={"sample": key},
-                              training=False, sample_shape=(sample_shape,),
-                              **self._apply_kwargs(library))
-      llk = out.outputs[0].log_prob(target)          # (S, B)
-      lq = sum(q.log_prob(z) for q, z in zip(out.latents,
-                                             out.latent_samples))
-      lp = sum((prior.log_prob(z) if prior is not None
-                else jnp.zeros(z.shape[:-1]))
-               for prior, z in zip(out.priors, out.latent_samples))
-      lw = llk + lp - lq                              # (S, B)
-      return jax.scipy.special.logsumexp(lw, axis=0) - jnp.log(
-          float(sample_shape))
+    def _build_iw():
+      @jax.jit
+      def iw(params, batch_stats, x, target, library, key):
+        variables = {"params": params}
+        if batch_stats is not None:
+          variables["batch_stats"] = batch_stats
+        out = self.module.apply(variables, x, rngs={"sample": key},
+                                training=False,
+                                sample_shape=(sample_shape,),
+                                **self._apply_kwargs(library))
+        llk = out.outputs[0].log_prob(target)          # (S, B)
+        lq = sum(q.log_prob(z) for q, z in zip(out.latents,
+                                               out.latent_samples))
+        lp = sum((prior.log_prob(z) if prior is not None
+                  else jnp.zeros(z.shape[:-1]))
+                 for prior, z in zip(out.priors, out.latent_samples))
+        lw = llk + lp - lq                              # (S, B)
+        return jax.scipy.special.logsumexp(lw, axis=0) - jnp.log(
+            float(sample_shape))
+      return iw
+
+    iw = self._cached_jit(("marginal_iw", int(sample_shape)), _build_iw)
 
     chunks = []
     for batch in feeder.full_batches():

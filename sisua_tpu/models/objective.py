@@ -59,6 +59,7 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
       and isinstance(dist, D.Independent)
       and dist.reinterpreted_batch_ndims == 1
       and x.ndim == 2
+      and len(dist.batch_shape) == 1  # no MC sample dims in the params
       and x.shape[0] % 8 == 0
       and (mode == "on" or x.size >= _PALLAS_MIN_ELEMENTS)):
     base = dist.base

@@ -98,6 +98,9 @@ class VmapEnsemble:
 
     # dense device-resident data (shared across members)
     n = feeder.n_obs
+    assert n >= int(batch_size), (
+        f"VmapEnsemble needs at least one full batch: {n} cells < "
+        f"batch_size {batch_size}")
     xs = [jnp.asarray(src.gather(np.arange(n, dtype=np.int64),
                                  out=np.empty((n, src.shape[1]), np.float32)))
           for src in feeder.sources]

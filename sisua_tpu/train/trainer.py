@@ -79,15 +79,21 @@ _snapshot_fused = jax.jit(
     lambda s: jax.tree_util.tree_map(_copy_leaf, s))
 
 
+_snapshot_jittable = True
+
+
 def _snapshot(state):
   """Deep-copy a TrainState's buffers. The train step donates its input
   state, so a best-state kept by reference would alias buffers that a LATER
   step donates — rolling back to it then touches deleted arrays. A device-
   side copy breaks the aliasing (params-sized, dispatched async)."""
-  try:
-    return _snapshot_fused(state)
-  except Exception:  # unjittable leaf (e.g. a host object) → per-leaf copy
-    return jax.tree_util.tree_map(_copy_leaf, state)
+  global _snapshot_jittable
+  if _snapshot_jittable:
+    try:
+      return _snapshot_fused(state)
+    except Exception:  # unjittable leaf (host object) → per-leaf copy,
+      _snapshot_jittable = False  # and don't re-trace on every snapshot
+  return jax.tree_util.tree_map(_copy_leaf, state)
 
 
 class Trainer:
@@ -275,13 +281,21 @@ class Trainer:
     for cb in callbacks:
       if model is not None:
         cb.set_model(model)
+    if train_feeder.n_obs < train_feeder.batch_size:
+      # drop_remainder would otherwise yield ZERO batches per epoch and
+      # silently train nothing (tiny test splits)
+      train_feeder.batch_size = int(train_feeder.n_obs)
     if self.device_cache:
-      if self._fits_device(train_feeder):
+      if train_feeder.n_obs < train_feeder.batch_size:
+        print("[trainer] device_cache requested but the dataset has fewer "
+              "cells than one batch — streaming instead")
+      elif self._fits_device(train_feeder):
         return self._fit_device_cached(state, train_feeder, valid_feeder,
                                        epochs, key, callbacks,
                                        checkpoint_fn, model)
-      print("[trainer] device_cache requested but the dense dataset "
-            "exceeds the device-memory budget — streaming instead")
+      else:
+        print("[trainer] device_cache requested but the dense dataset "
+              "exceeds the device-memory budget — streaming instead")
     k = self.scan_steps
     use_scan = k > 1 and train_feeder.n_chunks(k) >= 1
     step1, stepk = self._build_steps()
@@ -333,7 +347,8 @@ class Trainer:
         # --- periodic validation (valid_freq in steps, reference conv.)
         if (valid_feeder is not None and self.valid_freq > 0
             and prev // self.valid_freq != global_step // self.valid_freq):
-          val = self.evaluate(state, valid_feeder, key)
+          key, ekey = jax.random.split(key)
+          val = self.evaluate(state, valid_feeder, ekey)
           for kk, v in val.items():
             val_metrics.setdefault(f"val_{kk}", []).append(v)
         if self.max_iter and global_step >= self.max_iter:
@@ -351,7 +366,8 @@ class Trainer:
       logs["cells_per_sec"] = n_examples / max(dt, 1e-9)
       # end-of-epoch validation if no step-periodic one ran
       if valid_feeder is not None and "val_loss" not in logs:
-        val = self.evaluate(state, valid_feeder, key)
+        key, ekey = jax.random.split(key)
+        val = self.evaluate(state, valid_feeder, ekey)
         logs.update({f"val_{kk}": float(v) for kk, v in val.items()})
       # callbacks may inject metrics into logs — run them before recording
       for cb in callbacks:
@@ -507,11 +523,18 @@ class Trainer:
         model._state = state
       val: Dict[str, float] = {}
       if valid_feeder is not None:
-        val = self.evaluate(state, valid_feeder, key)
+        key, ekey = jax.random.split(key)
+        val = self.evaluate(state, valid_feeder, ekey)
       # every epoch in the window monitors the SAME post-window state, so
       # at most one snapshot is ever needed per window (each _snapshot is
       # a dispatch RPC on remote-attached chips — 1 beats `window`)
       window_snapshot = None
+      window_improved = False
+      # the post-window state is only trustworthy as a best-state if EVERY
+      # epoch in the window stayed finite — an early epoch's "improvement"
+      # must not snapshot a state a later epoch of the same window NaN'd
+      window_finite = bool(np.isfinite(np.asarray(sums["loss"])).all()) \
+          if "loss" in sums else True
       # one fetch per window; one history entry per EPOCH
       for w in range(window):
         epoch += 1
@@ -542,14 +565,13 @@ class Trainer:
         if valid_feeder is not None and "val_loss" not in logs:
           continue
         monitored = logs.get("val_loss", logs.get("loss", np.inf))
-        if monitored < best_loss - self.min_delta:
+        if window_finite and monitored < best_loss - self.min_delta:
           best_loss = monitored
           if window_snapshot is None:
             window_snapshot = _snapshot(state)  # post-window (finest grain)
           best_state = window_snapshot
+          window_improved = True
           wait = 0
-          if checkpoint_fn is not None and w == window - 1:
-            checkpoint_fn(state)
         else:
           wait += 1
           if self.patience > 0 and wait >= self.patience:
@@ -557,6 +579,10 @@ class Trainer:
               state = best_state
             stop = True
             break
+      # checkpoint once per improving window — a mid-window best must not
+      # be skipped just because the window's last epoch didn't improve
+      if window_improved and checkpoint_fn is not None:
+        checkpoint_fn(best_state)
     for cb in callbacks:
       cb.on_train_end(dict(self.history))
     if model is not None:

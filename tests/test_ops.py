@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sisua_tpu.ops.zinb_pallas import (_lgamma_lanczos, _rowsum_ref,
                                        _zinb_elem, nb_log_prob_rowsum,
@@ -99,6 +100,43 @@ def test_fused_likelihood_env_override(monkeypatch):
                                rtol=1e-5)
   monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", "nonsense")
   assert objective._pallas_mode() == "nonsense"  # treated as not-off/on
+
+
+def test_fused_routing_skips_mc_sample_dims(monkeypatch):
+  """Training-time MC (mc_samples>1) gives distribution params a leading
+  (S, …) dim while the target x stays 2-D; the Pallas route would then
+  rank-reduce-broadcast params to x.shape and crash at trace time. The
+  gate must fall back to dist math whenever the params carry sample dims."""
+  from sisua_tpu.models import objective
+  from sisua_tpu.models.objective import _fast_log_prob
+  from sisua_tpu.ops import zinb_pallas as zp
+  import sisua_tpu.dist as D
+  monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", "on")
+  monkeypatch.setattr(zp, "pallas_available", lambda: True)
+
+  def _boom(*a, **k):
+    raise AssertionError("MC-shaped params must not reach the kernel")
+  monkeypatch.setattr(zp, "zinb_log_prob_rowsum", _boom)
+  monkeypatch.setattr(zp, "nb_log_prob_rowsum", _boom)
+  rng = np.random.default_rng(5)
+  S, B, Dm = 3, 16, 30
+  x = jnp.asarray(rng.poisson(2, (B, Dm)).astype(np.float32))
+  r = jnp.exp(jnp.asarray(rng.normal(0, 1, (S, B, Dm)), jnp.float32))
+  dist = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomial(total_count=r,
+                                            logits=jnp.zeros((S, B, Dm))),
+      gate_logits=jnp.zeros((S, B, Dm))), 1)
+  lp = _fast_log_prob(dist, x)       # must take the dist-math path
+  assert lp.shape == (S, B)
+  np.testing.assert_allclose(np.asarray(lp), np.asarray(dist.log_prob(x)),
+                             rtol=1e-6)
+  # 2-D params still route (the kernel stub gets hit)
+  dist2 = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomial(total_count=r[0],
+                                            logits=jnp.zeros((B, Dm))),
+      gate_logits=jnp.zeros((B, Dm))), 1)
+  with pytest.raises(AssertionError, match="must not reach"):
+    _fast_log_prob(dist2, x)
 
 
 def test_disp_parameterization_remap_exact():

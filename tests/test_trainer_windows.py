@@ -1,0 +1,111 @@
+"""Window-executable trainer semantics: NaN-window rollback, mid-window
+checkpointing, small-dataset fallback, jit-closure caching (regressions
+from the window-metrics review)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sisua_tpu.data.feeder import DataFeeder
+from sisua_tpu.models import VAE, RVmeta
+from sisua_tpu.train.trainer import Trainer, TrainState
+
+
+def _mock_core(nan_after: int = 10 ** 9, base: float = 100.0):
+  """Deterministic step core: loss = base − step, NaN from `nan_after`;
+  params record the step so rollback is observable."""
+  def core(state: TrainState, batch, key):
+    step = state.step
+    loss = jnp.where(step >= nan_after, jnp.nan,
+                     base - step.astype(jnp.float32))
+    new = state.replace(step=step + 1,
+                        params={"w": state.params["w"] + 1.0})
+    return new, {"loss": loss}
+  return core
+
+
+def _state0():
+  return TrainState(step=jnp.zeros((), jnp.int32),
+                    params={"w": jnp.zeros(())},
+                    batch_stats=None, opt_state=None)
+
+
+def _feeder(n=64, d=4, batch=16):
+  return DataFeeder([np.ones((n, d), np.float32)], batch_size=batch,
+                    labels_percent=0.0, shuffle=False)
+
+
+def test_nan_window_does_not_poison_best_state():
+  """A NaN inside a window must not let an earlier epoch of the SAME
+  window snapshot the (already-contaminated) post-window state."""
+  # 4 steps/epoch; NaN from global step 6 → window 0 (epochs 0-1) has a
+  # finite epoch 0 and a NaN epoch 1
+  trainer = Trainer(step_core=_mock_core(nan_after=6), valid_freq=0,
+                    device_cache=True, metrics_interval=2)
+  state = trainer.fit(_state0(), _feeder(), epochs=4,
+                      key=jax.random.PRNGKey(0))
+  # rollback target must be the PRE-window best (the initial snapshot),
+  # not the post-window state whose params ran through NaN steps
+  assert int(state.step) == 0, int(state.step)
+  assert np.isfinite(trainer.history["loss"][0])
+  assert not np.isfinite(trainer.history["loss"][1])
+
+
+def test_mid_window_improvement_checkpoints():
+  """A new best on a non-final epoch of a window must still trigger the
+  checkpoint callback (once per improving window)."""
+  calls = []
+  trainer = Trainer(step_core=_mock_core(), valid_freq=0,
+                    device_cache=True, metrics_interval=2)
+  trainer.fit(_state0(), _feeder(), epochs=4, key=jax.random.PRNGKey(0),
+              checkpoint_fn=lambda st: calls.append(int(st.step)))
+  # loss strictly decreases → both windows improve → exactly 2 checkpoints,
+  # each of the post-window state (steps 8 and 16)
+  assert calls == [8, 16], calls
+
+
+def test_device_cache_smaller_than_batch_streams():
+  """n_obs < batch_size must fall back to streaming, not ZeroDivision."""
+  rng = np.random.default_rng(0)
+  x = rng.poisson(2.0, (20, 8)).astype(np.float32)
+  m = VAE(RVmeta(8, "zinb", name="rna"),
+          encoder={"units": [8]}, decoder={"units": [8]})
+  m.fit(x, epochs=2, batch_size=64, device_cache=True)
+  assert len(m.history["loss"]) == 2
+  assert np.isfinite(m.history["loss"]).all()
+
+
+def test_predict_family_jit_closures_cached():
+  """Repeated predict/predict_mean/etc. must reuse one jitted callable
+  per (method, sample_shape) — not rebuild (and recompile) per call."""
+  rng = np.random.default_rng(1)
+  x = rng.poisson(2.0, (128, 8)).astype(np.float32)
+  m = VAE(RVmeta(8, "zinb", name="rna"),
+          encoder={"units": [8]}, decoder={"units": [8]})
+  m.fit(x, epochs=1, batch_size=32)
+  n0 = len(m._jit_cache)
+  m.predict_mean(x, sample_shape=(2,))
+  assert len(m._jit_cache) == n0 + 1
+  m.predict_mean(x, sample_shape=(2,))       # same key → no new entry
+  assert len(m._jit_cache) == n0 + 1
+  m.predict_mean(x, sample_shape=(3,))       # different trace → new entry
+  assert len(m._jit_cache) == n0 + 2
+  m.predict(x, device_cache=True)
+  m.predict(x, device_cache=True)
+  m.get_normalized_expression(x)
+  m.get_normalized_expression(x)
+  keys = {k[0] for k in m._jit_cache}
+  assert {"predict_mean", "predict_dc", "norm_expr"} <= keys
+
+
+def test_second_fit_merges_history():
+  """fit() twice on the same model (warm start) must work and concatenate
+  histories (regression: trainer.step_fn AttributeError)."""
+  rng = np.random.default_rng(2)
+  x = rng.poisson(2.0, (128, 8)).astype(np.float32)
+  m = VAE(RVmeta(8, "zinb", name="rna"),
+          encoder={"units": [8]}, decoder={"units": [8]})
+  m.fit(x, epochs=2, batch_size=32)
+  m.fit(x, epochs=3, batch_size=32)
+  assert len(m.history["loss"]) == 5
