@@ -207,38 +207,53 @@ class Criticizer:
     """Higgins interventional metric on observational data: for a sampled
     factor j, pair cells sharing the same discretized value of j, average
     |z₁−z₂| over a mini-batch, classify j from the averaged difference."""
+    cache_key = ("betavae", n_samples, batch_size)
+    if cache_key in self._cache:
+      return self._cache[cache_key]
+    # dedicated RandomState → the score is a pure function of (data, seed,
+    # n_samples, batch_size) no matter how many metrics ran before it
+    rng = np.random.RandomState(self.seed + 1)
     X, y = self._interventional_features(n_samples, batch_size,
-                                         use_argmin=False)
+                                         use_argmin=False, rng=rng)
     from sklearn.linear_model import LogisticRegression
     clf = LogisticRegression(max_iter=500, random_state=self.seed)
     cut = int(0.8 * len(X))
     clf.fit(X[:cut], y[:cut])
-    return {"betavae": float(clf.score(X[cut:], y[cut:]))}
+    out = {"betavae": float(clf.score(X[cut:], y[cut:]))}
+    self._cache[cache_key] = out
+    return out
 
   def cal_factorvae_score(self, n_samples: int = 2000, batch_size: int = 16
                           ) -> Dict[str, float]:
     """Kim & Mnih majority-vote metric: argmin of the per-dim variance of
     normalized latents within a fixed-factor batch votes for the factor."""
+    cache_key = ("factorvae", n_samples, batch_size)
+    if cache_key in self._cache:
+      return self._cache[cache_key]
+    rng = np.random.RandomState(self.seed + 2)
     z_std = self.latents.std(0) + 1e-12
     votes = np.zeros((self.latents.shape[1], self.factor_codes.shape[1]))
     samples = []
     k = self.factor_codes.shape[1]
     for _ in range(n_samples):
-      j = self._rng.randint(k)
-      rows = self._rows_sharing_factor(j, batch_size)
+      j = rng.randint(k)
+      rows = self._rows_sharing_factor(j, batch_size, rng)
       if rows is None:
         continue
       zb = self.latents[rows] / z_std
       dim = int(np.argmin(zb.var(0)))
       samples.append((dim, j))
     if not samples:
-      return {"factorvae": 0.0}
+      self._cache[cache_key] = {"factorvae": 0.0}
+      return self._cache[cache_key]
     cut = int(0.8 * len(samples))
     for dim, j in samples[:cut]:
       votes[dim, j] += 1
     classifier = votes.argmax(1)
     correct = sum(int(classifier[dim] == j) for dim, j in samples[cut:])
-    return {"factorvae": correct / max(1, len(samples) - cut)}
+    out = {"factorvae": correct / max(1, len(samples) - cut)}
+    self._cache[cache_key] = out
+    return out
 
   def cal_relative_disentanglement_strength(self) -> Dict[str, float]:
     """odin-style relative strength on the |spearman| matrix: mean over
@@ -278,23 +293,27 @@ class Criticizer:
     return out
 
   # ---------------------------------------------------------------- helpers
-  def _rows_sharing_factor(self, j: int, batch_size: int
+  def _rows_sharing_factor(self, j: int, batch_size: int,
+                           rng: Optional[np.random.RandomState] = None
                            ) -> Optional[np.ndarray]:
+    rng = rng if rng is not None else self._rng
     codes = self.factor_codes[:, j]
-    val = codes[self._rng.randint(len(codes))]
+    val = codes[rng.randint(len(codes))]
     pool = np.nonzero(codes == val)[0]
     if len(pool) < 2:
       return None
-    return self._rng.choice(pool, size=min(batch_size, len(pool)),
-                            replace=len(pool) < batch_size)
+    return rng.choice(pool, size=min(batch_size, len(pool)),
+                      replace=len(pool) < batch_size)
 
   def _interventional_features(self, n_samples: int, batch_size: int,
-                               use_argmin: bool):
+                               use_argmin: bool,
+                               rng: Optional[np.random.RandomState] = None):
+    rng = rng if rng is not None else self._rng
     X, y = [], []
     k = self.factor_codes.shape[1]
     for _ in range(n_samples):
-      j = self._rng.randint(k)
-      rows = self._rows_sharing_factor(j, 2 * batch_size)
+      j = rng.randint(k)
+      rows = self._rows_sharing_factor(j, 2 * batch_size, rng)
       if rows is None or len(rows) < 2:
         continue
       half = len(rows) // 2

@@ -71,12 +71,14 @@ def clustering_scores(latent: np.ndarray,
   if prediction_algorithm in ("gmm", "both"):
     preds.append(GaussianMixture(n_labels,
                                  random_state=seed).fit_predict(latent))
-  scores: Dict[str, list] = {"ASW": [], "ARI": [], "NMI": [], "UCA": []}
+  # ASW depends only on (latent, labels) — compute the O(n²) silhouette
+  # once, not once per clustering algorithm
+  try:
+    asw = float(silhouette_score(latent, labels))
+  except ValueError:
+    asw = 0.0
+  scores: Dict[str, list] = {"ASW": [asw], "ARI": [], "NMI": [], "UCA": []}
   for pred in preds:
-    try:
-      scores["ASW"].append(silhouette_score(latent, labels))
-    except ValueError:
-      scores["ASW"].append(0.0)
     scores["ARI"].append(adjusted_rand_score(labels, pred))
     scores["NMI"].append(normalized_mutual_info_score(labels, pred))
     scores["UCA"].append(unsupervised_clustering_accuracy(labels, pred)[0])

@@ -197,13 +197,14 @@ class Posterior(Visualizer):
 
   def cal_marginal_llk(self, sample_shape: int = 100) -> Dict[str, float]:
     """Importance-sampled marginal log-likelihood (reference :940-976)."""
-    if "marginal_llk" in self._cache:
-      return self._cache["marginal_llk"]
+    key = f"marginal_llk_{int(sample_shape)}"
+    if key in self._cache:
+      return self._cache[key]
     mllk = self.scm.marginal_log_prob(self.sco_original,
                                       sample_shape=sample_shape,
                                       batch_size=8)
     out = {f"marginal_llk_{self.main_omic}": float(np.mean(mllk))}
-    self._cache["marginal_llk"] = out
+    self._cache[key] = out
     return out
 
   # -------------------------------------------------------------- imputation

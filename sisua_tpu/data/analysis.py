@@ -61,10 +61,12 @@ class _OMICanalyzer(_OMICbase):
     omic = obj.current_omic if omic is None else OMIC.parse(omic)
     for om in omic:
       x = obj._omics[om.name]
+      # obj's matrices are already private after self.copy() — corrupting
+      # them in place avoids a second full-matrix copy
       x = apply_artificial_corruption(x, dropout=dropout_rate,
                                       distribution=distribution,
                                       retain_rate=retain_rate,
-                                      copy=not inplace, seed=seed)
+                                      copy=False, seed=seed)
       obj._omics[om.name] = x
       obj._calculate_statistics(om)
     obj._record("corrupt", dict(omic=omic.name, dropout_rate=dropout_rate,
@@ -614,12 +616,15 @@ def _louvain_communities(adj: sparse.spmatrix, resolution: float = 1.0,
     if not improved:
       break
     # aggregate graph
+    prev_nodes = g.shape[0]
     k = labels.max() + 1
     rows = labels[np.repeat(np.arange(g.shape[0]), np.diff(g.indptr))]
     cols = labels[g.indices]
     g = sparse.coo_matrix((g.data, (rows, cols)), shape=(k, k)).tocsr()
     g.sum_duplicates()
-    if k == g.shape[0] and k == len(np.unique(mapping)) and k <= 1:
+    # converged when aggregation stopped shrinking the graph (moves only
+    # shuffled labels) or everything merged into one community
+    if k >= prev_nodes or k <= 1:
       break
   # re-number communities contiguously
   _, out = np.unique(mapping, return_inverse=True)

@@ -91,7 +91,19 @@ def read_leukemia_BMMC(filtered_genes: bool = True,
         g = np.asarray([l.split("\t")[1].strip() for l in f], str)
       with gzip.open(os.path.join(ex_dir, f"{s}.barcodes.tsv.gz"), "rt") as f:
         b = [f"{s}_{l.strip()}" for l in f]
-      genes = g if genes is None else genes
+      if genes is None:
+        genes = g
+      elif len(g) != len(genes) or not np.array_equal(g, genes):
+        # per-sample triplets may ship different references/orderings —
+        # align this sample's columns to the first sample's gene list
+        # rather than silently vstack-ing misaligned matrices
+        idx = {name: j for j, name in enumerate(g)}
+        cols = np.asarray([idx.get(name, -1) for name in genes])
+        aligned = sparse.lil_matrix((X.shape[0], len(genes)),
+                                    dtype=np.float32)
+        present = cols >= 0
+        aligned[:, np.flatnonzero(present)] = X[:, cols[present]]
+        X = aligned.tocsr()
       mats.append(X)
       cells.extend(b)
       disease = "ETV6-RUNX1" if "ETV6" in s else (

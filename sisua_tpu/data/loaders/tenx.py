@@ -109,11 +109,17 @@ def read_dataset10x(name: str,
   url = _matrix_url(kind, version, sample, filtered_cells)
   tar_path = os.path.join(DOWNLOAD_DIR, os.path.basename(url))
   download_file(url, tar_path)
-  extract_dir = os.path.join(DOWNLOAD_DIR, f"10x_{name}")
-  if not os.path.isdir(extract_dir):
+  # per-variant dir (filtered vs raw archives must not share), and a
+  # completion marker so a crash mid-extraction re-extracts
+  variant = "filtered" if filtered_cells else "raw"
+  extract_dir = os.path.join(DOWNLOAD_DIR, f"10x_{name}_{variant}")
+  done_marker = os.path.join(extract_dir, ".extracted")
+  if not os.path.isfile(done_marker):
     os.makedirs(extract_dir, exist_ok=True)
     with tarfile.open(tar_path) as t:
       t.extractall(extract_dir, filter="data")
+    with open(done_marker, "w") as f:
+      f.write(os.path.basename(url))
 
   mtx = _find(extract_dir, {"matrix.mtx", "matrix.mtx.gz"})
   barcodes = _find(extract_dir, {"barcodes.tsv", "barcodes.tsv.gz"})

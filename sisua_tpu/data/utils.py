@@ -129,10 +129,17 @@ def md5_checksum(path: str, chunk: int = 1 << 20) -> str:
   return h.hexdigest()
 
 
-def md5_folder(path: str) -> str:
-  """MD5 over all files in a folder (sorted), for cache validation."""
+def md5_folder(path: str,
+               exclude: Sequence[str] = ("manifest.json",)) -> str:
+  """MD5 over all files in a folder (sorted), for cache validation.
+
+  ``manifest.json`` is excluded by default: it stores this very hash, so
+  including a stale one (re-saving into an existing folder) would make
+  the manifest permanently self-invalidating."""
   h = hashlib.md5()
   for name in sorted(os.listdir(path)):
+    if name in exclude:
+      continue
     fp = os.path.join(path, name)
     if os.path.isfile(fp):
       with open(fp, "rb") as f:
@@ -283,16 +290,8 @@ def validate_data_dir(path: str) -> bool:
     return False
   with open(mf) as f:
     expect = json.load(f).get("md5")
-  # manifest.json itself was written after hashing, so hash all but it
-  h = hashlib.md5()
-  for name in sorted(os.listdir(path)):
-    if name == "manifest.json":
-      continue
-    fp = os.path.join(path, name)
-    if os.path.isfile(fp):
-      with open(fp, "rb") as f:
-        h.update(f.read())
-  return h.hexdigest() == expect
+  # manifest.json itself was written after hashing → md5_folder excludes it
+  return md5_folder(path) == expect
 
 
 # ---------------------------------------------------------------------------

@@ -193,10 +193,19 @@ def zinb_log_prob_rowsum(x, count_raw, logits, gate_logits,
   return _zinb_rowsum(x, count_raw, logits, gate_logits, constrained)
 
 
+# Effective −∞ for the no-inflation gate. Must be far below any reachable
+# NB log-prob at zero (−r·softplus(logits) can hit −10⁴ for wide heads):
+# a merely-moderate value like −40 FLOORS at_zero = logaddexp(gate, nb0)
+# at gate whenever nb0 < gate, silently clamping the loss and damping its
+# gradients on observed-zero/high-mean elements. −1e30 keeps logaddexp and
+# softplus exact in float32 (logaddexp(−1e30, nb0) ≡ nb0).
+_NB_GATE = -1e30
+
+
 def nb_log_prob_rowsum(x, count_raw, logits, constrained: bool = False):
   """Gate-free NB variant (gate −∞ ⇒ no inflation): reuse the ZINB kernel
-  with a very negative gate (σ(gate)→0 exactly in float32 at -40)."""
-  gate = jnp.full_like(logits, -40.0)
+  with an effectively −∞ gate (see _NB_GATE)."""
+  gate = jnp.full_like(logits, _NB_GATE)
   return _zinb_rowsum(x, count_raw, logits, gate, constrained)
 
 

@@ -85,6 +85,28 @@ def test_criticizer_full_suite(posterior):
   assert 0 <= scores["betavae"] <= 1 and 0 <= scores["factorvae"] <= 1
 
 
+def test_criticizer_scores_reproducible(posterior):
+  """betavae/factorvae draw from dedicated seeded RNGs and cache: repeat
+  calls (and calls after other metrics advanced the shared RNG) must
+  return identical numbers."""
+  crt = posterior.criticizers["celltype"]
+  b1 = crt.cal_betavae_score()["betavae"]
+  f1 = crt.cal_factorvae_score()["factorvae"]
+  crt._rng.randint(10**6, size=100)  # perturb the shared stream
+  assert crt.cal_betavae_score()["betavae"] == b1
+  assert crt.cal_factorvae_score()["factorvae"] == f1
+
+
+def test_marginal_llk_cache_keyed_by_samples(posterior):
+  """Different sample_shape must not silently return the cached value of
+  a previous setting."""
+  m8 = posterior.cal_marginal_llk(sample_shape=8)
+  m64 = posterior.cal_marginal_llk(sample_shape=64)
+  # estimates differ (higher S → tighter bound); equality would mean the
+  # cache ignored sample_shape
+  assert m8 != m64
+
+
 def test_criticizer_matrices(posterior):
   crt = posterior.criticizers["celltype"]
   corr = crt.create_correlation_matrix("spearman")

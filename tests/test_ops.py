@@ -139,6 +139,23 @@ def test_fused_routing_skips_mc_sample_dims(monkeypatch):
     _fast_log_prob(dist2, x)
 
 
+def test_nb_rowsum_extreme_params_not_floored():
+  """Regression: the NB-via-ZINB emulation used gate=-40, flooring the
+  x=0 log-prob at ~-40 whenever the true NB zero-prob was below it
+  (theta=10, mu=1000 → -46.15/element) and damping its gradients."""
+  import sisua_tpu.dist as D
+  from sisua_tpu.ops.zinb_pallas import nbd_log_prob_rowsum
+  x = jnp.zeros((8, 4), jnp.float32)
+  mu = jnp.full((8, 4), 1000.0)
+  th = jnp.full((8, 4), 10.0)
+  ref = D.Independent(D.NegativeBinomialDisp(loc=mu, disp=th), 1).log_prob(x)
+  got = nbd_log_prob_rowsum(x, mu, th)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+  assert float(got[0]) < -180.0  # the floored version gave ~-160
+  g = jax.grad(lambda m: nbd_log_prob_rowsum(x, m, th).sum())(mu)
+  assert np.abs(np.asarray(g)).min() > 1e-3  # gradients not damped
+
+
 def test_disp_parameterization_remap_exact():
   """NB(mean μ, dispersion θ) == NB(total_count=θ, logits=log μ − log θ):
   the remap that routes 'zinbd'/'nbd' heads through the fused kernel."""
