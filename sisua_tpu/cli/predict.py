@@ -72,8 +72,10 @@ def main(argv=None):
       np.savez_compressed(os.path.join(args.outpath,
                                        "denoised_proteins.npz"), fg=fg)
       extra["denoised_proteins"] = "denoised_proteins.npz"
-    except Exception:
-      pass
+    except Exception as e:  # optional output — report, don't abort scoring
+      import sys
+      print(f"[sisua-predict] denoised-protein export failed: {e!r}",
+            file=sys.stderr)
   manifest = {
       "model": type(model).__name__,
       "n_cells": int(n),

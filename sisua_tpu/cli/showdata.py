@@ -8,6 +8,8 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
+
 
 def main(argv=None):
   p = argparse.ArgumentParser("sisua-showdata")
@@ -20,10 +22,19 @@ def main(argv=None):
   from ..data import get_dataset
   sco = get_dataset(args.ds, verbose=True)
   print(sco)
+  from scipy import sparse as _sp
   for om in sco.omics:
-    x = sco.numpy(om)
-    print(f"  {om}: shape={x.shape} sparsity="
-          f"{1.0 - (x > 0).mean():.3f} total_mean={x.sum(1).mean():.1f}")
+    x = sco.get_omic(om)
+    # stats straight off the sparse structure — densifying a 1M×33k CSR
+    # just to print sparsity would need ~130 GB
+    if _sp.issparse(x):
+      nnz_frac = x.nnz / float(x.shape[0] * x.shape[1])
+      total_mean = float(np.asarray(x.sum(1)).mean())
+    else:
+      nnz_frac = float((x > 0).mean())
+      total_mean = float(x.sum(1).mean())
+    print(f"  {om}: shape={x.shape} sparsity={1.0 - nnz_frac:.3f} "
+          f"total_mean={total_mean:.1f}")
   sco.calculate_quality_metrics()
   os.makedirs(args.path, exist_ok=True)
   sco.obs.describe().to_csv(os.path.join(args.path, "obs_stats.csv"))

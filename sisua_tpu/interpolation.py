@@ -36,7 +36,9 @@ class Interpolation:
   def __call__(self, step):
     t = (jnp.asarray(step, jnp.float32) - self.delay_in) / self.norm
     if self.cyclical:
-      t = jnp.mod(t, 1.0)
+      # hold vmin through the delay: mod would wrap the negative
+      # pre-delay phase into the middle of the first ramp
+      t = jnp.where(t < 0.0, 0.0, jnp.mod(t, 1.0))
     t = jnp.clip(t, 0.0, 1.0)
     if self.kind == "const":
       a = jnp.ones_like(t)

@@ -93,15 +93,24 @@ class ProbabilisticEmbedding:
   def n_classes(self) -> int:
     return len(self._models)
 
+  @staticmethod
+  def _stack_ragged(cols: List[np.ndarray]) -> np.ndarray:
+    """hstack per-feature component columns, NaN-padding features whose
+    fit degenerated to the 1-component _DummyGMM fallback."""
+    k = max(c.shape[0] for c in cols)
+    cols = [np.pad(c, ((0, k - c.shape[0]), (0, 0)),
+                   constant_values=np.nan) for c in cols]
+    return np.hstack(cols)
+
   @property
   def means(self) -> np.ndarray:
-    return np.hstack([gmm.means_.ravel()[order][:, None]
-                      for order, gmm in self._models])
+    return self._stack_ragged([gmm.means_.ravel()[order][:, None]
+                               for order, gmm in self._models])
 
   @property
   def precisions(self) -> np.ndarray:
-    return np.hstack([gmm.precisions_.ravel()[order][:, None]
-                      for order, gmm in self._models])
+    return self._stack_ragged([gmm.precisions_.ravel()[order][:, None]
+                               for order, gmm in self._models])
 
   # ------------------------------------------------------------------- core
   def normalize(self, x: np.ndarray, test_mode: bool = False) -> np.ndarray:
@@ -122,19 +131,21 @@ class ProbabilisticEmbedding:
   def fit(self, X: np.ndarray) -> "ProbabilisticEmbedding":
     from sklearn.mixture import GaussianMixture
     assert X.ndim == 2, f"Expect a matrix, given: {X.shape}"
+    self._models = []  # sklearn refit semantics: fit() resets prior state
     for i in range(X.shape[1]):
       x_train = self.normalize(X[:, i], test_mode=False)
       try:
+        if len(x_train) < 2 * self.n_components_per_class:
+          raise ValueError("too few samples for a GMM fit")
         gmm = GaussianMixture(n_components=self.n_components_per_class,
                               covariance_type="diag", init_params="kmeans",
                               n_init=8, max_iter=120,
                               random_state=self.random_state)
         gmm.fit(x_train[:, None])
-      except ValueError as e:
-        if "ill-defined empirical covariance" in str(e) or "covariance" in str(e):
-          gmm = _DummyGMM().fit(x_train[:, None])
-        else:
-          raise
+      except ValueError:
+        # any degenerate column (all-zero → 1 anchor sample, constant
+        # values → ill-defined covariance, …) → mean-threshold fallback
+        gmm = _DummyGMM().fit(x_train[:, None])
       order = np.argsort(np.asarray(gmm.means_).ravel())
       self._models.append((order, gmm))
     return self

@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["get_lib", "csr_gather", "dense_gather", "NATIVE_AVAILABLE"]
+__all__ = ["get_lib", "csr_gather", "dense_gather", "native_available"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "csr_gather.cpp")
@@ -68,15 +68,31 @@ def _ptr(a: np.ndarray, ctype):
   return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _as1d(a: np.ndarray, dtype) -> np.ndarray:
+  """Coerce to a C-contiguous 1-D array of the kernel's expected dtype —
+  the ctypes call reinterprets raw memory, so a scipy-default int32
+  indices buffer read as int64 would produce wild out-of-bounds writes."""
+  return np.ascontiguousarray(a, dtype=dtype)
+
+
 def csr_gather(data: np.ndarray, indices: np.ndarray, indptr: np.ndarray,
                rows: np.ndarray, n_cols: int,
                out: Optional[np.ndarray] = None,
                log1p: bool = False) -> np.ndarray:
-  """Gather CSR rows into a dense (len(rows), n_cols) float32 buffer."""
+  """Gather CSR rows into a dense (len(rows), n_cols) float32 buffer.
+
+  Accepts any integer/float dtypes (scipy defaults to int32 indices and
+  float64 data) — inputs are coerced to the kernel's int64/float32 ABI."""
   lib = get_lib()
   n_rows = len(rows)
   if out is None:
     out = np.empty((n_rows, n_cols), np.float32)
+  assert out.dtype == np.float32 and out.flags.c_contiguous \
+      and out.shape == (n_rows, n_cols), "out must be C-contiguous f32"
+  data = _as1d(data, np.float32)
+  indices = _as1d(indices, np.int64)
+  indptr = _as1d(indptr, np.int64)
+  rows = _as1d(rows, np.int64)
   if lib is None:  # numpy fallback
     out[:] = 0.0
     for r, row in enumerate(rows):
@@ -97,16 +113,15 @@ def dense_gather(src: np.ndarray, rows: np.ndarray,
   n_rows, n_cols = len(rows), src.shape[1]
   if out is None:
     out = np.empty((n_rows, n_cols), np.float32)
-  if lib is None or not src.flags.c_contiguous:
-    np.take(src, rows, axis=0, out=out)
+  if (lib is None or not src.flags.c_contiguous
+      or src.dtype != np.float32):
+    np.take(src.astype(np.float32, copy=False), rows, axis=0, out=out)
     return out
+  rows = _as1d(rows, np.int64)
   lib.dense_gather_f32(_ptr(src, ctypes.c_float),
                        _ptr(rows, ctypes.c_int64),
                        n_rows, n_cols, _ptr(out, ctypes.c_float))
   return out
-
-
-NATIVE_AVAILABLE = property(lambda self: get_lib() is not None)
 
 
 def native_available() -> bool:

@@ -62,8 +62,11 @@ def plot_monitoring_epoch(x_original: np.ndarray,
   axes[1].set_xlabel("log1p original")
   axes[1].set_ylabel("log1p imputed")
   if latents is not None:
-    emb = latents[:, :2] if latents.shape[1] <= 2 else None
-    if emb is None:
+    if latents.shape[1] == 1:      # 1-D latent: pad a zero y-axis
+      emb = np.concatenate([latents, np.zeros_like(latents)], axis=1)
+    elif latents.shape[1] == 2:
+      emb = latents
+    else:
       from sklearn.decomposition import PCA
       emb = PCA(2).fit_transform(latents)
     fast_scatter(emb, labels=labels, title="latent", ax=axes[2])

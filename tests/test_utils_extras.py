@@ -40,6 +40,27 @@ def test_dummy_gmm_fallback():
   assert (d.predict(np.array([0.5, 2.0])) == np.array([0, 1])).all()
 
 
+def test_pe_all_zero_column_and_refit():
+  """An all-zero protein column (1 anchor sample after zero-removal) must
+  fall back to _DummyGMM, not crash; fit() twice must reset state; the
+  means/precisions tables pad the 1-component fallback columns."""
+  rng = np.random.default_rng(3)
+  X = np.concatenate([rng.poisson(2, (200, 2)),
+                      rng.poisson(60, (100, 2))]).astype(np.float64)
+  X = np.concatenate([X, np.zeros((300, 1))], axis=1)  # dead 3rd protein
+  pe = ProbabilisticEmbedding()
+  pe.fit(X)
+  assert pe.n_classes == 3
+  assert isinstance(pe._models[2][1], _DummyGMM)
+  ybin = pe.predict(X)
+  assert ybin.shape == X.shape
+  m = pe.means
+  assert m.shape == (2, 3) and np.isnan(m[1, 2])  # padded fallback column
+  pe.fit(X)                                        # sklearn refit semantics
+  assert pe.n_classes == 3
+  assert pe.predict(X).shape == X.shape
+
+
 def test_thresholding_by_sparsity():
   rng = np.random.default_rng(1)
   w = rng.random((40, 25))
@@ -105,3 +126,9 @@ def test_interpolation_schedules():
   assert float(get_interpolation(0.5)(123)) == 0.5
   delayed = linear(norm=10, delay_in=5)
   assert float(delayed(4)) == 0.0
+  # cyclical schedules must also hold vmin through the delay (regression:
+  # mod wrapped the negative pre-delay phase to mid-ramp)
+  cyc_delayed = cyclical("linear", norm=10, delay_in=5)
+  assert float(cyc_delayed(0)) == 0.0
+  assert float(cyc_delayed(4)) == 0.0
+  assert abs(float(cyc_delayed(10)) - 0.5) < 1e-6
