@@ -13,7 +13,7 @@ TPU-idiomatic design:
     per epoch (reference ``masking`` map, :577-593) — validation passes
     ``labels_percent=1.0``;
   * emits ``{'inputs': [x_0…x_k], 'library': (B,2), 'mask': (B,)}`` numpy
-    dicts; ``prefetch_to_device`` in ``sisua_tpu.train`` overlaps H2D copies
+    dicts; the trainer's ``_prefetch_iter`` overlaps the host gathers
     with compute.
 """
 

@@ -42,6 +42,18 @@ def _lgamma(x):
   return jax.lax.lgamma(x)
 
 
+def _lgamma_diff(r, x):
+  """lgamma(x + r) − lgamma(r), stable for huge r.
+
+  For r ≳ 1e6 the two lgammas are ~r·log r ≈ 1e7+ and their float32
+  difference loses every significant digit of the ~x·log r true value;
+  switch to the asymptotic x·log r + x(x−1)/(2r) + O(1/r²) there."""
+  direct = _lgamma(x + r) - _lgamma(r)
+  safe_r = jnp.maximum(r, 1.0)  # avoid log(0) in the unselected branch
+  asym = x * jnp.log(safe_r) + x * (x - 1.0) / (2.0 * safe_r)
+  return jnp.where(r > 1e6, asym, direct)
+
+
 def log_sigmoid(x):
   return -jax.nn.softplus(-x)
 
@@ -116,7 +128,7 @@ class NegativeBinomial(Distribution):
     r, l = self.total_count, self.logits
     log_p = log_sigmoid(l)        # log probability of success
     log_1mp = log_sigmoid(-l)     # log probability of failure
-    return (_lgamma(x + r) - _lgamma(r) - _lgamma(x + 1.0)
+    return (_lgamma_diff(r, x) - _lgamma(x + 1.0)
             + r * log_1mp + x * log_p)
 
   def mean(self):
@@ -152,9 +164,17 @@ class NegativeBinomialDisp(Distribution):
   def log_prob(self, x, eps: float = 1e-8):
     mu, theta = self.loc, self.disp
     log_theta_mu = jnp.log(theta + mu + eps)
-    return (theta * (jnp.log(theta + eps) - log_theta_mu)
+    # θ·(log θ − log(θ+μ)) as −θ·log1p(μ/θ): at θ ≥ 1e8 the two logs are
+    # equal in float32 and the direct difference silently evaluates to 0.
+    # For tiny ratios use the series −θ·r (=−μ) directly: TPU's log1p
+    # lowers to log(1+x), which rounds 1+1e-34 back to 1
+    ratio = (mu + eps) / (theta + eps)
+    theta_term = jnp.where(ratio < 1e-6,
+                           -(theta + eps) * ratio,
+                           -theta * jnp.log1p(ratio))
+    return (theta_term
             + x * (jnp.log(mu + eps) - log_theta_mu)
-            + _lgamma(x + theta) - _lgamma(theta) - _lgamma(x + 1.0))
+            + _lgamma_diff(theta, x) - _lgamma(x + 1.0))
 
   def mean(self):
     return jnp.broadcast_to(self.loc, self.batch_shape)

@@ -53,13 +53,17 @@ def _lgamma_lanczos(x):
   """lgamma for x > 0 via Lanczos g=7 (vector ops only; ~1e-6 rel err).
 
   lgamma(x) = ½log 2π + (z+½)·log t − t + log A(z),  z = x−1, t = z+g+½.
-  """
-  z = x - 1.0
-  a = jnp.full_like(z, _LANCZOS[0])
+
+  All series terms are written in x directly: computing z = x−1 first and
+  then z+i re-adds the 1, and in float32 (x−1)+1 rounds tiny x to exactly
+  0 — the i=1 denominator becomes 0, lgamma(1e-8) returns +inf, and every
+  NB log-prob with a tiny dispersion collapses to −inf (observed as inf
+  training loss on the fused path)."""
+  a = jnp.full_like(x, _LANCZOS[0])
   for i, c in enumerate(_LANCZOS[1:]):
-    a = a + c / (z + float(i + 1))
-  t = z + _LANCZOS_G + 0.5
-  return _HALF_LOG_2PI + (z + 0.5) * jnp.log(t) - t + jnp.log(a)
+    a = a + c / (x + float(i))          # z + (i+1) == x + i, exactly
+  t = x + (_LANCZOS_G - 0.5)            # z + g + ½ == x + (g − ½)
+  return _HALF_LOG_2PI + (x - 0.5) * jnp.log(t) - t + jnp.log(a)
 
 
 def _lgamma_ref(x):
@@ -73,12 +77,19 @@ def _log_sigmoid(x):
 def _zinb_elem(x, count_raw, logits, gate, constrained: bool,
                lgamma=None):
   lg = lgamma or _LGAMMA
-  r = count_raw if constrained else jnp.exp(
+  # constrained r comes in raw (θ = exp(head output)); clamp to the dist
+  # layer's eps so an underflowed θ == 0.0 cannot reach lgamma(0) = +inf
+  r = jnp.maximum(count_raw, 1e-8) if constrained else jnp.exp(
       jnp.clip(count_raw, -_EXP_CLIP, _EXP_CLIP))
   log_p = _log_sigmoid(logits)
   log_1mp = _log_sigmoid(-logits)
-  nb = (lg(x + r) - lg(r) - lg(x + 1.0)
-        + r * log_1mp + x * log_p)
+  # lgamma(x+r) − lgamma(r): for huge r both are ~r·log r and the float32
+  # difference is pure cancellation (→ garbage, NaN at r ≈ 1e38); switch
+  # to the asymptotic x·log r + x(x−1)/(2r) there (mirrors dist/count.py)
+  lg_diff = jnp.where(r > 1e6,
+                      x * jnp.log(r) + x * (x - 1.0) / (2.0 * r),
+                      lg(x + r) - lg(r))
+  nb = lg_diff - lg(x + 1.0) + r * log_1mp + x * log_p
   nb0 = r * log_1mp  # NB log-prob at x=0 (lgamma terms cancel)
   log_pi = _log_sigmoid(gate)
   log_1mpi = _log_sigmoid(-gate)

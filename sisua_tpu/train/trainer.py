@@ -69,6 +69,33 @@ def _tree_add(a, b):
   return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+def _prefetch_iter(iterator, depth: int = 2):
+  """Run the host-side batch producer (CSR gather, mask draw) in a
+  background thread `depth` batches ahead, overlapping it with device
+  compute. Worker exceptions re-raise at the consuming site."""
+  import queue
+  import threading
+  q: "queue.Queue" = queue.Queue(maxsize=depth)
+  _END = object()
+
+  def worker():
+    try:
+      for item in iterator:
+        q.put(item)
+      q.put(_END)
+    except BaseException as e:  # propagate into the training loop
+      q.put(e)
+
+  threading.Thread(target=worker, daemon=True).start()
+  while True:
+    item = q.get()
+    if item is _END:
+      return
+    if isinstance(item, BaseException):
+      raise item
+    yield item
+
+
 def _copy_leaf(x):
   return x.copy() if isinstance(x, jax.Array) else x
 
@@ -317,8 +344,8 @@ class Trainer:
       n_steps = 0
       val_metrics: Dict[str, list] = {}
       train_feeder.set_epoch(epoch)
-      iterator = (train_feeder.iter_chunks(k) if use_scan
-                  else iter(train_feeder))
+      iterator = _prefetch_iter(train_feeder.iter_chunks(k) if use_scan
+                                else iter(train_feeder))
       for batch in iterator:
         key, sub = jax.random.split(key)
         if batch_sh is not None:

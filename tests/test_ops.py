@@ -12,11 +12,39 @@ from sisua_tpu.ops.zinb_pallas import (_lgamma_lanczos, _rowsum_ref,
 
 
 def test_lanczos_lgamma_accuracy():
+  # include tiny arguments: the old series computed z = x−1 then z+i, and
+  # (1e-8 − 1) + 1 rounds to exactly 0 in f32 → division by zero → +inf
   x = jnp.asarray(np.concatenate([
+      [1e-8, 1e-6, 1e-4, 1e-2, 0.1, 0.5],
       np.linspace(0.01, 10, 300), np.linspace(10, 1e6, 300)]), jnp.float32)
-  rel = np.abs(np.asarray(_lgamma_lanczos(x) - jax.lax.lgamma(x)))
+  got = np.asarray(_lgamma_lanczos(x))
+  assert np.isfinite(got).all()
+  rel = np.abs(got - np.asarray(jax.lax.lgamma(x)))
   rel /= np.maximum(np.abs(np.asarray(jax.lax.lgamma(x))), 1.0)
   assert rel.max() < 2e-5
+
+
+def test_extreme_dispersion_stability():
+  """Regression: tiny θ must not produce −inf (the inf-training-loss bug)
+  and huge θ must converge to the Poisson limit, in BOTH the fused-kernel
+  formula and the distribution math."""
+  from scipy import stats
+  import sisua_tpu.dist as D
+  from sisua_tpu.ops.zinb_pallas import nbd_log_prob_rowsum
+  x = jnp.asarray([[1.0], [7.0], [0.0], [100.0]], jnp.float32)
+  # tiny dispersion: finite everywhere
+  mu = jnp.full((4, 1), 2.0)
+  th_tiny = jnp.full((4, 1), 1e-8)
+  k = np.asarray(nbd_log_prob_rowsum(x, mu, th_tiny))
+  d = np.asarray(D.NegativeBinomialDisp(loc=mu, disp=th_tiny).log_prob(x))
+  assert np.isfinite(k).all() and np.isfinite(d).all()
+  # huge dispersion: NB(μ, θ→∞) → Poisson(μ)
+  th_huge = jnp.full((4, 1), 1e8)
+  d = np.asarray(D.NegativeBinomialDisp(loc=mu, disp=th_huge).log_prob(x))
+  ref = stats.poisson.logpmf(np.asarray(x).ravel(), 2.0)
+  np.testing.assert_allclose(d.ravel(), ref, rtol=1e-3)
+  k = np.asarray(nbd_log_prob_rowsum(x, mu, th_huge)).ravel()
+  np.testing.assert_allclose(k, ref, rtol=1e-3)
 
 
 def test_zinb_elem_lanczos_matches_lax():
