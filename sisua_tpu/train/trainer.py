@@ -178,6 +178,11 @@ class Trainer:
         "sgd": optax.sgd,
         "rmsprop": optax.rmsprop,
         "adamax": optax.adamax,
+        # memory-light options for wide gene heads (the 33k-gene regime is
+        # optimizer-state-bandwidth-bound): adafactor keeps factored 2nd
+        # moments (~rank-1), lion a single sign-momentum buffer
+        "adafactor": lambda lr: optax.adafactor(learning_rate=lr),
+        "lion": optax.lion,
     }[self.optimizer_name](self.learning_rate)
     if self.clipnorm and self.clipnorm > 0:
       return optax.chain(optax.clip_by_global_norm(self.clipnorm), opt)
