@@ -12,7 +12,13 @@ import sys
 
 def main(argv=None):
   from ..train.experimenter import SisuaExperimenter
-  exp = SisuaExperimenter()
+  argv = list(sys.argv[1:] if argv is None else argv)
+  kwargs = {}
+  if "--config" in argv:  # e.g. --config configs/presets/cortex_vae.yaml
+    i = argv.index("--config")
+    kwargs["config_path"] = argv[i + 1]
+    del argv[i:i + 2]
+  exp = SisuaExperimenter(**kwargs)
   print("SisuaExperimenter:")
   print(" - save   :", exp.save_path)
   print(" - config :", exp.config_path)

@@ -157,6 +157,10 @@ class Experimenter:
     """Parse CLI overrides; '-m' fans the override grid into processes."""
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--config" in argv:  # e.g. configs/presets/cortex_vae.yaml
+      i = argv.index("--config")
+      self.config_path = argv[i + 1]
+      del argv[i:i + 2]
     multirun = "-m" in argv
     ncpu = 1
     if "--ncpu" in argv:
