@@ -167,6 +167,131 @@ def _rowsum_ref(x, count_raw, logits, gate, constrained):
   return jnp.sum(_zinb_elem(x, count_raw, logits, gate, constrained), -1)
 
 
+def _digamma_shift6(x):
+  """digamma for x > 0 with vector ops only (Mosaic has no digamma
+  primitive): recurrence ψ(x) = ψ(x+6) − Σ_{k<6} 1/(x+k), then the
+  asymptotic series at y = x+6 ≥ 6 (~1e-7 abs err)."""
+  s = (1.0 / x + 1.0 / (x + 1.0) + 1.0 / (x + 2.0)
+       + 1.0 / (x + 3.0) + 1.0 / (x + 4.0) + 1.0 / (x + 5.0))
+  y = x + 6.0
+  inv = 1.0 / y
+  inv2 = inv * inv
+  series = jnp.log(y) - 0.5 * inv - inv2 * (
+      1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 * (1.0 / 252.0)))
+  return series - s
+
+
+def _digamma_diff(r, x):
+  """ψ(x+r) − ψ(r) without cancellation, for r > 0, x ≥ 0.
+
+  Subtracting two digamma evaluations loses ~4 digits whenever x ≪ r
+  (the NB d/dθ gradient is exactly that regime); here every term is
+  proportional to x, so x = 0 gives exactly 0 and small x stays at full
+  f32 precision. One log1p is the only transcendental — cheaper than two
+  digammas. Vector ops only → usable inside the Pallas kernel."""
+  s = sum(x / ((r + k) * (x + r + k)) for k in range(6))
+  y1 = r + 6.0
+  inv1 = 1.0 / y1
+  inv2 = 1.0 / (x + y1)
+  di = -x * inv1 * inv2                  # inv2 − inv1
+  si = inv1 + inv2
+  i1s = inv1 * inv1
+  i2s = inv2 * inv2
+  # series(y2) − series(y1) for series(y)=log y − inv/2 − inv²/12
+  #                                        + inv⁴/120 − inv⁶/252
+  out = (jnp.log1p(x * inv1)
+         - 0.5 * di
+         - di * si * (1.0 / 12.0
+                      - (1.0 / 120.0) * (i1s + i2s)
+                      + (1.0 / 252.0) * (i1s * i1s + i1s * i2s
+                                         + i2s * i2s)))
+  return out + s
+
+
+def _zinb_grads_elem(x, count_raw, logits, gate, constrained: bool):
+  """Analytic per-element gradients of the ZINB log-pmf w.r.t.
+  (count_raw, logits, gate). Shared by the XLA backward and the fused
+  Pallas backward kernel (vector ops only)."""
+  if constrained:
+    r = jnp.maximum(count_raw, 1e-8)
+    dr_dcr = (count_raw >= 1e-8).astype(x.dtype)
+  else:
+    clipped = jnp.clip(count_raw, -_EXP_CLIP, _EXP_CLIP)
+    r = jnp.exp(clipped)
+    dr_dcr = r * ((count_raw > -_EXP_CLIP)
+                  & (count_raw < _EXP_CLIP)).astype(x.dtype)
+  sig_l = jax.nn.sigmoid(logits)
+  sig_nl = jax.nn.sigmoid(-logits)
+  log_1mp = -jax.nn.softplus(logits)        # log(1−p)
+  # x > 0 branch: lp = logσ(−γ) + nb; d nb/d r mirrors the forward's
+  # large-r asymptotic switch exactly
+  dig = jnp.where(r > 1e6,
+                  x / r - x * (x - 1.0) / (2.0 * r * r),
+                  _digamma_diff(r, x))
+  dpos_dr = dig + log_1mp
+  dpos_dl = x * sig_nl - r * sig_l
+  sig_g = jax.nn.sigmoid(gate)
+  sig_ng = jax.nn.sigmoid(-gate)
+  dpos_dg = -sig_g
+  # x == 0 branch: lp = logaddexp(logσ(γ), logσ(−γ) + nb0)
+  nb0 = r * log_1mp
+  a = -jax.nn.softplus(-gate)
+  b = -jax.nn.softplus(gate) + nb0
+  wb = jnp.exp(b - jnp.logaddexp(a, b))     # posterior weight of the NB arm
+  dzero_dr = wb * log_1mp
+  dzero_dl = -wb * r * sig_l
+  dzero_dg = (1.0 - wb) * sig_ng - wb * sig_g
+  iszero = x <= 0.0
+  return (jnp.where(iszero, dzero_dr, dpos_dr) * dr_dcr,
+          jnp.where(iszero, dzero_dl, dpos_dl),
+          jnp.where(iszero, dzero_dg, dpos_dg))
+
+
+def _make_bwd_kernel(d: int, block_b: int, constrained: bool):
+  """Fused backward: the three elementwise gradient fields in one pass
+  (the XLA digamma pair over b×d elements was ~40% of the wide-gene
+  step; in-kernel it rides the same tiling as the forward)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  block_d = min(_BLOCK_D, ((d + 127) // 128) * 128)
+  n_col = -(-d // block_d)
+  d_pad = n_col * block_d
+
+  def kernel(x_ref, count_ref, logits_ref, gate_ref, g_ref,
+             dcr_ref, dl_ref, dg_ref):
+    d_cr, d_l, d_g = _zinb_grads_elem(
+        x_ref[:], count_ref[:], logits_ref[:], gate_ref[:], constrained)
+    g = g_ref[:]  # (block_b, 1) per-row cotangent
+    dcr_ref[:] = g * d_cr
+    dl_ref[:] = g * d_l
+    dg_ref[:] = g * d_g
+
+  def call(x, count_raw, logits, gate, g):
+    b = x.shape[0]
+    pad_cols = d_pad - d
+    def pad(a):
+      return jnp.pad(a, ((0, 0), (0, pad_cols))) if pad_cols else a
+    grid = (max(1, b // block_b), n_col)
+    elem_spec = pl.BlockSpec((block_b, block_d), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((block_b, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, d_pad), jnp.float32)
+    d_cr, d_l, d_g = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[elem_spec] * 4 + [row_spec],
+        out_specs=(elem_spec, elem_spec, elem_spec),
+    )(pad(x), pad(count_raw), pad(logits), pad(gate), g[:, None])
+    if pad_cols:
+      d_cr, d_l, d_g = d_cr[:, :d], d_l[:, :d], d_g[:, :d]
+    return d_cr, d_l, d_g
+
+  return call
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _zinb_rowsum(x, count_raw, logits, gate, constrained):
   if not pallas_available() or x.ndim != 2:
@@ -184,15 +309,37 @@ def _zinb_fwd(x, count_raw, logits, gate, constrained):
   return out, (x, count_raw, logits, gate)
 
 
+def _unbroadcast(grad, shape):
+  """Reduce a full-shape gradient back to a broadcast input's shape."""
+  if grad.shape == tuple(shape):
+    return grad
+  extra = grad.ndim - len(shape)
+  if extra > 0:
+    grad = jnp.sum(grad, axis=tuple(range(extra)))
+  axes = tuple(i for i, s in enumerate(shape) if s == 1)
+  if axes:
+    grad = jnp.sum(grad, axis=axes, keepdims=True)
+  return grad
+
+
 def _zinb_bwd(constrained, res, g):
-  # backward via jnp autodiff of the reference elementwise math (XLA fuses
-  # this into one pass as well; the fused-forward is where the win is)
+  """Hand-derived elementwise gradients (see _zinb_grads_elem); fused into
+  a Pallas kernel when the forward also ran fused."""
   x, count_raw, logits, gate = res
-  def f(cr, lg, gt):
-    return _rowsum_ref(x, cr, lg, gt, constrained)
-  _, vjp = jax.vjp(f, count_raw, logits, gate)
-  d_count, d_logits, d_gate = vjp(g)
-  return None, d_count, d_logits, d_gate
+  full = (x.ndim == 2 and g.ndim == 1
+          and jnp.shape(count_raw) == x.shape
+          and jnp.shape(logits) == x.shape
+          and jnp.shape(gate) == x.shape)
+  if full and pallas_available() and x.shape[0] % 8 == 0:
+    call = _make_bwd_kernel(x.shape[1], 8, constrained)
+    d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
+    return None, d_cr, d_l, d_g
+  d_r, d_l, d_g = _zinb_grads_elem(x, count_raw, logits, gate, constrained)
+  gb = jnp.expand_dims(g, -1)               # per-row cotangent → per-element
+  return (None,
+          _unbroadcast(gb * d_r, jnp.shape(count_raw)),
+          _unbroadcast(gb * d_l, jnp.shape(logits)),
+          _unbroadcast(gb * d_g, jnp.shape(gate)))
 
 
 _zinb_rowsum.defvjp(_zinb_fwd, _zinb_bwd)
