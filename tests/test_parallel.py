@@ -84,6 +84,42 @@ def test_device_cached_training_on_mesh(splits, small_nets):
   assert len(leaf.sharding.device_set) == 8
 
 
+def test_tp_matches_replicated_loss(small_nets):
+  """Tensor parallelism must be a pure layout change: a ≥1024-wide ZINB head
+  trained on (dp=4, tp=2) must (a) actually engage the column sharding
+  (kernel spec P(None, 'model')) and (b) produce the same loss trajectory as
+  the replicated single-device run — a silent TP sharding bug changes the
+  math and fails (b)."""
+  from jax.sharding import PartitionSpec as P
+  from sisua_tpu.data import generate_synthetic
+
+  sco = generate_synthetic(n_cells=512, n_genes=1024, n_proteins=4,
+                           n_celltypes=3, seed=11)
+
+  def run(mesh):
+    m = VAE(RVmeta(sco.n_vars, "zinb", name="rna"), seed=7, **small_nets)
+    m.fit(sco, epochs=3, batch_size=64, device_cache=True,
+          metrics_interval=1, mesh=mesh, valid_freq=0, patience=0)
+    return m
+
+  m_single = run(None)
+  m_tp = run(create_mesh(n_data=4, n_model=2))
+
+  # (a) the wide head kernel is column-sharded over 'model'
+  wide = [(path, leaf) for path, leaf
+          in jax.tree_util.tree_leaves_with_path(m_tp.params)
+          if getattr(leaf, "ndim", 0) == 2 and leaf.shape[1] >= 1024]
+  assert wide, "expected a >=1024-wide kernel in the ZINB head"
+  specs = {leaf.sharding.spec for _, leaf in wide}
+  assert specs == {P(None, "model")}, specs
+  # every sharded leaf spans all 8 devices
+  assert all(len(leaf.sharding.device_set) == 8 for _, leaf in wide)
+
+  # (b) identical objective: loss trajectories match the replicated run
+  np.testing.assert_allclose(m_single.history["loss"], m_tp.history["loss"],
+                             rtol=2e-2)
+
+
 def test_device_cached_mesh_rejects_odd_batch(splits, small_nets):
   train, _ = splits
   mesh = create_mesh(n_data=8, n_model=1)
