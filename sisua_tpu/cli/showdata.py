@@ -13,11 +13,27 @@ import numpy as np
 
 def main(argv=None):
   p = argparse.ArgumentParser("sisua-showdata")
-  p.add_argument("-ds", required=True, help="dataset registry name")
+  p.add_argument("-ds", default=None, help="dataset registry name")
   p.add_argument("-path", default="/tmp/sisua_showdata")
   p.add_argument("--figures", action="store_true",
                  help="also render the full figure battery")
+  p.add_argument("--list", action="store_true", dest="list_datasets",
+                 help="list all registry names with availability")
   args = p.parse_args(argv)
+
+  if args.list_datasets:
+    from ..data import get_dataset_availability
+    avail = get_dataset_availability()
+    width = max(map(len, avail))
+    for name in sorted(avail):
+      print(f"{name:<{width}}  {avail[name]}")
+    print(f"\n{len(avail)} datasets | tags: always = in-memory synthetic; "
+          "public-download = native download+preprocess pipeline; "
+          "optional-dep = needs scvi-tools; R-required = convert upstream "
+          ".rds with tools/convert_rds.R")
+    return None
+  if args.ds is None:
+    p.error("-ds is required (or use --list)")
 
   from ..data import get_dataset
   sco = get_dataset(args.ds, verbose=True)

@@ -31,6 +31,7 @@ from .utils import (apply_artificial_corruption, get_library_size,
 
 __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
+    "get_dataset_availability", "AVAILABILITY",
     "generate_synthetic", "read_h5ad", "write_h5ad",
     "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",
@@ -41,20 +42,33 @@ __all__ = [
 ]
 
 
+# availability of each registry name in a fresh environment:
+#   'always'          — generated in memory, no IO
+#   'public-download' — full native download+preprocess pipeline
+#   'optional-dep'    — needs an optional python package (scvi-tools)
+#   'R-required'      — upstream ships .rds; convert with tools/convert_rds.R
+AVAILABILITY = ("always", "public-download", "optional-dep", "R-required")
+
+
 def _registry() -> Dict[str, Callable]:
   from . import loaders as L
   meta: Dict[str, Callable] = {}
+  avail = _AVAILABILITY_CACHE
+  avail.clear()
 
   # --- synthetic family (always available; scalability protocol sizes) ----
   meta["synthetic"] = read_synthetic
   for k in ("200", "500", "1k", "2k", "5k", "10k", "40k", "100k", "1m"):
     meta[f"synthetic{k}"] = partial(read_synthetic, k)
+  avail.update({k: "always" for k in meta})
 
   # --- scVI benchmark sets -------------------------------------------------
   meta["cortex"] = L.read_Cortex
   meta["pbmcscvi"] = L.read_PBMC
   meta["retina"] = L.read_Retina
   meta["hemato"] = L.read_Hemato
+  avail.update(cortex="public-download", pbmcscvi="optional-dep",
+               retina="optional-dep", hemato="optional-dep")
 
   # --- PBMC 8k / ECC subsets (suffix '' = full panel) ----------------------
   for subset, suffix in (("ly", "ly"), ("my", "my"), ("full", "")):
@@ -113,10 +127,17 @@ def _registry() -> Dict[str, Callable]:
     meta[f"{c}x"] = partial(L.read_PBMC_crossdataset, c)
   meta["8kxnoprot"] = partial(L.read_PBMC_crossdataset_remove_protein, "8k")
 
+  # everything not tagged above has a full native download+preprocess path;
+  # the R-gated names are the ones whose upstream ships .rds objects
+  for name in meta:
+    avail.setdefault(name, "public-download")
+  for name in ("mpal", "mpalatac", "mpalall", "melanomaatac", "mpalx"):
+    avail[name] = "R-required"
   return meta
 
 
 _META_CACHE: Dict[str, Callable] = {}
+_AVAILABILITY_CACHE: Dict[str, str] = {}
 
 
 def get_dataset_meta() -> Dict[str, Callable]:
@@ -125,6 +146,21 @@ def get_dataset_meta() -> Dict[str, Callable]:
   if not _META_CACHE:
     _META_CACHE = _registry()
   return _META_CACHE
+
+
+def get_dataset_availability(name: str = None):
+  """Availability tag for one registry name, or the full name → tag map.
+
+  Tags: 'always' (in-memory synthetic), 'public-download' (native
+  download+preprocess pipeline), 'optional-dep' (needs scvi-tools),
+  'R-required' (upstream .rds — convert with ``tools/convert_rds.R``)."""
+  get_dataset_meta()
+  if name is None:
+    return dict(_AVAILABILITY_CACHE)
+  key = str(name).lower().strip()
+  if key not in _AVAILABILITY_CACHE:
+    raise KeyError(f"Unknown dataset '{name}'")
+  return _AVAILABILITY_CACHE[key]
 
 
 def get_dataset(name: str, override: bool = False, verbose: bool = False,

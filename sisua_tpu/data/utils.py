@@ -37,6 +37,7 @@ __all__ = [
     "apply_artificial_corruption", "get_library_size", "download_file",
     "md5_checksum", "md5_folder", "read_compressed", "save_to_dataset",
     "load_from_dataset", "validate_data_dir", "standardize_protein_name",
+    "unzip_aes",
     "is_binary_dtype", "is_categorical_dtype",
 ]
 
@@ -172,6 +173,87 @@ def download_file(url: str, outpath: str, md5: Optional[str] = None,
     if got != md5:
       raise RuntimeError(f"MD5 mismatch for {outpath}: {got} != {md5}")
   return outpath
+
+
+def _winzip_aes_keys(password: bytes, salt: bytes, strength: int):
+  """WinZip AES key derivation: PBKDF2-HMAC-SHA1, 1000 iterations →
+  (aes_key, hmac_key, password_verifier)."""
+  key_len = {1: 16, 2: 24, 3: 32}[strength]
+  dk = hashlib.pbkdf2_hmac("sha1", password, salt, 1000, 2 * key_len + 2)
+  return dk[:key_len], dk[key_len:2 * key_len], dk[2 * key_len:]
+
+
+def _winzip_aes_ctr(key: bytes, data: bytes) -> bytes:
+  """WinZip AES-CTR keystream: 16-byte little-endian counter starting at 1
+  (NOT the big-endian CTR of standard AES-CTR modes)."""
+  from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                      modes)
+  enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+  out = bytearray(len(data))
+  for off in range(0, len(data), 16):
+    counter = ((off >> 4) + 1).to_bytes(16, "little")
+    ks = enc.update(counter)
+    chunk = data[off:off + 16]
+    out[off:off + len(chunk)] = bytes(a ^ b for a, b in zip(chunk, ks))
+  return bytes(out)
+
+
+def unzip_aes(path: str, password: str):
+  """Iterate (name, bytes) over a zip archive, supporting WinZip-AES
+  (AE-1/AE-2, compression type 99) members — the reference delegates this to
+  ``odin.utils.crypto.unzip_aes`` (facs_gene_protein.py:51,
+  pbmc_CITEseq.py). Plain and ZipCrypto members fall through to zipfile."""
+  import hmac as hmac_mod
+  import struct
+  import zlib
+  pwd = password.encode() if isinstance(password, str) else password
+  with zipfile.ZipFile(path) as zf:
+    for info in zf.infolist():
+      if info.is_dir():
+        continue
+      if info.compress_type != 99:
+        yield info.filename, zf.read(info, pwd=pwd)
+        continue
+      # parse the 0x9901 extra field: vendor ver, 'AE', strength, method
+      extra, strength, method = info.extra, 3, zipfile.ZIP_DEFLATED
+      off = 0
+      while off + 4 <= len(extra):
+        tag, size = struct.unpack_from("<HH", extra, off)
+        if tag == 0x9901:
+          _ver, _ae, strength, method = struct.unpack_from(
+              "<H2sBH", extra, off + 4)
+        off += 4 + size
+      # raw member payload: salt | 2-byte verifier | ciphertext | 10-byte mac
+      # (zipfile refuses compress_type 99, so read the raw stream manually)
+      raw = _raw_member_bytes(zf, info)
+      salt_len = {1: 8, 2: 12, 3: 16}[strength]
+      salt = raw[:salt_len]
+      verifier = raw[salt_len:salt_len + 2]
+      mac = raw[-10:]
+      ct = raw[salt_len + 2:-10]
+      aes_key, mac_key, pv = _winzip_aes_keys(pwd, salt, strength)
+      if pv != verifier:
+        raise RuntimeError(f"Bad password for member '{info.filename}'")
+      if hmac_mod.new(mac_key, ct, hashlib.sha1).digest()[:10] != mac:
+        raise RuntimeError(f"HMAC mismatch for member '{info.filename}'")
+      data = _winzip_aes_ctr(aes_key, ct)
+      if method == zipfile.ZIP_DEFLATED:
+        data = zlib.decompress(data, -15)
+      yield info.filename, data
+
+
+def _raw_member_bytes(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
+  """Read a member's raw (compressed/encrypted) payload by parsing its local
+  file header — zipfile cannot decode compress_type 99 itself."""
+  import struct
+  fp = zf.fp
+  fp.seek(info.header_offset)
+  hdr = fp.read(30)
+  magic, = struct.unpack_from("<I", hdr, 0)
+  assert magic == 0x04034b50, "corrupt local file header"
+  name_len, extra_len = struct.unpack_from("<HH", hdr, 26)
+  fp.seek(info.header_offset + 30 + name_len + extra_len)
+  return fp.read(info.compress_size)
 
 
 def read_compressed(path: str, outdir: str) -> List[str]:
