@@ -252,6 +252,39 @@ class Posterior(Visualizer):
       out["pearson_mean"] = float(np.mean([v[1] for v in corr.values()]))
     return out
 
+  def cal_protein_prediction(self) -> Dict[str, float]:
+    """Direct protein prediction (semi-supervised models only): per-protein
+    pearson/spearman of the model's imputed proteomic posterior mean
+    (``iproteomic``) against the TRUE antibody counts — the reference's
+    core SISUA-vs-unsupervised claim, evaluable only for models with a
+    protein output head."""
+    if "protein_pred" in self._cache:
+      return self._cache["protein_pred"]
+    if ("proteomic" not in self.sco_original.omics
+        or "iproteomic" not in self.sco_analysis.omics):
+      self._cache["protein_pred"] = {}
+      return {}
+    from scipy import stats as sp_stats
+    y = self.sco_original.numpy("proteomic")
+    yhat = self.sco_analysis.numpy("iproteomic")
+    names = self.sco_original.get_var_names("proteomic")
+    out: Dict[str, float] = {}
+    pear, spear = [], []
+    for j, nm in enumerate(names):
+      if np.std(y[:, j]) == 0 or np.std(yhat[:, j]) == 0:
+        continue
+      p = float(sp_stats.pearsonr(yhat[:, j], y[:, j])[0])
+      s = float(sp_stats.spearmanr(yhat[:, j], y[:, j])[0])
+      out[f"protein_pearson_{nm}"] = p
+      out[f"protein_spearman_{nm}"] = s
+      pear.append(p)
+      spear.append(s)
+    if pear:
+      out["protein_pearson_mean"] = float(np.mean(pear))
+      out["protein_spearman_mean"] = float(np.mean(spear))
+    self._cache["protein_pred"] = out
+    return out
+
   def cal_mutual_information(self, factor_omic: str = "proteomic"
                              ) -> Dict[str, float]:
     crt = self.criticizers.get(factor_omic)
@@ -330,7 +363,8 @@ class Posterior(Visualizer):
     """All scalar metric families in one dict (optionally JSON-dumped)."""
     scores = {}
     for fn in (self.cal_llk, self.cal_imputation_scores, self.cal_spearman,
-               self.cal_pearson, self.cal_mutual_information,
+               self.cal_pearson, self.cal_protein_prediction,
+               self.cal_mutual_information,
                self.cal_protein_classification, self.cal_mig, self.cal_dci):
       try:
         scores.update(fn())

@@ -25,14 +25,14 @@ from .dataset import SingleCellOMIC
 from .feeder import DataFeeder
 from .h5ad import read_h5ad, write_h5ad
 from .path import CONFIG_PATH, DATA_DIR, DOWNLOAD_DIR, EXP_DIR
-from .synthetic import generate_synthetic, read_synthetic
+from .synthetic import generate_citeseq, generate_synthetic, read_synthetic
 from .utils import (apply_artificial_corruption, get_library_size,
                     standardize_protein_name)
 
 __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
     "get_dataset_availability", "AVAILABILITY",
-    "generate_synthetic", "read_h5ad", "write_h5ad",
+    "generate_synthetic", "generate_citeseq", "read_h5ad", "write_h5ad",
     "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",
     "MARKER_ADT_GENE", "MARKER_ADTS", "MARKER_ATAC", "MARKER_GENES",
@@ -60,6 +60,8 @@ def _registry() -> Dict[str, Callable]:
   meta["synthetic"] = read_synthetic
   for k in ("200", "500", "1k", "2k", "5k", "10k", "40k", "100k", "1m"):
     meta[f"synthetic{k}"] = partial(read_synthetic, k)
+  from .synthetic import generate_citeseq
+  meta["citeseqsim"] = generate_citeseq  # benchmark-grade CITE-seq simulator
   avail.update({k: "always" for k in meta})
 
   # --- scVI benchmark sets -------------------------------------------------
