@@ -513,15 +513,148 @@ class Posterior(Visualizer):
       self.add_figure(f"{self.name}_disentanglement_{f}", fig)
     return self
 
-  def plot_violins(self, omic: Optional[str] = None):
+  def _delegate(self, method: str, rename: Optional[str] = None, **kwargs):
+    """Run a visualizer method on the analysis dataset and absorb its
+    figures (optionally renamed with this posterior's tag)."""
+    getattr(self.sco_analysis, method)(**kwargs)
+    for k, fig in self.sco_analysis.figures.items():
+      self.add_figure(rename or f"{self.name}_{k}", fig)
+    self.sco_analysis.figures.clear()
+    return self
+
+  def plot_violins(self, omic: Optional[str] = None,
+                   group_by: Optional[str] = None):
     """Marker-variable violins on the analysis dataset (imputed omic)."""
     omic = omic or f"i{self.main_omic}"
-    group = self.factor_omics[0] if self.factor_omics else None
+    group = group_by or (self.factor_omics[0] if self.factor_omics else None)
     if group is None or omic not in self.sco_analysis.omics:
       return self
-    self.sco_analysis.plot_stacked_violins(X=omic, group_by=group)
-    self.figures.update(self.sco_analysis.figures)
-    self.sco_analysis.figures.clear()
+    return self._delegate("plot_stacked_violins", X=omic, group_by=group)
+
+  def plot_heatmap(self, omic: Optional[str] = None,
+                   group_by: Optional[str] = None):
+    """Grouped marker heatmap (original or imputed omic)."""
+    omic = omic or f"i{self.main_omic}"
+    group = group_by or (self.factor_omics[0] if self.factor_omics else None)
+    if group is None or omic not in self.sco_analysis.omics:
+      return self
+    return self._delegate("plot_heatmap", X=omic, group_by=group)
+
+  def plot_dendrogram(self, omic: Optional[str] = None,
+                      group_by: Optional[str] = None):
+    """Ward-linkage dendrogram heatmap of group centroids."""
+    omic = omic or f"i{self.main_omic}"
+    group = group_by or (self.factor_omics[0] if self.factor_omics else None)
+    if group is None or omic not in self.sco_analysis.omics:
+      return self
+    return self._delegate("plot_dendrogram_heatmap", X=omic, group_by=group)
+
+  def plot_dotplot(self, omic: Optional[str] = None,
+                   group_by: Optional[str] = None):
+    omic = omic or f"i{self.main_omic}"
+    group = group_by or (self.factor_omics[0] if self.factor_omics else None)
+    if group is None or omic not in self.sco_analysis.omics:
+      return self
+    return self._delegate("plot_dotplot", X=omic, group_by=group)
+
+  def plot_correlation_scatter(self, imputed: bool = True):
+    """Top marker gene↔protein scatter pairs, on the original or the
+    imputed transcriptome (reference plot_correlation_scatter grid)."""
+    if "proteomic" not in self.sco_original.omics:
+      return self
+    omic1 = f"i{self.main_omic}" if imputed else self.main_omic
+    if omic1 not in self.sco_analysis.omics:
+      return self
+    return self._delegate("plot_correlation_scatter", omic1=omic1,
+                          omic2="proteomic")
+
+  def plot_divergence(self, algo: str = "pca"):
+    """Latent embedding colored by each protein's level."""
+    if "proteomic" not in self.sco_original.omics:
+      return self
+    return self._delegate("plot_divergence", X=OMIC.latent, omic="proteomic",
+                          algo=algo)
+
+  def plot_disentanglement_scatter(self, factor_omic: str = "proteomic",
+                                   pairs=None, n_pairs: int = 6):
+    """Latent 2-D embedding colored by the log-contrast of opposing factor
+    pairs (reference plot_disentanglement_scatter with
+    PROTEIN_PAIR_NEGATIVE)."""
+    if factor_omic not in self.sco_original.omics:
+      return self
+    import matplotlib.pyplot as plt
+    from ..data.const import PROTEIN_PAIR_NEGATIVE
+    names = list(map(str, self.sco_original.get_var_names(factor_omic)))
+    if pairs is None:
+      pairs = [(a, b) for a, b in PROTEIN_PAIR_NEGATIVE
+               if a in names and b in names]
+    pairs = [p for p in pairs if p[0] in names and p[1] in names][:n_pairs]
+    if not pairs:
+      return self
+    emb = self.sco_analysis.dimension_reduce(OMIC.latent, n_components=2,
+                                             algo="pca")
+    y = np.log1p(self.sco_original.numpy(factor_omic))
+    ncol = 3
+    nrow = int(np.ceil(len(pairs) / ncol))
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3.6 * ncol, 3 * nrow),
+                             squeeze=False)
+    for k, (a, b) in enumerate(pairs):
+      ax = axes[k // ncol][k % ncol]
+      contrast = y[:, names.index(a)] - y[:, names.index(b)]
+      sc = ax.scatter(emb[:, 0], emb[:, 1], c=contrast, s=4, cmap="coolwarm",
+                      linewidths=0)
+      ax.set_title(f"{a} − {b}", fontsize=8)
+      fig.colorbar(sc, ax=ax)
+    for k in range(len(pairs), nrow * ncol):
+      axes[k // ncol][k % ncol].axis("off")
+    fig.tight_layout()
+    self.add_figure(f"{self.name}_disentanglement_scatter_{factor_omic}",
+                    fig)
+    return self
+
+  def plot_llk_bars(self):
+    """4-way imputed/reconstructed × original/corrupted LLK bar chart."""
+    import matplotlib.pyplot as plt
+    llk = self.cal_llk()
+    if not llk:
+      return self
+    fig, ax = plt.subplots(figsize=(6, 4))
+    names = list(llk)
+    ax.bar(range(len(names)), [llk[k] for k in names])
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=30, fontsize=7, ha="right")
+    ax.set_ylabel("log-likelihood")
+    ax.set_title(f"{self.name} 4-way LLK")
+    fig.tight_layout()
+    self.add_figure(f"{self.name}_llk", fig)
+    return self
+
+  def plot_protein_prediction(self, n_proteins: int = 9):
+    """Predicted vs true ADT scatter grid (semi-supervised models)."""
+    if ("proteomic" not in self.sco_original.omics
+        or "iproteomic" not in self.sco_analysis.omics):
+      return self
+    import matplotlib.pyplot as plt
+    y = np.log1p(self.sco_original.numpy("proteomic"))
+    yhat = np.log1p(self.sco_analysis.numpy("iproteomic"))
+    names = self.sco_original.get_var_names("proteomic")
+    n = min(n_proteins, y.shape[1])
+    ncol = 3
+    nrow = int(np.ceil(n / ncol))
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3.2 * ncol, 3 * nrow),
+                             squeeze=False)
+    for k in range(n):
+      ax = axes[k // ncol][k % ncol]
+      ax.scatter(y[:, k], yhat[:, k], s=4, alpha=0.3, linewidths=0)
+      lim = max(y[:, k].max(), yhat[:, k].max())
+      ax.plot([0, lim], [0, lim], "r--", lw=0.8)
+      ax.set_title(str(names[k]), fontsize=8)
+      ax.set_xlabel("true (log1p)", fontsize=7)
+      ax.set_ylabel("predicted", fontsize=7)
+    for k in range(n, nrow * ncol):
+      axes[k // ncol][k % ncol].axis("off")
+    fig.tight_layout()
+    self.add_figure(f"{self.name}_protein_prediction", fig)
     return self
 
   def plot_series(self):
@@ -536,13 +669,40 @@ class Posterior(Visualizer):
     self.add_figure(f"{self.name}_series", fig)
     return self
 
-  def plot_all(self):
-    """Render the standard figure battery (reference evaluate.py plotting)."""
+  def plot_all(self, full: bool = False):
+    """Render the figure battery.
+
+    ``full=False``: the standard 10-figure summary. ``full=True``: the
+    reference's per-factor-omic figure grid (``evaluate.py:71-152``) — for
+    every factor omic (proteomic/celltype/disease/progenitor) the scatter/
+    violin/heatmap/dendrogram/distance/confusion/correlation panels on both
+    the original and imputed omics, plus the protein-pair, divergence,
+    disentanglement-scatter, LLK and protein-prediction figures — ≥20
+    distinct figure types on a 2-omic model."""
     (self.plot_learning_curves().plot_imputation_scatter()
      .plot_scatter(algo="pca").plot_distance_heatmap()
      .plot_correlation_matrix().plot_latents_protein_pairs()
      .plot_latents_binary().plot_confusion_matrix()
      .plot_disentanglement().plot_series())
+    if not full:
+      return self
+    self.plot_scatter(algo="tsne").plot_llk_bars().plot_protein_prediction()
+    self.plot_divergence()
+    for f in self.factor_omics:
+      for om in (self.main_omic, f"i{self.main_omic}"):
+        self.plot_violins(omic=om, group_by=f)
+        self.plot_heatmap(omic=om, group_by=f)
+      self.plot_dendrogram(group_by=f)
+      self.plot_dotplot(group_by=f)
+      self.plot_distance_heatmap(factor_omic=f)
+      self.plot_confusion_matrix(factor_omic=f)
+      for method in ("pearson", "mi", "importance"):
+        self.plot_correlation_matrix(method=method, factor_omic=f)
+      self.plot_disentanglement(factor_omic=f)
+      if f == "proteomic":
+        self.plot_disentanglement_scatter(factor_omic=f)
+        for imputed in (False, True):
+          self.plot_correlation_scatter(imputed=imputed)
     return self
 
   def __repr__(self):

@@ -21,6 +21,9 @@ def main(argv=None):
   p.add_argument("-path", default="/tmp/sisua_evaluate",
                  help="output folder for figures")
   p.add_argument("--no-plots", action="store_true")
+  p.add_argument("--summary-plots", action="store_true",
+                 help="render only the 10-figure summary instead of the "
+                      "full per-factor grid")
   args = p.parse_args(argv)
 
   from ..analysis import Posterior, ResultsSheet
@@ -58,12 +61,15 @@ def main(argv=None):
   rs = ResultsSheet(*posteriors)
   rs.save_scores(os.path.join(args.path, "scores"))
   if not args.no_plots:
+    n_figs = 0
     for post in posteriors:
-      post.plot_all()
+      post.plot_all(full=not args.summary_plots)
+      n_figs += len(post.figures)
       post.save_figures(args.path)
     rs.plot_all()
+    n_figs += len(rs.figures)
     rs.save_figures(args.path)
-    print("figures →", args.path)
+    print(f"{n_figs} figures →", args.path)
   return posteriors
 
 

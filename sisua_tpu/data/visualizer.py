@@ -172,6 +172,54 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
     self.add_figure(f"{omic.name}_heatmap", fig)
     return self
 
+  def plot_dendrogram_heatmap(self,
+                              X=OMIC.transcriptomic,
+                              group_by=OMIC.celltype,
+                              var_names: Optional[Sequence[str]] = None,
+                              log: bool = True) -> "_OMICvisualizer":
+    """Hierarchically-clustered group-mean heatmap with the dendrogram drawn
+    above (the scanpy dendrogram panel of the reference's
+    ``_single_cell_visualizer.py``): groups ordered by Ward linkage over
+    their centroid profiles."""
+    import matplotlib.pyplot as plt
+    from scipy.cluster import hierarchy
+    omic = OMIC.parse(X)
+    if var_names is None:
+      markers = omic.markers or []
+      names = set(map(str, self.get_var_names(omic)))
+      var_names = [m for m in markers if m in names][:25] or \
+          list(self.top_vars(omic, 25))
+    _, labels = self._process_omics(group_by)
+    vi = self.get_var_indices(omic)
+    x = self.numpy(omic)[:, [vi[str(v)] for v in var_names]]
+    if log:
+      x = np.log1p(x)
+    uniq = np.unique(labels)
+    cent = np.stack([x[labels == u].mean(0) for u in uniq])
+    fig, (ax_d, ax_h) = plt.subplots(
+        2, 1, figsize=(max(6, len(var_names) * 0.35), 7),
+        gridspec_kw={"height_ratios": [1, 3]}, sharex=False)
+    if len(uniq) > 1:
+      link = hierarchy.linkage(cent, method="ward")
+      dn = hierarchy.dendrogram(link, ax=ax_d, labels=list(uniq),
+                                leaf_font_size=7)
+      order = dn["leaves"]
+    else:
+      order = [0]
+      ax_d.axis("off")
+    ax_d.set_yticks([])
+    im = ax_h.imshow(cent[order], aspect="auto", cmap="viridis",
+                     interpolation="nearest")
+    ax_h.set_xticks(range(len(var_names)))
+    ax_h.set_xticklabels([str(v) for v in var_names], rotation=90,
+                         fontsize=6)
+    ax_h.set_yticks(range(len(uniq)))
+    ax_h.set_yticklabels([str(uniq[i]) for i in order], fontsize=7)
+    fig.colorbar(im, ax=ax_h)
+    fig.tight_layout()
+    self.add_figure(f"{omic.name}_dendrogram", fig)
+    return self
+
   def plot_distance_heatmap(self,
                             X=OMIC.transcriptomic,
                             group_by=OMIC.celltype,

@@ -201,3 +201,27 @@ def test_cal_llk_on_device_matches_host(splits, small_nets):
   for k in host:
     assert abs(host[k] - dev[k]) / max(abs(host[k]), 1.0) < 0.05, \
         (k, host[k], dev[k])
+
+
+def test_posterior_full_figure_grid(splits, small_nets):
+  """The full per-factor grid (reference evaluate.py:71-152) renders ≥20
+  distinct figure types on a 2-omic semi-supervised model (VERDICT r1 #7)."""
+  import matplotlib
+  matplotlib.use("Agg")
+  from sisua_tpu.models import SISUA, RVmeta
+  train, test = splits
+  m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+             RVmeta(train.get_dim("proteomic"), "nb", name="adt")],
+            **small_nets)
+  m.fit(train, epochs=2, batch_size=128, valid_freq=0, patience=0)
+  post = m.create_posterior(test, sample_shape=3)
+  post.plot_all(full=True)
+  assert len(post.figures) >= 20, sorted(post.figures)
+  # the dendrogram / protein-prediction / disentanglement-scatter panels —
+  # the round-1 gaps — are all present
+  names = "\n".join(post.figures)
+  for frag in ("dendrogram", "protein_prediction", "disentanglement_scatter",
+               "llk", "corr_scatter", "violins", "dotplot"):
+    assert frag in names, (frag, sorted(post.figures))
+  import matplotlib.pyplot as plt
+  plt.close("all")
