@@ -138,6 +138,7 @@ def test_callbacks_inject_metrics(splits_module):
   assert "ClusteringScores_ARI" in h
 
 
+@pytest.mark.slow
 def test_results_sheet(trained, tmp_path):
   vae, train, test = trained
   small = dict(encoder=NetConf((16,)), decoder=NetConf((16,)))
@@ -203,6 +204,7 @@ def test_cal_llk_on_device_matches_host(splits, small_nets):
         (k, host[k], dev[k])
 
 
+@pytest.mark.slow
 def test_posterior_full_figure_grid(splits, small_nets):
   """The full per-factor grid (reference evaluate.py:71-152) renders ≥20
   distinct figure types on a 2-omic semi-supervised model (VERDICT r1 #7)."""

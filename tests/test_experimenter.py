@@ -45,6 +45,7 @@ def test_scoreboard_roundtrip(tmp_path):
   assert sb.tables == ["t1"]
 
 
+@pytest.mark.slow
 def test_experimenter_end_to_end(tmp_path, monkeypatch):
   """run_config on a tiny synthetic config → trained weights + scores +
   resume path."""
@@ -116,6 +117,7 @@ def test_predict_cli_scores_checkpoint(tmp_path, splits, small_nets):
     assert json.load(f)["model"] == "VAE"
 
 
+@pytest.mark.slow
 def test_multirun_parallel_processes(tmp_path, monkeypatch):
   """-m --ncpu 2: one spawned process per config (the reference's
   'training multiple systems in parallel'). Also guards the jax-0.9

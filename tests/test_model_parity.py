@@ -155,6 +155,7 @@ def _baseline_nll(train, test):
               np.broadcast_to(theta, xte.shape))
 
 
+@pytest.mark.slow
 def test_scvi_matches_torch_reference(data):
   train, test = data
   nll_torch = _train_torch(train, test)

@@ -180,6 +180,7 @@ def test_optimizer_registry(splits, small_nets):
     assert np.isfinite(loss).all() and loss[-1] < loss[0], (opt, loss)
 
 
+@pytest.mark.slow
 def test_track_gradient_norms(splits, small_nets):
   """configs/base.yaml `track_gradient_norms` records per-epoch mean
   global grad-norm into history (finite, positive)."""
@@ -196,6 +197,7 @@ def test_track_gradient_norms(splits, small_nets):
   assert gn2.shape == (3,) and np.isfinite(gn2).all() and (gn2 > 0).all()
 
 
+@pytest.mark.slow
 def test_device_dtype_compressed_cache(splits, small_nets):
   """device_dtype stores the HBM-resident dataset compressed (int16/bf16):
   training stays finite and lands near the float32 run; int16 refuses
@@ -221,6 +223,7 @@ def test_device_dtype_compressed_cache(splits, small_nets):
           device_dtype="int16")
 
 
+@pytest.mark.slow
 def test_nan_seed_sweep(splits, small_nets):
   """Regression: training must stay finite across seeds (the feeder race
   produced ~30% NaN runs before the fix)."""
@@ -317,6 +320,7 @@ def test_get_normalized_expression(splits, small_nets):
   np.testing.assert_allclose(scale0, ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_time_mc_samples(splits, small_nets):
   """fit(mc_samples=S): S reparameterized draws per example in the ELBO
   (the reference train config's sample_shape); works with analytic KL and

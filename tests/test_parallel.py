@@ -50,6 +50,7 @@ def test_dp_training_scvi(mesh, splits):
   assert np.isfinite(m.history["loss"]).all()
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_loss(splits, small_nets):
   """DP over 8 shards must optimize the same objective: first-epoch loss
   within tolerance of the single-device run (same seeds/batches)."""
@@ -68,6 +69,7 @@ def test_model_axis_mesh():
   assert dict(mesh.shape) == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_device_cached_training_on_mesh(splits, small_nets):
   """The device-resident (fastest) path shards the cell axis over 'data':
   the dataset lives sharded in HBM, every scanned minibatch is constrained
@@ -84,6 +86,7 @@ def test_device_cached_training_on_mesh(splits, small_nets):
   assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_tp_matches_replicated_loss(small_nets):
   """Tensor parallelism must be a pure layout change: a ≥1024-wide ZINB head
   trained on (dp=4, tp=2) must (a) actually engage the column sharding

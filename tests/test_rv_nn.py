@@ -64,6 +64,7 @@ def test_rv_mse_contract():
                              atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rv_all_posteriors_build():
   """Every registered posterior constructs, evaluates log_prob, samples."""
   x = jnp.ones((4, 16))

@@ -91,6 +91,7 @@ def test_history_persisted(splits, small_nets, tmp_path):
   assert loaded.history["loss"] == [float(x) for x in m.history["loss"]]
 
 
+@pytest.mark.slow
 def test_orbax_backend_roundtrip(splits, small_nets, tmp_path):
   """backend='orbax' writes a sharded-array-aware orbax checkpoint that
   load_model auto-detects (no backend flag needed on load)."""

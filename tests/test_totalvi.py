@@ -34,6 +34,7 @@ def test_nb_mixture_logpmf():
   assert s.shape == (500,) and float(s.mean()) > 0
 
 
+@pytest.mark.slow
 def test_totalvi_end_to_end(splits, tmp_path):
   train, test = splits
   n_prot = train.get_dim("proteomic")
