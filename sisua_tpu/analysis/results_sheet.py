@@ -113,6 +113,63 @@ class ResultsSheet(Visualizer):
       self.add_figure("disentanglement_scores", fig)
     return self
 
+  def plot_protein_prediction_scores(self) -> "ResultsSheet":
+    fig = self._bar_compare(["protein_pearson_mean",
+                             "protein_spearman_mean"],
+                            "direct protein prediction (semi-supervised)")
+    if fig is not None:
+      self.add_figure("protein_prediction_scores", fig)
+    return self
+
+  def plot_clustering_scores(self) -> "ResultsSheet":
+    df = self.get_scores()
+    cols = [c for c in df.columns
+            if c.split("_")[0] in ("ARI", "NMI", "ASW", "UCA")]
+    fig = self._bar_compare(cols[:8], "latent clustering vs labels")
+    if fig is not None:
+      self.add_figure("clustering_scores", fig)
+    return self
+
+  def plot_llk_scores(self) -> "ResultsSheet":
+    df = self.get_scores()
+    cols = [c for c in df.columns if c.startswith(("llk_", "marginal_llk"))]
+    fig = self._bar_compare(cols[:8], "log-likelihood (higher is better)")
+    if fig is not None:
+      self.add_figure("llk_scores", fig)
+    return self
+
+  def plot_ranking_heatmap(self) -> "ResultsSheet":
+    """Models × metrics heatmap of per-metric ranks (1 = best), with
+    error-like metrics (imputation_*) ranked ascending."""
+    import matplotlib.pyplot as plt
+    df = self.get_scores()
+    num = df.select_dtypes(include=[np.number]).dropna(axis=1, how="any")
+    keep = [c for c in num.columns
+            if num[c].std() > 0 and not c.startswith(("beta",))]
+    if not keep or len(df) < 2:
+      return self
+    num = num[keep]
+    lower_better = num.columns.str.startswith("imputation")
+    ranks = num.rank(ascending=False)
+    ranks.loc[:, lower_better] = num.loc[:, lower_better].rank(
+        ascending=True)
+    fig, ax = plt.subplots(figsize=(max(6, 0.45 * ranks.shape[1]),
+                                    max(3, 0.45 * ranks.shape[0])))
+    im = ax.imshow(ranks.values, aspect="auto", cmap="RdYlGn_r")
+    ax.set_xticks(range(ranks.shape[1]))
+    ax.set_xticklabels(ranks.columns, rotation=90, fontsize=6)
+    ax.set_yticks(range(ranks.shape[0]))
+    ax.set_yticklabels(ranks.index, fontsize=7)
+    for i in range(ranks.shape[0]):
+      for j in range(ranks.shape[1]):
+        ax.text(j, i, f"{int(ranks.values[i, j])}", ha="center",
+                va="center", fontsize=6)
+    ax.set_title("per-metric model rank (1 = best)")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    self.add_figure("ranking_heatmap", fig)
+    return self
+
   def plot_imputation_scatter(self) -> "ResultsSheet":
     for p in self.posteriors:
       p.plot_imputation_scatter()
@@ -144,7 +201,9 @@ class ResultsSheet(Visualizer):
 
   def plot_all(self) -> "ResultsSheet":
     return (self.plot_imputation_scores().plot_correlation_scores()
-            .plot_classifier_F1().plot_disentanglement_scores()
+            .plot_protein_prediction_scores().plot_clustering_scores()
+            .plot_llk_scores().plot_classifier_F1()
+            .plot_disentanglement_scores().plot_ranking_heatmap()
             .plot_learning_curves())
 
   def __repr__(self):
