@@ -173,6 +173,7 @@ def test_metric_functions():
   assert cs["ARI"] > 0.9 and cs["UCA"] > 0.9
 
 
+@pytest.mark.slow
 def test_posterior_no_factor_omics():
   """Factor-dependent families degrade to {} without crashing."""
   from sisua_tpu.data import SingleCellOMIC
@@ -187,6 +188,7 @@ def test_posterior_no_factor_omics():
   assert "imputation_med" in post.save_scores()
 
 
+@pytest.mark.slow
 def test_cal_llk_on_device_matches_host(splits, small_nets):
   """Posterior(device_cache=True) computes the 4-way LLK inside one
   executable per prediction source (no distribution params shipped to the

@@ -1,5 +1,6 @@
 """Vmapped ensemble training: N seeds in one executable."""
 
+import pytest
 import numpy as np
 
 from sisua_tpu.models import VAE, NetConf, RVmeta
@@ -55,6 +56,7 @@ def test_vmapped_hyper_search(sco):
   assert qZ.batch_shape == (20,)
 
 
+@pytest.mark.slow
 def test_vmap_ensemble_window_executables(sco):
   """metrics_interval compiles K epochs into one executable; per-epoch
   per-member losses still come back (scan outputs, one fetch/window)."""

@@ -23,6 +23,7 @@ def tiny():
 
 
 @pytest.mark.parametrize("cls", [VAE, SCVI])
+@pytest.mark.slow
 def test_bfloat16_compute_path_trains(cls, tiny):
   m = cls(RVmeta(40, "zinbd", name="rna"),
           latents=RVmeta(8, "diag", name="latents"),
@@ -40,6 +41,7 @@ def test_bfloat16_compute_path_trains(cls, tiny):
   assert np.asarray(pX.mean()).dtype == np.float32
 
 
+@pytest.mark.slow
 def test_bfloat16_roundtrips_through_checkpoint(tmp_path, tiny):
   from sisua_tpu.models import load_model
   m = VAE(RVmeta(40, "zinb", name="rna"), compute_dtype="bfloat16")
@@ -54,6 +56,7 @@ def test_bfloat16_roundtrips_through_checkpoint(tmp_path, tiny):
   np.testing.assert_allclose(z1, z2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_window_training_matches_per_epoch_semantics(tiny):
   """Window-scanned epochs must produce the same kind of history (one entry
   per window; trailing remainder as single epochs) with decreasing loss."""

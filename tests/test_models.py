@@ -86,6 +86,7 @@ def test_sisua_semi_supervised(splits, small_nets):
     SISUA(RVmeta(10, "zinb"))  # needs ≥2 outputs
 
 
+@pytest.mark.slow
 def test_misa_mixture_labels(splits, small_nets):
   train, _ = splits
   m = MISA([RVmeta(train.n_vars, "zinb", name="rna"),
@@ -97,6 +98,7 @@ def test_misa_mixture_labels(splits, small_nets):
   assert isinstance(pX[1], D.MixtureSameFamily)
 
 
+@pytest.mark.slow
 def test_scvi_library_latent(splits):
   train, test = splits
   m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"),
@@ -114,6 +116,7 @@ def test_scvi_library_latent(splits):
     SCVI(RVmeta(10, "zinb"))  # must be zinbd/nbd
 
 
+@pytest.mark.slow
 def test_scvi_nbd_single_dispersion(splits):
   train, _ = splits
   m = SCVI(RVmeta(train.n_vars, "nbd", name="rna",
@@ -123,6 +126,7 @@ def test_scvi_nbd_single_dispersion(splits):
   assert isinstance(pX.distribution, D.NegativeBinomialDisp)
 
 
+@pytest.mark.slow
 def test_scale_mixture_latent(splits, small_nets):
   train, _ = splits
   m = SCALE(RVmeta(train.n_vars, "zinb", name="rna"), n_components=3,
@@ -142,6 +146,7 @@ def test_scalar_semi(splits, small_nets):
   m.fit(train, epochs=2, batch_size=64, labels_percent=0.5)
 
 
+@pytest.mark.slow
 def test_fvae_tc_discriminator(splits, small_nets):
   train, _ = splits
   m = FVAE(RVmeta(train.n_vars, "zinb", name="rna"), gamma=2.0, **small_nets)
@@ -169,6 +174,7 @@ def test_kl_warmup_schedule(splits, small_nets):
   assert betas[0] < betas[-1] <= 1.0
 
 
+@pytest.mark.slow
 def test_optimizer_registry(splits, small_nets):
   """Every registered optimizer trains finitely (incl. the memory-light
   adafactor/lion options for wide gene heads)."""
@@ -246,6 +252,7 @@ def test_evaluate_method(splits, small_nets):
   assert np.isfinite(list(ev.values())).all()
 
 
+@pytest.mark.slow
 def test_predict_device_cached_matches_streamed(splits, small_nets):
   """device_cache=True runs all batches in one executable with one fetch;
   the deterministic pieces must match the streamed path exactly (latent
@@ -298,6 +305,7 @@ def test_predict_mean(splits, small_nets):
                              rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_get_normalized_expression(splits, small_nets):
   """Rows are proportions (sum to 1); for SCVI it equals px_scale — the
   output mean divided by the sampled library exp(L)."""
@@ -335,6 +343,7 @@ def test_training_time_mc_samples(splits, small_nets):
     assert np.isfinite(l).all() and l[-1] < l[0]
 
 
+@pytest.mark.slow
 def test_rollback_to_stale_best_state(splits, small_nets):
   """Regression: the train step donates its input state, so the best-state
   snapshot must deep-copy buffers — rolling back to a best state more than

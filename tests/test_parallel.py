@@ -35,6 +35,7 @@ def test_batch_sharded_across_devices(mesh, sco):
   assert shard_shapes == {(16, sco.n_vars)}
 
 
+@pytest.mark.slow
 def test_dp_training_vae(mesh, splits, small_nets):
   train, test = splits
   m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
@@ -43,6 +44,7 @@ def test_dp_training_vae(mesh, splits, small_nets):
   assert np.isfinite(m.history["loss"]).all()
 
 
+@pytest.mark.slow
 def test_dp_training_scvi(mesh, splits):
   train, _ = splits
   m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"))

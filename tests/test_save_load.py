@@ -52,6 +52,7 @@ def test_scvi_roundtrip(splits, tmp_path):
   assert loaded.latents[1].name == "library"
 
 
+@pytest.mark.slow
 def test_misa_roundtrip(splits, small_nets, tmp_path):
   train, test = splits
   m = MISA([RVmeta(train.n_vars, "zinb", name="rna"),
@@ -67,6 +68,7 @@ def test_load_missing_raises(tmp_path):
     m.load_weights(str(tmp_path / "nope"), raise_notfound=True)
 
 
+@pytest.mark.slow
 def test_resume_training(splits, small_nets, tmp_path):
   """Reference Experimenter resumes weights automatically — the load path
   must allow continued fit."""

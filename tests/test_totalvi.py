@@ -12,6 +12,7 @@ from sisua_tpu.models import TotalVI, RVmeta, get_model, load_model
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_nb_mixture_logpmf():
   """Element-wise two-component mixture == manual logaddexp of NBs."""
   back = D.NegativeBinomialDisp(loc=jnp.float32(2.0), disp=jnp.float32(3.0))
@@ -63,6 +64,7 @@ def test_totalvi_end_to_end(splits, tmp_path):
                              atol=1e-5)
 
 
+@pytest.mark.slow
 def test_totalvi_hierarchical_background_prior(splits):
   """The background posterior q(log β|z) contributes a third KL term against
   a *learned* per-protein Normal prior (TotalVI's β ~ LogNormal(c_t, d_t))."""
@@ -94,6 +96,7 @@ def test_totalvi_requires_two_outputs():
     TotalVI([RVmeta(10, "diag"), RVmeta(3, "nbd")])
 
 
+@pytest.mark.slow
 def test_totalvi_posterior(splits):
   train, test = splits
   m = TotalVI([RVmeta(train.n_vars, "zinbd", name="rna"),

@@ -76,6 +76,7 @@ def test_device_cache_smaller_than_batch_streams():
   assert np.isfinite(m.history["loss"]).all()
 
 
+@pytest.mark.slow
 def test_predict_family_jit_closures_cached():
   """Repeated predict/predict_mean/etc. must reuse one jitted callable
   per (method, sample_shape) — not rebuild (and recompile) per call."""

@@ -103,6 +103,7 @@ def test_baseline_pipeline(sco):
   assert any(k.startswith("f1_") for k in scores)
 
 
+@pytest.mark.slow
 def test_hyper_search_random():
   from sisua_tpu.models.hyper_params import fit_hyper
   res = fit_hyper("vae", "synthetic", algorithm="rand", max_evals=2,
