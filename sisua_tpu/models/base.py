@@ -498,7 +498,7 @@ class SingleCellModel:
     return fn
 
   @staticmethod
-  def _pad_to_batches(mat, k: int, B: int, n: int):
+  def _pad_to_batches(mat, k: int, B: int, n: int, dtype=np.float32):
     """Pad an (n, d) matrix (dense/sparse/gatherable) to k·B rows and
     reshape to (k, B, d) device batches."""
     from scipy import sparse as _sp
@@ -510,16 +510,41 @@ class SingleCellModel:
                      np.float32)
       buf = np.zeros((k * B, a.shape[1]), np.float32)
       buf[:n] = a
+    if dtype != np.float32:
+      buf = buf.astype(dtype)
     return jnp.asarray(buf).reshape(k, B, -1)
 
-  def _device_batches(self, feeder):
+  def _device_batches(self, feeder, input_dtype: Optional[str] = None):
     """Densify the feeder's sources into full (k, B, d) device batches:
     returns ``(xb, lib_b, k, B, n)`` (last batch zero-padded; trim to n
-    after the fetch). Shared by every device-cached inference path."""
+    after the fetch). Shared by every device-cached inference path.
+
+    ``input_dtype='auto'`` uploads the counts as int16 when they are
+    integral and < 32768 (halving the host→device bytes — the serving
+    path is transfer-bound on remote-attached chips); the consumer must
+    widen back to float32 in-executable."""
     n = feeder.n_obs
     B = feeder.batch_size
     k = -(-n // B)
-    xs = [self._pad_to_batches(src, k, B, n) for src in feeder.sources]
+    dtype = np.float32
+    if input_dtype in ("auto", "int16"):
+      probe = feeder.sources[0]
+      from scipy import sparse as _sp
+      if _sp.issparse(probe) or hasattr(probe, "indptr"):
+        vals = np.asarray(probe.data)        # sparse / _CSRSource values
+      elif hasattr(probe, "m"):
+        vals = np.asarray(probe.m)           # _DenseSource
+      else:
+        vals = np.asarray(probe)
+      sample = vals.ravel()[:1_000_000]
+      if (sample.size == 0 or (np.all(sample == np.round(sample))
+                               and np.abs(sample).max(initial=0) < 32767)):
+        dtype = np.int16
+      elif input_dtype == "int16":
+        raise ValueError("input_dtype='int16' requires integral counts "
+                         "< 32768")
+    xs = [self._pad_to_batches(src, k, B, n, dtype=dtype)
+          for src in feeder.sources]
     x_full = self._module_input([x.reshape(k * B, -1) for x in xs])
     xb = x_full.reshape(k, B, x_full.shape[-1])
     lib_b = (self._pad_to_batches(feeder.library, k, B, n)
@@ -628,21 +653,31 @@ class SingleCellModel:
     return pX, qZ
 
   def predict_mean(self, inputs, sample_shape: Tuple[int, ...] = (),
-                   batch_size: int = 256):
+                   batch_size: int = 256,
+                   input_dtype: Optional[str] = "auto",
+                   fetch_dtype: str = "float32"):
     """Posterior means only, computed ON DEVICE and fetched as (n, d)
     arrays: ``(output_means, latent_means)``. MC sample dims are averaged
     in-executable. On remote-attached chips full ``predict`` is transfer-
     bound (it ships every distribution parameter, ×MC samples); this ships
-    3–30× less for the common imputation/embedding workflow."""
+    3–30× less for the common imputation/embedding workflow.
+
+    Transfer compression for the (transfer-bound) serving path:
+    ``input_dtype='auto'`` uploads integral counts as int16 (exact, half
+    the upstream bytes; widened to float32 in-executable);
+    ``fetch_dtype='bfloat16'`` halves the downstream bytes at ~0.4%
+    relative error on the means (results are returned as float32)."""
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder)
+    xb, lib_b, k, B, n = self._device_batches(feeder,
+                                              input_dtype=input_dtype)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
     mc_axes = tuple(range(len(sample_shape)))
+    out_dt = jnp.dtype(fetch_dtype)
 
     def _build_run():
       @jax.jit
@@ -652,23 +687,29 @@ class SingleCellModel:
           variables["batch_stats"] = batch_stats
         def one(args):
           x, l, kk = args
-          out = module.apply(variables, x, rngs={"sample": kk},
+          out = module.apply(variables, x.astype(jnp.float32),
+                             rngs={"sample": kk},
                              training=False, sample_shape=sample_shape,
                              **apply_kwargs(l))
-          x_means = tuple(jnp.mean(p.mean(), axis=mc_axes) if mc_axes
-                          else p.mean() for p in out.outputs)
-          z_means = tuple(q.mean() for q in out.latents[:n_latents])
+          x_means = tuple(
+              (jnp.mean(p.mean(), axis=mc_axes) if mc_axes
+               else p.mean()).astype(out_dt) for p in out.outputs)
+          z_means = tuple(q.mean().astype(out_dt)
+                          for q in out.latents[:n_latents])
           return x_means, z_means
         lib_in = lib_b if lib_b is not None else \
             jnp.zeros((xb.shape[0], xb.shape[1], 0))
         return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
       return run
 
-    run = self._cached_jit(("predict_mean", sample_shape), _build_run)
+    run = self._cached_jit(
+        ("predict_mean", sample_shape, str(xb.dtype), str(out_dt)),
+        _build_run)
     x_means, z_means = jax.device_get(
         run(self._state.params, self._state.batch_stats, xb, lib_b, keys))
-    def unstack(leaf):  # (k, B, d) → (n, d)
-      return leaf.reshape(k * B, *leaf.shape[2:])[:n]
+    def unstack(leaf):  # (k, B, d) → (n, d), widened back to float32
+      return np.asarray(
+          leaf.reshape(k * B, *leaf.shape[2:])[:n], np.float32)
     return ([unstack(m) for m in x_means], [unstack(m) for m in z_means])
 
   def get_normalized_expression(self, inputs,

@@ -356,3 +356,28 @@ def test_rollback_to_stale_best_state(splits, small_nets):
           valid_freq=0, patience=3, allow_rollback=True, **kw)
     pX, _ = m.predict(train.numpy()[:16])
     assert np.isfinite(np.asarray(pX.mean())).all()
+
+
+def test_predict_mean_compressed_transfers(splits, small_nets):
+  """Serving-path transfer compression: int16 upload (exact for counts) +
+  bf16 fetch must match the float32 path within bf16 tolerance."""
+  from sisua_tpu.models import VAE, RVmeta
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=3, **small_nets)
+  m.fit(train, epochs=2, batch_size=128, valid_freq=0, patience=0)
+  # pin the rng so both calls draw identical MC samples
+  rng = m._rng
+  x32, z32 = m.predict_mean(test, sample_shape=(4,), input_dtype=None)
+  m._rng = rng
+  xc, zc = m.predict_mean(test, sample_shape=(4,), input_dtype="auto",
+                          fetch_dtype="bfloat16")
+  assert x32[0].dtype == np.float32 and xc[0].dtype == np.float32
+  # identical samples → only the bf16 fetch rounding differs (~0.4%)
+  np.testing.assert_allclose(xc[0], x32[0], rtol=1e-2, atol=1e-2)
+  np.testing.assert_allclose(zc[0], z32[0], rtol=1e-2, atol=1e-2)
+  # int16 upload is refused for non-integral data
+  import pytest as _pytest
+  bad = test.copy()
+  bad.X = bad.X.astype(np.float32) * 0.5
+  with _pytest.raises(ValueError, match="integral"):
+    m.predict_mean(bad, input_dtype="int16")
