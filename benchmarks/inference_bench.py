@@ -66,6 +66,10 @@ def main(argv=None):
   paths = [
       ("predict_mean", args.cells, 2, lambda: model.predict_mean(
           sco, sample_shape=(args.mc,), batch_size=args.batch)),
+      ("predict_mean_bf16_fetch", args.cells, 2,
+       lambda: model.predict_mean(sco, sample_shape=(args.mc,),
+                                  batch_size=args.batch,
+                                  fetch_dtype="bfloat16")),
       ("predict_device_cache", args.cells, 2, lambda: model.predict(
           sco, sample_shape=(args.mc,), batch_size=args.batch,
           device_cache=True)),

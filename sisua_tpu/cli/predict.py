@@ -42,6 +42,10 @@ def main(argv=None):
   p.add_argument("--batch", type=int, default=256)
   p.add_argument("--sample-shape", type=int, default=10,
                  help="MC samples averaged on device")
+  p.add_argument("--fetch-dtype", default="float32",
+                 choices=("float32", "bfloat16"),
+                 help="bfloat16 halves the device→host fetch (~0.4%% "
+                      "relative error) — ~2x faster on remote chips")
   args = p.parse_args(argv)
 
   import numpy as np
@@ -58,7 +62,8 @@ def main(argv=None):
     data = _load_counts(args.input)
     n = data.n_obs if hasattr(data, "n_obs") else data.shape[0]
   x_means, z_means = model.predict_mean(
-      data, sample_shape=(args.sample_shape,), batch_size=args.batch)
+      data, sample_shape=(args.sample_shape,), batch_size=args.batch,
+      fetch_dtype=args.fetch_dtype)
 
   os.makedirs(args.outpath, exist_ok=True)
   np.savez_compressed(os.path.join(args.outpath, "imputed.npz"),
