@@ -495,3 +495,38 @@ def test_showdata_list(capsys):
   main(["--list"])
   out = capsys.readouterr().out
   assert "synthetic1m" in out and "R-required" in out
+
+
+def test_crossdataset_harmonization(monkeypatch):
+  """Shared-gene/protein intersection across cohorts + the remove-protein
+  ablation (reference pbmc_cross_datasets.py:28-166, removed_protein.py)."""
+  import sisua_tpu.data.loaders.cross as cross
+  from sisua_tpu.data import generate_citeseq
+
+  a = generate_citeseq(n_cells=300, n_genes=80, n_proteins=6, seed=1,
+                       name="cohortA")
+  b = generate_citeseq(n_cells=200, n_genes=60, n_proteins=4, seed=2,
+                       name="cohortB")
+  genes_a = set(map(str, a.get_var_names()))
+  genes_b = set(map(str, b.get_var_names()))
+  prots_b = set(map(str, b.get_var_names("proteomic")))
+  monkeypatch.setattr(cross, "_cohort_loaders", lambda: {
+      "a": lambda: a.copy(), "b": lambda: b.copy(),
+      "broken": lambda: (_ for _ in ()).throw(RuntimeError("offline")),
+  })
+  sco = cross.read_PBMC_crossdataset("a", verbose=False)
+  got_genes = set(map(str, sco.get_var_names()))
+  assert got_genes == (genes_a & genes_b)  # broken cohort skipped
+  got_prots = set(map(str, sco.get_var_names("proteomic")))
+  assert got_prots <= prots_b
+  assert sco.n_obs == a.n_obs
+  # ablation drops the chosen proteins
+  shared_p = sorted(got_prots)
+  drop = shared_p[:1]
+  abl = cross.read_PBMC_crossdataset_remove_protein(
+      "a", remove_proteins=drop, verbose=False)
+  assert set(map(str, abl.get_var_names("proteomic"))) == got_prots - set(
+      drop)
+  # unknown target raises with the failure list
+  with pytest.raises(RuntimeError, match="unavailable"):
+    cross.read_PBMC_crossdataset("broken", verbose=False)
