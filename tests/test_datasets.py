@@ -199,3 +199,23 @@ def test_generate_citeseq_benchmark_grade():
   assert 0.1 < np.mean(rs) < 0.9, rs
   # ADT counts are reasonable antibody scales (ambient-dominated floor)
   assert 5.0 < Y.mean() < 500.0
+
+
+def test_sisua_to_anndata_gated():
+  """The scvi-tools bridge raises an actionable error when anndata/scvi are
+  absent (this image), instead of crashing obscurely."""
+  from sisua_tpu.data import generate_synthetic
+  from sisua_tpu.data.sisua_to_scvi import sisua_to_anndata, sisua_to_scvi
+  sco = generate_synthetic(n_cells=50, n_genes=20, n_proteins=4, seed=0)
+  try:
+    import anndata  # noqa: F401
+    adata = sisua_to_anndata(sco)
+    assert adata.shape == (50, 20)
+    assert "protein_expression" in adata.obsm
+  except (ImportError, RuntimeError) as e:
+    assert "anndata" in str(e) or isinstance(e, ImportError)
+  try:
+    import scvi  # noqa: F401
+  except ImportError:
+    with pytest.raises(RuntimeError, match="scvi-tools"):
+      sisua_to_scvi(sco)

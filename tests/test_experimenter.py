@@ -132,3 +132,47 @@ def test_multirun_parallel_processes(tmp_path, monkeypatch):
   assert len(res) == 2
   for r in res:
     assert all(np.isfinite(v) for v in r.values() if isinstance(v, float))
+
+
+@pytest.mark.slow
+def test_cross_analyze_end_to_end(tmp_path, monkeypatch):
+  """cross_analyze: train via the experimenter, then score the model across
+  datasets on the shared protein panel (reference cross_analyze.py:105-216,
+  modernized)."""
+  import sisua_tpu.cross_analyze as ca
+  from sisua_tpu.train.experimenter import SisuaExperimenter as SE
+
+  cfg_path = tmp_path / "cfg.yaml"
+  base = {
+      "verbose": False,
+      "model": {"name": "dca", "log_norm": True, "beta": 1.0,
+                "encoder": {"units": [16], "batchnorm": True},
+                "decoder": {"units": [16]}},
+      "dataset": {"name": "synthetic1k", "train_percent": 0.8,
+                  "labels_percent": 0.1, "batch_size": 128,
+                  "dropout_rate": 0.2, "retain_rate": 0.2},
+      "variables": {
+          "latents": {"event_shape": 6, "posterior": "diag"},
+          "transcriptomic": {"posterior": "zinb"}},
+      "train": {"optimizer": "adam", "learning_rate": 1e-3,
+                "valid_freq": 0, "clipnorm": 100, "epochs": 2,
+                "max_iter": -1, "earlystop_patience": 20},
+  }
+  with open(cfg_path, "w") as f:
+    yaml.safe_dump(base, f)
+  exp = SE(save_path=str(tmp_path / "exp"), config_path=str(cfg_path))
+  exp.run_config(exp.load_config())
+  # point cross_analyze's internal experimenter at the same store
+  orig_init = SE.__init__
+  monkeypatch.setattr(
+      "sisua_tpu.train.experimenter.SisuaExperimenter.__init__",
+      lambda self, save_path=None, config_path=None, **kw: orig_init(
+          self, save_path=str(tmp_path / "exp"),
+          config_path=str(cfg_path), **kw))
+  out = tmp_path / "cross"
+  scores = ca.cross_analyze(["dca"], ["synthetic1k"], outpath=str(out),
+                            verbose=False)
+  assert ("dca", "synthetic1k") in scores
+  s = scores[("dca", "synthetic1k")]
+  assert any(k.startswith("llk") for k in s)
+  assert (out / "cross_scores.csv").exists()
