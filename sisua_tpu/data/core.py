@@ -348,6 +348,7 @@ class _OMICbase:
                      shuffle: int = 1000,
                      seed: int = 1,
                      framework: str = "numpy",
+                     extra_matrices=None,
                      **kwargs):
     """Batch feeder emitting ``{'inputs': [...], 'library': ..., 'mask': ...}``
     — the reference's tf.data pipeline (``_single_cell_base.py:539-602``)
@@ -360,6 +361,12 @@ class _OMICbase:
       omics = [o for o in OMIC.parse(omics)]
     omics = [OMIC.parse(o) for o in omics]
     mats = [self.get_omic(o) for o in omics]
+    if extra_matrices:
+      # cell-aligned side inputs that are not omics (e.g. the batch
+      # one-hot for covariate conditioning) ride as additional sources
+      for m in extra_matrices:
+        assert m.shape[0] == self.n_obs, "extra matrix must align on cells"
+      mats = mats + [np.asarray(m, np.float32) for m in extra_matrices]
     library = self.get_library_size(omics[0])
     self._record("create_dataset",
                  dict(omics=tuple(o.name for o in omics),

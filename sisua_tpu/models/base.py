@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import inspect
 import os
+import warnings
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -71,6 +72,7 @@ class SingleCellModel:
                dataset: Optional[str] = None,
                metadata: Optional[Dict] = None,
                name: Optional[str] = None,
+               batch_key: str = "batch",
                **module_kwargs):
     outputs = tuple(parse_rv(o, f"output{i}")
                     for i, o in enumerate(_flatten(outputs)))
@@ -108,6 +110,7 @@ class SingleCellModel:
     self.seed = int(seed)
     self.dataset = dataset
     self.metadata = metadata or {}
+    self.batch_key = str(batch_key)
     self._name = name or type(self).__name__
     self._module_kwargs = dict(module_kwargs)
     self.module = self._build_module(**module_kwargs)
@@ -120,6 +123,7 @@ class SingleCellModel:
         log_norm=log_norm, beta=getattr(self.beta, "vmax", 1.0), alpha=alpha,
         gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
         compute_dtype=compute_dtype, seed=seed, name=self._name,
+        batch_key=batch_key,
         **{k: v for k, v in module_kwargs.items() if k != "compute_dtype"})
 
   # ------------------------------------------------------------- construct
@@ -139,11 +143,24 @@ class SingleCellModel:
     """Whether the module consumes the per-cell library stats (SCVI)."""
     return False
 
+  @property
+  def n_batch(self) -> int:
+    """Batch-covariate conditioning cardinality (0 = off)."""
+    return int(getattr(self.module, "n_batch", 0))
+
   def _module_input(self, inputs):
     """Map the batch's input list to the module's encoder input. Default:
-    the first (main) omic; TotalVI concatenates all omics."""
+    the first (main) omic; TotalVI concatenates all omics. With batch
+    conditioning the trailing input is the batch one-hot, appended to the
+    module input (the module splits it back off)."""
     x = inputs[0]
-    return x if isinstance(x, jnp.ndarray) else jnp.asarray(x)
+    x = x if isinstance(x, jnp.ndarray) else jnp.asarray(x)
+    if self.n_batch and len(inputs) >= 2:
+      b = inputs[-1]
+      b = b if isinstance(b, jnp.ndarray) else jnp.asarray(b)
+      if b.shape[-1] == self.n_batch:
+        x = jnp.concatenate([x, b.astype(x.dtype)], axis=-1)
+    return x
 
   # ---------------------------------------------------------------- naming
   @property
@@ -192,6 +209,21 @@ class SingleCellModel:
     return self._state
 
   # ------------------------------------------------------------------ init
+  def _batch_onehot(self, sco) -> np.ndarray:
+    """Per-cell batch one-hot from ``sco.obs[self.batch_key]`` (codes by
+    sorted unique value; missing column → all cells in batch 0)."""
+    nb = self.n_batch
+    if self.batch_key not in sco.obs.columns:
+      warnings.warn(f"batch conditioning is on (n_batch={nb}) but "
+                    f"obs['{self.batch_key}'] is absent; assuming one batch")
+      return np.eye(nb, dtype=np.float32)[np.zeros(sco.n_obs, np.int64)]
+    col = np.asarray(sco.obs[self.batch_key])
+    uniq = sorted(set(map(str, col)))
+    assert len(uniq) <= nb, (
+        f"obs['{self.batch_key}'] has {len(uniq)} levels > n_batch={nb}")
+    codes = np.array([uniq.index(str(v)) for v in col], np.int64)
+    return np.eye(nb, dtype=np.float32)[codes]
+
   def _dummy_batch(self, batch_size: int = 2):
     x = jnp.zeros((batch_size, self.outputs[0].dim), jnp.float32)
     lib = jnp.ones((batch_size, 2), jnp.float32)
@@ -368,9 +400,13 @@ class SingleCellModel:
       return data
     if hasattr(data, "create_dataset"):  # SingleCellOMIC
       omics = list(data.omics)[: self.n_outputs]
+      extra = None
+      if self.n_batch:
+        extra = [self._batch_onehot(data)]
       return data.create_dataset(omics=omics,
                                  labels_percent=labels_percent,
-                                 batch_size=batch_size, shuffle=shuffle)
+                                 batch_size=batch_size, shuffle=shuffle,
+                                 extra_matrices=extra)
     from scipy import sparse as _sp
     arrs = [a if _sp.issparse(a) else np.asarray(a, np.float32)
             for a in _flatten(data)]

@@ -61,6 +61,13 @@ class VAEModule(nn.Module):
   # 'bfloat16' → head matmuls on the MXU in bf16 (raw distribution params
   # are cast back to float32 inside DistributionDense); None → exact float32
   compute_dtype: Optional[str] = None
+  # scVI-style batch-covariate conditioning (scvi-tools semantics, beyond
+  # the reference): when n_batch > 0 the input may carry a trailing batch
+  # one-hot block, concatenated into both the encoder input and the decoder
+  # input so the latent is encouraged to be batch-free. Inputs without the
+  # block (e.g. user encode()/decode() calls) condition on the uniform
+  # batch prior, keeping every parameter shape identical.
+  n_batch: int = 0
 
   def setup(self):
     self.encoders = [c.build(name=f"encoder{i}")
@@ -80,9 +87,31 @@ class VAEModule(nn.Module):
   def preprocess(self, x: Array) -> Array:
     return jnp.log1p(x) if self.log_norm else x
 
+  def split_batch(self, x: Array):
+    """Split off the trailing batch one-hot block when present; fall back
+    to the uniform batch prior so widths (→ parameter shapes) never vary."""
+    nb = self.n_batch
+    if not nb:
+      return x, None
+    main_dim = self.outputs[0].dim
+    if x.shape[-1] == main_dim + nb:
+      return x[..., :main_dim], x[..., main_dim:]
+    assert x.shape[-1] == main_dim, (
+        f"input width {x.shape[-1]} is neither {main_dim} nor "
+        f"{main_dim + nb} (n_batch={nb})")
+    b = jnp.full(x.shape[:-1] + (nb,), 1.0 / nb, jnp.float32)
+    return x, b
+
+  def _with_batch(self, h: Array, b: Optional[Array]) -> Array:
+    if b is None:
+      return h
+    b = jnp.broadcast_to(b, h.shape[:-1] + (b.shape[-1],))
+    return jnp.concatenate([h, b.astype(h.dtype)], axis=-1)
+
   def encode(self, x: Array, library: Optional[Array] = None,
              training: bool = False) -> Tuple[D.Distribution, ...]:
-    h = self.preprocess(x)
+    x, b = self.split_batch(x)
+    h = self._with_batch(self.preprocess(x), b)
     hs = [enc(h, training=training) for enc in self.encoders]
     qZ = tuple(
         head(hs[min(i, len(hs) - 1)])
@@ -103,8 +132,12 @@ class VAEModule(nn.Module):
     raise ValueError(f"unknown reduce_latent: {self.reduce_latent}")
 
   def decode(self, z: Array, library: Optional[Array] = None,
-             training: bool = False) -> Tuple[D.Distribution, ...]:
-    d = self.decoders[0](z, training=training)
+             training: bool = False,
+             batch: Optional[Array] = None) -> Tuple[D.Distribution, ...]:
+    if self.n_batch and batch is None:
+      batch = jnp.full(z.shape[:-1] + (self.n_batch,), 1.0 / self.n_batch,
+                       jnp.float32)
+    d = self.decoders[0](self._with_batch(z, batch), training=training)
     return tuple(head(d) for head in self.output_heads)
 
   def latent_priors(self, library: Optional[Array] = None
@@ -115,12 +148,13 @@ class VAEModule(nn.Module):
   def __call__(self, x: Array, library: Optional[Array] = None,
                training: bool = False,
                sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
+    _, b = self.split_batch(x)
     qZ = self.encode(x, library=library, training=training)
     key = self.make_rng("sample")
     keys = jax.random.split(key, len(qZ))
     zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
     z = self.reduce_latents(zs)
-    pX = self.decode(z, library=library, training=training)
+    pX = self.decode(z, library=library, training=training, batch=b)
     return VAEOutput(outputs=pX, latents=qZ, latent_samples=zs,
                      priors=self.latent_priors(library=library))
 
@@ -170,12 +204,15 @@ class SCVIModule(VAEModule):
     return tuple(priors)
 
   def decode(self, latent_samples, library: Optional[Array] = None,
-             training: bool = False):
+             training: bool = False, batch: Optional[Array] = None):
     # latent_samples here is the tuple (z, l) — SCVI needs both separately,
     # so reduce_latents is bypassed via __call__ override below.
     z, l = latent_samples
     l = jnp.clip(l, 0.0, self.clip_library)
-    d = self.decoders[0](z, training=training)
+    if self.n_batch and batch is None:
+      batch = jnp.full(z.shape[:-1] + (self.n_batch,), 1.0 / self.n_batch,
+                       jnp.float32)
+    d = self.decoders[0](self._with_batch(z, batch), training=training)
     px_scale = jax.nn.softmax(
         self.px_scale(d).astype(jnp.float32), axis=-1)
     px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
@@ -195,10 +232,11 @@ class SCVIModule(VAEModule):
   def __call__(self, x: Array, library: Optional[Array] = None,
                training: bool = False,
                sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
+    _, b = self.split_batch(x)
     qZ = self.encode(x, library=library, training=training)
     key = self.make_rng("sample")
     keys = jax.random.split(key, len(qZ))
     zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
-    pX = self.decode(zs, library=library, training=training)
+    pX = self.decode(zs, library=library, training=training, batch=b)
     return VAEOutput(outputs=pX, latents=qZ, latent_samples=zs,
                      priors=self.latent_priors(library=library))

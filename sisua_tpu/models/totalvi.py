@@ -152,6 +152,8 @@ class TotalVI(SingleCellModel):
                for i, o in enumerate(_flatten(outputs))]
     assert len(outputs) == 2, \
         "TotalVI takes exactly (rna, protein) outputs"
+    assert not kwargs.get("n_batch"), \
+        "batch conditioning is not wired for TotalVI's concat input yet"
     assert outputs[0].posterior in ("zinbd", "nbd", "zinb", "nb"), \
         f"rna posterior must be a count likelihood, got {outputs[0].posterior}"
     # heads are built by the module; RV specs carry dims/zero-inflation only
