@@ -33,6 +33,7 @@ def test_scvi_batch_conditioning_trains(batchy):
   assert first.shape[0] == 10 + 3  # latent_dim + n_batch
 
 
+@pytest.mark.slow
 def test_batch_conditioning_inference_paths(batchy, tmp_path):
   m = SCVI(RVmeta(batchy.n_vars, "zinbd", name="rna"), n_batch=3, seed=1)
   m.fit(batchy, epochs=2, batch_size=128, valid_freq=0, patience=0)
