@@ -395,7 +395,12 @@ class SingleCellModel:
   def _to_feeder(self, data, batch_size: int, labels_percent: float,
                  shuffle: bool = True) -> DataFeeder:
     """SingleCellOMIC | ndarray | DataFeeder → DataFeeder (reference
-    ``_to_data`` :44-61)."""
+    ``_to_data`` :44-61).
+
+    With batch conditioning (n_batch > 0): for a SingleCellOMIC the batch
+    one-hot is built from ``obs[batch_key]`` and appended automatically;
+    for raw arrays/feeders the LAST array must already be the one-hot
+    (width n_batch) or the model conditions on the uniform batch prior."""
     if isinstance(data, DataFeeder):
       return data
     if hasattr(data, "create_dataset"):  # SingleCellOMIC
