@@ -39,17 +39,18 @@ METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
                "latent_NMI"]
 
 
-def build_zoo(G, P, nets, seed=0):
+def build_zoo(G, P, nets, seed=0, n_batch=0):
   from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA,
                                 TotalVI, VAE, DeepCountAutoencoder, NetConf,
                                 RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
   return {
-      "vae": lambda: VAE(rna_zinb(), seed=seed, **nets),
+      "vae": lambda: VAE(rna_zinb(), seed=seed, n_batch=n_batch, **nets),
       "dca": lambda: DeepCountAutoencoder(rna_zinb(), latent_dim=10,
                                           seed=seed, **nets),
-      "scvi": lambda: SCVI(RVmeta(G, "zinbd", name="rna"), seed=seed),
+      "scvi": lambda: SCVI(RVmeta(G, "zinbd", name="rna"), seed=seed,
+                           n_batch=n_batch),
       "sisua": lambda: SISUA([rna_zinb(), adt_nb()], seed=seed, **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],
                            seed=seed, **nets),
@@ -98,6 +99,9 @@ def main(argv=None):
   p.add_argument("--seeds", type=int, default=1)
   p.add_argument("--models", default="",
                  help="comma-separated subset (default: all)")
+  p.add_argument("--n-batch", type=int, default=0,
+                 help="train SCVI/VAE with batch-covariate conditioning "
+                      "(needs obs['batch'], e.g. the citeseq simulator)")
   p.add_argument("--out", default="/tmp/zoo_quality.md")
   args = p.parse_args(argv)
 
@@ -123,7 +127,7 @@ def main(argv=None):
     train, test = sco.split(0.8, seed=seed)
     G = train.n_vars
     P = train.get_dim("proteomic") if "proteomic" in train.omics else 0
-    zoo = build_zoo(G, P, nets, seed=seed)
+    zoo = build_zoo(G, P, nets, seed=seed, n_batch=args.n_batch)
     if args.models:
       keep = set(args.models.split(","))
       zoo = {k: v for k, v in zoo.items() if k in keep}
