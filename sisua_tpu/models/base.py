@@ -16,7 +16,6 @@ Key TPU-first deviations from the reference:
 
 from __future__ import annotations
 
-import inspect
 import os
 import warnings
 from functools import partial
@@ -26,13 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import dist as D
 from ..data.const import UNIVERSAL_RANDOM_SEED
 from ..data.feeder import DataFeeder
 from ..interpolation import Interpolation, get_interpolation
 from ..nn import NetConf, parse_netconf
 from ..rv import RVmeta, parse_rv
-from ..train.checkpoint import (load_metamodel, load_weights, save_metamodel,
+from ..train.checkpoint import (load_weights, save_metamodel,
                                 save_weights)
 from ..train.trainer import Trainer, TrainState
 from .module import VAEModule, VAEOutput

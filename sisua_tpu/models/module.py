@@ -32,7 +32,7 @@ from flax import linen as nn
 from flax import struct
 
 from .. import dist as D
-from ..nn import MLP, DistributionDense, NetConf
+from ..nn import DistributionDense, NetConf
 from ..rv import RVmeta
 
 __all__ = ["VAEOutput", "VAEModule", "SCVIModule"]
