@@ -69,6 +69,21 @@ class TotalVIModule(VAEModule):
         "background_prior_log_scale", nn.initializers.zeros,
         (self.n_proteins,))
 
+  def split_batch(self, x):
+    """TotalVI's module input is concat(rna, adt)[, batch one-hot] — the
+    main width is the sum of both omic dims."""
+    nb = self.n_batch
+    if not nb:
+      return x, None
+    main_dim = self.n_genes + self.n_proteins
+    if x.shape[-1] == main_dim + nb:
+      return x[..., :main_dim], x[..., main_dim:]
+    assert x.shape[-1] == main_dim, (
+        f"input width {x.shape[-1]} is neither {main_dim} nor "
+        f"{main_dim + nb} (n_batch={nb})")
+    b = jnp.full(x.shape[:-1] + (nb,), 1.0 / nb, jnp.float32)
+    return x, b
+
   def latent_priors(self, library=None):
     priors = [rv.create_prior() for rv in self.latents]
     if library is not None:
@@ -77,12 +92,15 @@ class TotalVIModule(VAEModule):
     return tuple(priors)
 
   def _decode_full(self, latent_samples, library=None,
-                   training: bool = False):
+                   training: bool = False, batch=None):
     """Full decode: output distributions + the background posterior triple
     (q(log β), reparameterized log β draw, p(log β)) for the ELBO."""
     z, l = latent_samples
     l = jnp.clip(l, 0.0, self.clip_library)
-    d = self.decoders[0](z, training=training)
+    if self.n_batch and batch is None:
+      batch = jnp.full(z.shape[:-1] + (self.n_batch,), 1.0 / self.n_batch,
+                       jnp.float32)
+    d = self.decoders[0](self._with_batch(z, batch), training=training)
     # --- RNA (SCVI path: softmax scale · exp(library), exp dispersion)
     px_scale = jnp.clip(jax.nn.softmax(self.px_scale(d), axis=-1),
                         1e-7, 1.0 - 1e-7)
@@ -115,19 +133,21 @@ class TotalVIModule(VAEModule):
         mixing_logits=self.py_mixing(d)), 1)
     return (pX, pY), (q_back, log_back, p_back)
 
-  def decode(self, latent_samples, library=None, training: bool = False):
+  def decode(self, latent_samples, library=None, training: bool = False,
+             batch=None):
     outs, _ = self._decode_full(latent_samples, library=library,
-                                training=training)
+                                training=training, batch=batch)
     return outs
 
   def __call__(self, x, library=None, training: bool = False,
                sample_shape: Tuple[int, ...] = ()) -> VAEOutput:
+    _, b = self.split_batch(x)
     qZ = self.encode(x, library=library, training=training)
     key = self.make_rng("sample")
     keys = jax.random.split(key, len(qZ))
     zs = tuple(q.sample(k, sample_shape) for q, k in zip(qZ, keys))
     pX, (q_back, log_back, p_back) = self._decode_full(
-        zs, library=library, training=training)
+        zs, library=library, training=training, batch=b)
     # the background posterior rides the latent tuples: elbo_terms adds
     # KL(q(log β) ‖ p(log β)) like any other latent (objective.py:109-113)
     return VAEOutput(outputs=pX,
@@ -152,8 +172,6 @@ class TotalVI(SingleCellModel):
                for i, o in enumerate(_flatten(outputs))]
     assert len(outputs) == 2, \
         "TotalVI takes exactly (rna, protein) outputs"
-    assert not kwargs.get("n_batch"), \
-        "batch conditioning is not wired for TotalVI's concat input yet"
     assert outputs[0].posterior in ("zinbd", "nbd", "zinb", "nb"), \
         f"rna posterior must be a count likelihood, got {outputs[0].posterior}"
     # heads are built by the module; RV specs carry dims/zero-inflation only
@@ -198,8 +216,11 @@ class TotalVI(SingleCellModel):
 
   def _module_input(self, inputs):
     assert len(inputs) >= 2, "TotalVI batches need (rna, protein) inputs"
-    return jnp.concatenate([jnp.asarray(inputs[0]), jnp.asarray(inputs[1])],
-                           axis=-1)
+    parts = [jnp.asarray(inputs[0]), jnp.asarray(inputs[1])]
+    if self.n_batch and len(inputs) >= 3 \
+        and inputs[-1].shape[-1] == self.n_batch:
+      parts.append(jnp.asarray(inputs[-1]))
+    return jnp.concatenate(parts, axis=-1)
 
   def _dummy_batch(self, batch_size: int = 2):
     x = jnp.zeros((batch_size, self.outputs[0].dim + self.outputs[1].dim),

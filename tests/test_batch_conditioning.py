@@ -70,3 +70,16 @@ def test_missing_batch_column_warns():
           encoder=NetConf((16,)), decoder=NetConf((16,)))
   with pytest.warns(UserWarning, match="assuming one batch"):
     m.fit(sco, epochs=1, batch_size=128, valid_freq=0, patience=0)
+
+
+def test_totalvi_batch_conditioning(batchy):
+  """TotalVI's concat(rna, adt) input also accepts the batch one-hot."""
+  from sisua_tpu.models import TotalVI
+  m = TotalVI([RVmeta(batchy.n_vars, "nbd", name="rna"),
+               RVmeta(batchy.get_dim("proteomic"), "nbd", name="adt")],
+              n_batch=3, seed=5)
+  m.fit(batchy, epochs=2, batch_size=128, valid_freq=0, patience=0)
+  losses = m.history["loss"]
+  assert np.isfinite(losses).all() and losses[-1] < losses[0]
+  (imp, *_), _ = m.predict_mean(batchy, sample_shape=(2,))
+  assert imp.shape == (batchy.n_obs, batchy.n_vars)
