@@ -72,6 +72,7 @@ def test_missing_batch_column_warns():
     m.fit(sco, epochs=1, batch_size=128, valid_freq=0, patience=0)
 
 
+@pytest.mark.slow
 def test_totalvi_batch_conditioning(batchy):
   """TotalVI's concat(rna, adt) input also accepts the batch one-hot."""
   from sisua_tpu.models import TotalVI
