@@ -78,6 +78,39 @@ class DataFeeder:
     self.shuffle = bool(shuffle)
     self.seed = int(seed)
     self._epoch = 0
+    self.transfer_dtype = None  # see set_transfer_dtype
+
+  def set_transfer_dtype(self, dtype) -> "DataFeeder":
+    """Compress host→device batch transfers: ``'int16'`` ships the gathered
+    count matrices as int16 (exact for integral counts < 32768 — validated
+    here), halving the upload bytes on transfer-bound links; ``'auto'``
+    enables it when the data qualifies; ``None`` disables. The training
+    step widens back to float32 in-executable."""
+    if dtype in (None, "float32"):
+      self.transfer_dtype = None
+      return self
+    assert dtype in ("auto", "int16"), dtype
+    ok = True
+    for src in self.sources:
+      vals = src.data if hasattr(src, "indptr") else src.m
+      sample = np.asarray(vals).ravel()[:1_000_000]
+      if sample.size and (np.abs(sample).max() >= 32767
+                          or not np.all(sample == np.round(sample))):
+        ok = False
+        break
+    if not ok:
+      if dtype == "int16":
+        raise ValueError("transfer_dtype='int16' requires integral counts "
+                         "< 32768 in every source")
+      self.transfer_dtype = None
+    else:
+      self.transfer_dtype = np.int16
+    return self
+
+  def _cast(self, xs):
+    if self.transfer_dtype is None:
+      return xs
+    return [x.astype(self.transfer_dtype) for x in xs]
 
   # ------------------------------------------------------------------ sizing
   @property
@@ -111,9 +144,10 @@ class DataFeeder:
       # alias host numpy buffers zero-copy and dispatch asynchronously —
       # reusing gather buffers here races with still-queued steps and
       # produces corrupted batches (observed as intermittent NaN losses).
-      xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
-                                          np.float32))
-            for src in self.sources]
+      xs = self._cast(
+          [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                         np.float32))
+           for src in self.sources])
       batch: Dict[str, object] = {"inputs": xs, "mask": mask_all[rows]}
       if self.library is not None:
         batch["library"] = self.library[rows]
@@ -135,10 +169,11 @@ class DataFeeder:
     n_chunks = self.n_obs // (k * bs)
     for c in range(n_chunks):
       rows = order[c * k * bs:(c + 1) * k * bs]
-      xs = [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
-                                          np.float32)).reshape(
-                                              k, bs, src.shape[1])
-            for src in self.sources]
+      xs = self._cast(
+          [src.gather(rows, out=np.empty((len(rows), src.shape[1]),
+                                         np.float32)).reshape(
+                                             k, bs, src.shape[1])
+           for src in self.sources])
       batch: Dict[str, object] = {"inputs": xs,
                                   "mask": mask_all[rows].reshape(k, bs)}
       if self.library is not None:

@@ -82,3 +82,33 @@ def test_dense_and_mixed_sources(sco):
   ds = DataFeeder([dense, sparse.csr_matrix(dense)], batch_size=50)
   b = next(iter(ds))
   np.testing.assert_allclose(b["inputs"][0], b["inputs"][1])
+
+
+def test_transfer_dtype_compressed_streaming(splits, small_nets):
+  """Streaming-path int16 transfer compression: identical loss trajectory
+  to float32 (exact for counts), and non-integral data is refused."""
+  import numpy as np
+  import pytest
+  from sisua_tpu.models import VAE, RVmeta
+  train, _ = splits
+
+  def run(td):
+    m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=9, **small_nets)
+    m.fit(train, epochs=2, batch_size=128, valid_freq=0, patience=0,
+          scan_steps=2, transfer_dtype=td)
+    return m.history["loss"]
+  l32 = run(None)
+  l16 = run("int16")
+  np.testing.assert_allclose(l32, l16, rtol=1e-5)
+  # refusal on non-integral data
+  bad = train.copy()
+  bad.X = bad.X.astype(np.float32) * 0.5
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=9, **small_nets)
+  with pytest.raises(ValueError, match="integral"):
+    m.fit(bad, epochs=1, batch_size=128, valid_freq=0, patience=0,
+          transfer_dtype="int16")
+  # 'auto' silently falls back to float32 there
+  m2 = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=9, **small_nets)
+  m2.fit(bad, epochs=1, batch_size=128, valid_freq=0, patience=0,
+         transfer_dtype="auto")
+  assert np.isfinite(m2.history["loss"]).all()
