@@ -41,8 +41,8 @@ METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
 
 def build_zoo(G, P, nets, seed=0, n_batch=0):
   from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA,
-                                TotalVI, VAE, DeepCountAutoencoder, NetConf,
-                                RVmeta)
+                                SCScope, TotalVI, VAE, DeepCountAutoencoder,
+                                NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
   return {
@@ -58,6 +58,8 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
       "scalar": lambda: SCALAR([rna_zinb(), adt_nb()], n_components=5,
                                seed=seed, **nets),
       "fvae": lambda: FVAE(rna_zinb(), gamma=4.0, seed=seed, **nets),
+      "scscope": lambda: SCScope(RVmeta(G, "nzmse", name="rna"),
+                                 latent_dim=10, t_steps=2, seed=seed, **nets),
       "totalvi": lambda: TotalVI([RVmeta(G, "nbd", name="rna"),
                                   RVmeta(P, "nbd", name="adt")], seed=seed),
   }

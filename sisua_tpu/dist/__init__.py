@@ -21,6 +21,7 @@ from .continuous import (
     LogNormal,
     MultivariateNormalDiag,
     MultivariateNormalTriL,
+    NonzeroMaskedDeterministic,
     Normal,
     VectorDeterministic,
 )
@@ -39,7 +40,8 @@ __all__ = [
     "Distribution", "Independent", "NoAnalyticKL", "concat_distributions",
     "kl_divergence", "mc_kl_divergence", "register_kl", "stack_distributions",
     "Gamma", "LogNormal", "MultivariateNormalDiag", "MultivariateNormalTriL",
-    "Normal", "VectorDeterministic", "Bernoulli", "NegativeBinomial",
+    "Normal", "VectorDeterministic", "NonzeroMaskedDeterministic",
+    "Bernoulli", "NegativeBinomial",
     "NegativeBinomialDisp", "NegativeBinomialMixture", "Poisson",
     "ZeroInflated", "Categorical",
     "OneHotCategorical", "MixtureSameFamily",

@@ -15,6 +15,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from .base import Array, Distribution, Independent, register_kl
 
@@ -23,6 +24,7 @@ __all__ = [
     "MultivariateNormalDiag",
     "MultivariateNormalTriL",
     "VectorDeterministic",
+    "NonzeroMaskedDeterministic",
     "Gamma",
     "LogNormal",
 ]
@@ -194,6 +196,45 @@ class VectorDeterministic(Distribution):
   def sample(self, key, sample_shape=()):
     return jnp.broadcast_to(
         self.loc, tuple(sample_shape) + self.loc.shape)
+
+
+class NonzeroMaskedDeterministic(VectorDeterministic):
+  """Deterministic head whose reconstruction error counts only *observed*
+  (non-zero) entries of the target — the scScope training objective
+  (Deng et al. 2019): dropout zeros carry no penalty, so the decoder is
+  free to impute them.
+
+  ``-log_prob(x)`` = sum of squared errors over entries where ``x > 0``,
+  divided by the number of such entries (mean over observed entries; 0 for
+  an all-zero row). The mask is derived from ``x`` at scoring time, keeping
+  the distribution a pure function of its parameters.
+
+  ``log_space=True`` (the 'nzmse' head default): ``loc`` lives in
+  ``log1p``-count space and the squared error is taken between ``log1p(x)``
+  and ``loc`` — raw single-cell counts span 4+ decades, and squared error on
+  them is dominated by the few largest counts (the gradient signal for
+  everything else vanishes). ``mean()``/``mode()``/``sample()`` still return
+  count-space values (``expm1(loc)``) so imputation/analysis see counts.
+  """
+
+  log_space: bool = struct.field(pytree_node=False, default=False)
+
+  def log_prob(self, x):
+    m = (x > 0).astype(self.loc.dtype)
+    t = jnp.log1p(x) if self.log_space else x
+    se = jnp.square(t - self.loc) * m
+    n = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return -jnp.sum(se, axis=-1) / n
+
+  def mean(self):
+    return jnp.expm1(self.loc) if self.log_space else self.loc
+
+  def mode(self):
+    return self.mean()
+
+  def sample(self, key, sample_shape=()):
+    return jnp.broadcast_to(self.mean(),
+                            tuple(sample_shape) + self.loc.shape)
 
 
 @register_kl(VectorDeterministic, Distribution)

@@ -23,6 +23,7 @@ from .fvae import FVAE, SemiFVAE
 from .module import SCVIModule, VAEModule, VAEOutput
 from .objective import compute_loss, elbo_terms
 from .scale import SCALAR, SCALE
+from .scscope import SCScope, SCScopeModule
 from .scvi import SCVI
 from .totalvi import TotalVI, TotalVIModule
 from .vae import MISA, SISUA, VAE
@@ -30,6 +31,7 @@ from .vae import MISA, SISUA, VAE
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
     "SCVI", "TotalVI", "TotalVIModule", "SCALE", "SCALAR", "FVAE", "SemiFVAE",
+    "SCScope", "SCScopeModule",
     "get_model", "get_all_models", "load_model",
     "NetConf", "RVmeta", "Interpolation", "interpolation",
     "VAEModule", "SCVIModule", "VAEOutput", "compute_loss", "elbo_terms",

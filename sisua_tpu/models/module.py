@@ -47,6 +47,10 @@ class VAEOutput(struct.PyTreeNode):
   latents: Tuple[D.Distribution, ...]        # q(Z_j | X)
   latent_samples: Tuple[Array, ...]          # reparameterized draws, aligned
   priors: Tuple[Optional[D.Distribution], ...]  # p(Z_j); None → unit normal
+  # optional extra reconstruction heads a topology wants in its loss but not
+  # in predict/analysis (e.g. scScope's intermediate recurrent cycles);
+  # consumed by the model's _extra_loss hook
+  aux_outputs: Tuple = ()
 
 
 class VAEModule(nn.Module):

@@ -276,6 +276,27 @@ class _DeterministicSpec(_Spec):
     return D.VectorDeterministic(loc=loc)
 
 
+@_register("nzmse")
+class _NonzeroMSESpec(_Spec):
+  """Nonzero-masked MSE (the scScope objective, Deng et al. 2019):
+  ``-log_prob(x)`` averages squared error over the *observed* (x > 0)
+  entries only, so dropout zeros are free to be imputed. Scored in
+  ``log1p`` space by default (``log_space=False`` kwarg opts out) — raw
+  counts span decades and drown the gradient in the largest entries."""
+  deterministic = True
+
+  @staticmethod
+  def n_params(dim, kw):
+    return dim
+
+  @staticmethod
+  def build(raw, dim, kw):
+    act = kw.get("activation", "relu")
+    loc = jax.nn.relu(raw) if act == "relu" else raw
+    return D.NonzeroMaskedDeterministic(
+        loc=loc, log_space=bool(kw.get("log_space", True)))
+
+
 def _n_components(kw) -> int:
   return int(kw.get("n_components", 2))
 

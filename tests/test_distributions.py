@@ -61,6 +61,19 @@ def test_deterministic_mse_contract():
                              np.mean(np.asarray(z) ** 2, -1), atol=1e-6)
 
 
+def test_nonzero_masked_deterministic():
+  """scScope objective (Deng et al. 2019): squared error averaged over the
+  observed (x > 0) entries only; dropout zeros carry no penalty."""
+  loc = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+  det = D.NonzeroMaskedDeterministic(loc=loc)
+  x = jnp.asarray([[0.0, 2.0, 0.0, 1.0]])
+  # only entries 1 and 3 are observed: ((2-2)^2 + (4-1)^2) / 2 = 4.5
+  np.testing.assert_allclose(np.asarray(-det.log_prob(x)), [4.5], atol=1e-6)
+  # an all-zero row contributes nothing (imputations are free there)
+  np.testing.assert_allclose(np.asarray(det.log_prob(jnp.zeros((1, 4)))),
+                             [0.0], atol=1e-6)
+
+
 def test_kl_normal_analytic_vs_mc():
   p = D.Normal(loc=jnp.float32(1.0), scale=jnp.float32(0.5))
   q = D.Normal(loc=jnp.float32(0.0), scale=jnp.float32(1.0))

@@ -8,7 +8,7 @@ import pytest
 import sisua_tpu.dist as D
 from sisua_tpu.data import OMIC
 from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA, VAE,
-                              DeepCountAutoencoder, NetConf, RVmeta,
+                              DeepCountAutoencoder, NetConf, RVmeta, SCScope,
                               SemiFVAE, get_all_models, get_model,
                               SingleCellModel)
 
@@ -69,6 +69,30 @@ def test_dca_mse(splits, small_nets):
   dca.fit(train, epochs=3, batch_size=64)
   pX, _ = dca.predict(train)
   assert isinstance(pX, D.VectorDeterministic)
+
+
+def test_scscope_recurrent_imputation(splits, small_nets):
+  train, test = splits
+  m = SCScope(RVmeta(train.n_vars, "nzmse", name="rna"), latent_dim=6,
+              t_steps=3, **small_nets)
+  assert m.id == "scs" and m.t_steps == 3
+  assert m.latents[0].is_deterministic
+  m.fit(train, epochs=EPOCHS, batch_size=64)
+  _loss_mostly_decreasing(m.history["loss"])
+  # intermediate recurrent cycles contribute their own reconstruction term
+  assert "llk_cycles" in m.history
+  # deterministic latent → no KL (like DCA)
+  assert abs(m.history["klqp_z"][-1]) < 1e-6
+  pX, qZ = m.predict(test)
+  assert isinstance(pX, D.NonzeroMaskedDeterministic)
+  assert isinstance(qZ, D.VectorDeterministic)
+  mu = np.asarray(pX.mean())
+  assert mu.shape == (test.n_obs, test.n_vars)
+  assert np.isfinite(mu).all() and (mu >= 0).all()
+  # unsupported heads are coerced to the paper objective
+  m2 = SCScope(RVmeta(train.n_vars, "diag", name="rna"), latent_dim=4,
+               t_steps=1, **small_nets)
+  assert m2.outputs[0].posterior == "nzmse"
 
 
 def test_sisua_semi_supervised(splits, small_nets):
