@@ -53,6 +53,17 @@ def test_scvi_roundtrip(splits, tmp_path):
 
 
 @pytest.mark.slow
+def test_scscope_roundtrip(splits, small_nets, tmp_path):
+  from sisua_tpu.models import SCScope
+  train, test = splits
+  m = SCScope(RVmeta(train.n_vars, "nzmse", name="rna"), latent_dim=6,
+              t_steps=2, **small_nets)
+  loaded = _roundtrip(m, train, test, tmp_path)
+  assert loaded.t_steps == 2
+  assert loaded.outputs[0].posterior == "nzmse"
+
+
+@pytest.mark.slow
 def test_misa_roundtrip(splits, small_nets, tmp_path):
   train, test = splits
   m = MISA([RVmeta(train.n_vars, "zinb", name="rna"),
