@@ -569,7 +569,8 @@ class SingleCellModel:
       buf = buf.astype(dtype)
     return jnp.asarray(buf).reshape(k, B, -1)
 
-  def _device_batches(self, feeder, input_dtype: Optional[str] = None):
+  def _device_batches(self, feeder, input_dtype: Optional[str] = None,
+                      mesh=None):
     """Densify the feeder's sources into full (k, B, d) device batches:
     returns ``(xb, lib_b, k, B, n)`` (last batch zero-padded; trim to n
     after the fetch). Shared by every device-cached inference path.
@@ -577,9 +578,17 @@ class SingleCellModel:
     ``input_dtype='auto'`` uploads the counts as int16 when they are
     integral and < 32768 (halving the host→device bytes — the serving
     path is transfer-bound on remote-attached chips); the consumer must
-    widen back to float32 in-executable."""
+    widen back to float32 in-executable.
+
+    With ``mesh``: the within-batch cell axis is sharded over the mesh's
+    'data' axis (batch size rounds up to a multiple of it), so every
+    downstream executable runs data-parallel across the mesh."""
     n = feeder.n_obs
     B = feeder.batch_size
+    if mesh is not None:
+      from ..parallel.mesh import DATA_AXIS
+      nd = mesh.shape[DATA_AXIS]
+      B = -(-B // nd) * nd
     k = -(-n // B)
     dtype = np.float32
     if input_dtype in ("auto", "int16"):
@@ -604,13 +613,46 @@ class SingleCellModel:
     xb = x_full.reshape(k, B, x_full.shape[-1])
     lib_b = (self._pad_to_batches(feeder.library, k, B, n)
              if feeder.library is not None else None)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      from ..parallel.mesh import DATA_AXIS
+      sh = NamedSharding(mesh, P(None, DATA_AXIS))
+      xb = jax.device_put(xb, sh)
+      if lib_b is not None:
+        lib_b = jax.device_put(lib_b, sh)
     return xb, lib_b, k, B, n
+
+  def _mesh_state(self, mesh):
+    """(params, batch_stats) placed on the mesh — wide kernels column-
+    sharded over 'model' when present, everything else replicated. Cached
+    per (mesh, state) so repeated inference calls pay placement once."""
+    key = (id(mesh), id(self._state))
+    cached = self._jit_cache.get(("mesh_state", key))
+    if cached is None:
+      from ..parallel.mesh import replicated_sharding, shard_params
+      params = shard_params(self._state.params, mesh)
+      batch_stats = self._state.batch_stats
+      if batch_stats is not None:
+        batch_stats = jax.device_put(batch_stats, replicated_sharding(mesh))
+      # single-entry cache: drop placements of superseded states
+      stale = [c for c in self._jit_cache if isinstance(c, tuple)
+               and c[0] == "mesh_state"]
+      for c in stale:
+        del self._jit_cache[c]
+      cached = self._jit_cache[("mesh_state", key)] = (params, batch_stats)
+    return cached
+
+  def _infer_state(self, mesh):
+    if mesh is None:
+      return self._state.params, self._state.batch_stats
+    return self._mesh_state(mesh)
 
   def predict(self,
               inputs,
               sample_shape: Tuple[int, ...] = (),
               batch_size: int = 256,
               device_cache: bool = False,
+              mesh=None,
               verbose: bool = False):
     """Minibatch inference → (pX dists, qZ dists), each merged across batches
     (reference :153-211; merging is one tree-concat here).
@@ -618,13 +660,16 @@ class SingleCellModel:
     ``device_cache=True`` uploads the whole dataset once and runs every
     batch inside ONE executable (``lax.map`` over stacked batches) with a
     single result fetch — on remote-attached chips this replaces 2 RPCs per
-    batch with 2 total."""
+    batch with 2 total.
+
+    ``mesh``: run inference data-parallel over a device mesh (implies the
+    device-cached path; cells shard over the 'data' axis)."""
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    if device_cache:
-      return self._predict_device_cached(feeder, sample_shape)
+    if device_cache or mesh is not None:
+      return self._predict_device_cached(feeder, sample_shape, mesh=mesh)
 
     def _build_fwd():
       @partial(jax.jit, static_argnames=("training",))
@@ -663,9 +708,10 @@ class SingleCellModel:
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
 
-  def _predict_device_cached(self, feeder, sample_shape: Tuple[int, ...]):
+  def _predict_device_cached(self, feeder, sample_shape: Tuple[int, ...],
+                             mesh=None):
     """All-batches-in-one-executable inference (see predict)."""
-    xb, lib_b, k, B, n = self._device_batches(feeder)
+    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
@@ -689,9 +735,9 @@ class SingleCellModel:
       return run
 
     run = self._cached_jit(("predict_dc", sample_shape), _build_run)
+    params, batch_stats = self._infer_state(mesh)
     outputs, latents = jax.device_get(
-        run(self._state.params, self._state.batch_stats,
-            xb, lib_b, keys))  # ONE fetch
+        run(params, batch_stats, xb, lib_b, keys))  # ONE fetch
     ax_out = len(sample_shape)
 
     def merge(leaf, ax):
@@ -710,7 +756,8 @@ class SingleCellModel:
   def predict_mean(self, inputs, sample_shape: Tuple[int, ...] = (),
                    batch_size: int = 256,
                    input_dtype: Optional[str] = "auto",
-                   fetch_dtype: str = "float32"):
+                   fetch_dtype: str = "float32",
+                   mesh=None):
     """Posterior means only, computed ON DEVICE and fetched as (n, d)
     arrays: ``(output_means, latent_means)``. MC sample dims are averaged
     in-executable. On remote-attached chips full ``predict`` is transfer-
@@ -721,13 +768,18 @@ class SingleCellModel:
     ``input_dtype='auto'`` uploads integral counts as int16 (exact, half
     the upstream bytes; widened to float32 in-executable);
     ``fetch_dtype='bfloat16'`` halves the downstream bytes at ~0.4%
-    relative error on the means (results are returned as float32)."""
+    relative error on the means (results are returned as float32).
+
+    ``mesh``: a ``parallel.create_mesh()`` — cells shard over the 'data'
+    axis so batch scoring runs data-parallel across every chip in the
+    mesh (serving-side analogue of ``fit(mesh=...)``)."""
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
     xb, lib_b, k, B, n = self._device_batches(feeder,
-                                              input_dtype=input_dtype)
+                                              input_dtype=input_dtype,
+                                              mesh=mesh)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
@@ -760,8 +812,9 @@ class SingleCellModel:
     run = self._cached_jit(
         ("predict_mean", sample_shape, str(xb.dtype), str(out_dt)),
         _build_run)
+    params, batch_stats = self._infer_state(mesh)
     x_means, z_means = jax.device_get(
-        run(self._state.params, self._state.batch_stats, xb, lib_b, keys))
+        run(params, batch_stats, xb, lib_b, keys))
     def unstack(leaf):  # (k, B, d) → (n, d), widened back to float32
       return np.asarray(
           leaf.reshape(k * B, *leaf.shape[2:])[:n], np.float32)
@@ -770,7 +823,8 @@ class SingleCellModel:
   def get_normalized_expression(self, inputs,
                                 sample_shape: Tuple[int, ...] = (),
                                 batch_size: int = 256,
-                                output_index: int = 0) -> np.ndarray:
+                                output_index: int = 0,
+                                mesh=None) -> np.ndarray:
     """Library-size-free denoised expression: each posterior draw's output
     mean normalized to row proportions, MC-averaged on device → (n, d).
 
@@ -783,7 +837,7 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder)
+    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     mc_axes = tuple(range(len(sample_shape)))
@@ -809,13 +863,13 @@ class SingleCellModel:
       return run
 
     run = self._cached_jit(("norm_expr", sample_shape, idx), _build_run)
-    scale = jax.device_get(run(self._state.params, self._state.batch_stats,
-                               xb, lib_b, keys))
+    params, batch_stats = self._infer_state(mesh)
+    scale = jax.device_get(run(params, batch_stats, xb, lib_b, keys))
     return scale.reshape(k * B, -1)[:n]
 
   def compute_llk(self, inputs, targets: Dict[str, Sequence],
                   sample_shape: Tuple[int, ...] = (),
-                  batch_size: int = 256) -> Dict[str, float]:
+                  batch_size: int = 256, mesh=None) -> Dict[str, float]:
     """Mean per-cell log-likelihood of each (tagged) target set under the
     posterior predictive, computed entirely ON DEVICE in one executable.
 
@@ -827,12 +881,18 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder)
+    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
     tgt_b = {t: [self._pad_to_batches(m, k, B, n) for m in targets[t]]
              for t in targets}
     row_mask = np.zeros((k * B,), np.float32)
     row_mask[:n] = 1.0
     mask_b = jnp.asarray(row_mask).reshape(k, B)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      from ..parallel.mesh import DATA_AXIS
+      sh = NamedSharding(mesh, P(None, DATA_AXIS))
+      tgt_b = jax.tree_util.tree_map(lambda m: jax.device_put(m, sh), tgt_b)
+      mask_b = jax.device_put(mask_b, sh)
     keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     S = int(np.prod(sample_shape)) if sample_shape else 1
@@ -866,7 +926,8 @@ class SingleCellModel:
       return run
 
     run = self._cached_jit(("compute_llk", sample_shape), _build_run)
-    sums = jax.device_get(run(self._state.params, self._state.batch_stats,
+    params, batch_stats = self._infer_state(mesh)
+    sums = jax.device_get(run(params, batch_stats,
                               xb, lib_b, tgt_b, mask_b, keys))
     return {kk: float(v) / n for kk, v in sums.items()}
 

@@ -132,3 +132,67 @@ def test_device_cached_mesh_rejects_odd_batch(splits, small_nets):
   with pytest.raises(AssertionError, match="divide evenly"):
     m.fit(train, epochs=1, batch_size=60, device_cache=True, mesh=mesh,
           valid_freq=0, patience=0)
+
+
+def test_mesh_inference_matches_single_device(mesh, splits, small_nets):
+  """Serving-side data parallelism: predict_mean / compute_llk / predict
+  with ``mesh=`` must (a) shard the params across all 8 devices and (b)
+  return the same numbers as the single-device path (same rng key → same
+  MC draws; only the reduction layout changes)."""
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=3, **small_nets)
+  m.fit(train, epochs=2, batch_size=128, valid_freq=0, patience=0)
+
+  rng = m._rng
+  x1, z1 = m.predict_mean(test, sample_shape=(2,), batch_size=64)
+  m._rng = rng
+  x2, z2 = m.predict_mean(test, sample_shape=(2,), batch_size=64, mesh=mesh)
+  np.testing.assert_allclose(np.asarray(x2[0]), np.asarray(x1[0]),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(z2[0]), np.asarray(z1[0]),
+                             rtol=2e-4, atol=2e-4)
+
+  # (a) the mesh-placed params span every device
+  params, _ = m._infer_state(mesh)
+  leaves = jax.tree_util.tree_leaves(params)
+  assert all(len(l.sharding.device_set) == 8 for l in leaves)
+
+  # compute_llk: one executable, cells sharded over 'data'
+  targets = {"data": [test.numpy()]}
+  m._rng = rng
+  llk1 = m.compute_llk(test, targets, sample_shape=(2,), batch_size=64)
+  m._rng = rng
+  llk2 = m.compute_llk(test, targets, sample_shape=(2,), batch_size=64,
+                       mesh=mesh)
+  for k in llk1:
+    np.testing.assert_allclose(llk2[k], llk1[k], rtol=1e-4)
+
+  # normalized expression
+  m._rng = rng
+  s1 = m.get_normalized_expression(test, sample_shape=(2,), batch_size=64)
+  m._rng = rng
+  s2 = m.get_normalized_expression(test, sample_shape=(2,), batch_size=64,
+                                   mesh=mesh)
+  np.testing.assert_allclose(s2, s1, rtol=2e-4, atol=2e-5)
+
+  # full predict (device-cached path is implied by mesh=)
+  m._rng = rng
+  pX1, qZ1 = m.predict(test, sample_shape=(2,), batch_size=64,
+                       device_cache=True)
+  m._rng = rng
+  pX2, qZ2 = m.predict(test, sample_shape=(2,), batch_size=64, mesh=mesh)
+  np.testing.assert_allclose(np.asarray(pX2.mean()), np.asarray(pX1.mean()),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(qZ2.mean()), np.asarray(qZ1.mean()),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_inference_pads_ragged_batch(mesh, splits, small_nets):
+  """batch_size not divisible by the mesh rounds up internally; results
+  still trim to exactly n rows."""
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=3, **small_nets)
+  m.fit(train, epochs=1, batch_size=128, valid_freq=0, patience=0)
+  x, z = m.predict_mean(test, batch_size=60, mesh=mesh)  # 60 → 64
+  assert x[0].shape[0] == test.n_obs and z[0].shape[0] == test.n_obs
+  assert np.isfinite(x[0]).all()
