@@ -46,6 +46,9 @@ def main(argv=None):
                  choices=("float32", "bfloat16"),
                  help="bfloat16 halves the device→host fetch (~0.4%% "
                       "relative error) — ~2x faster on remote chips")
+  p.add_argument("--mesh", default=None,
+                 help="shard scoring data-parallel over a device mesh: "
+                      "'all' (every visible chip) or an int (first N chips)")
   args = p.parse_args(argv)
 
   import numpy as np
@@ -61,9 +64,18 @@ def main(argv=None):
   else:
     data = _load_counts(args.input)
     n = data.n_obs if hasattr(data, "n_obs") else data.shape[0]
+  mesh = None
+  if args.mesh is not None:
+    import jax
+
+    from ..parallel import create_mesh
+    devs = jax.devices()
+    if args.mesh != "all":
+      devs = devs[:int(args.mesh)]
+    mesh = create_mesh(n_data=len(devs), devices=devs)
   x_means, z_means = model.predict_mean(
       data, sample_shape=(args.sample_shape,), batch_size=args.batch,
-      fetch_dtype=args.fetch_dtype)
+      fetch_dtype=args.fetch_dtype, mesh=mesh)
 
   os.makedirs(args.outpath, exist_ok=True)
   np.savez_compressed(os.path.join(args.outpath, "imputed.npz"),

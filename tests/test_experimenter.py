@@ -115,6 +115,13 @@ def test_predict_cli_scores_checkpoint(tmp_path, splits, small_nets):
   assert np.isfinite(imputed).all()
   with open(f"{out}/manifest.json") as f:
     assert json.load(f)["model"] == "VAE"
+  # --mesh all: same scoring sharded across the 8 virtual devices
+  out2 = str(tmp_path / "scored_mesh")
+  manifest2 = predict_main([ckpt, inp, "-o", out2, "--sample-shape", "2",
+                            "--mesh", "all"])
+  imputed2 = np.load(f"{out2}/imputed.npz")["output0"]
+  assert manifest2["n_cells"] == test.n_obs
+  assert imputed2.shape == imputed.shape and np.isfinite(imputed2).all()
 
 
 @pytest.mark.slow

@@ -49,8 +49,14 @@ scale = model.get_normalized_expression(fresh, sample_shape=(10,))
 print("normalized expression rows sum to 1:",
       np.allclose(scale.sum(1), 1.0, atol=1e-3))
 
-# --- 4. the same thing from the command line -------------------------------
+# --- 4. multi-chip serving --------------------------------------------------
+# On a multi-chip host, every inference entry point takes mesh= — cells
+# shard over the mesh's 'data' axis, params are placed once and cached:
+#   from sisua_tpu.parallel import create_mesh
+#   model.predict_mean(fresh, mesh=create_mesh())
+
+# --- 5. the same thing from the command line -------------------------------
 # sisua-predict writes imputed.npz + latents.npz for any checkpoint:
 #   python -m sisua_tpu.cli.predict ckpt_dir counts.npz -o scored/ \
-#       --fetch-dtype bfloat16
+#       --fetch-dtype bfloat16 --mesh all
 print("done")
