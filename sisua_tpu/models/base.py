@@ -124,6 +124,17 @@ class SingleCellModel:
         batch_key=batch_key,
         **{k: v for k, v in module_kwargs.items() if k != "compute_dtype"})
 
+  def set_metadata(self, sco) -> "SingleCellModel":
+    """Record the dataset name and per-omic var_names on the model
+    (reference single_cell_model.py:103-109); persisted by save_weights
+    into the JSON metamodel, so a loaded checkpoint knows what it was
+    trained on."""
+    self.dataset = sco.name
+    for om in sco.omics:
+      self.metadata[str(om)] = list(np.asarray(sco.get_var_names(om),
+                                               dtype=str))
+    return self
+
   # ------------------------------------------------------------- construct
   def _build_module(self, **kwargs):
     return self.module_cls(outputs=self.outputs, latents=self.latents,
@@ -465,6 +476,11 @@ class SingleCellModel:
     ``device_dtype`` compression."""
     if not self.is_semi_supervised:
       labels_percent = 0.0
+    # track what the model was fitted on (reference fit :221-226)
+    for src in (train, valid):
+      if hasattr(src, "omics") and hasattr(src, "get_var_names"):
+        self.set_metadata(src)
+        break
     self._train_mc_samples = int(mc_samples)
     self._track_grad_norms = bool(track_gradient_norms)
     train_feeder = self._to_feeder(train, batch_size, labels_percent)

@@ -119,3 +119,24 @@ def test_orbax_backend_roundtrip(splits, small_nets, tmp_path):
   x = train.numpy()[:16]
   np.testing.assert_allclose(np.asarray(m.encode(x).mean()),
                              np.asarray(loaded.encode(x).mean()), atol=1e-6)
+
+
+def test_fit_records_metadata_and_persists(splits, small_nets, tmp_path):
+  """fit() on a SingleCellOMIC auto-records the dataset name + per-omic
+  var_names (reference single_cell_model.py:103-109, :221-226); the record
+  survives save/load via the JSON metamodel."""
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), **small_nets)
+  assert m.dataset is None and m.metadata == {}
+  m.fit(train, epochs=1, batch_size=64)
+  assert m.dataset == train.name
+  assert set(train.omics) <= set(m.metadata)
+  rna_omic = train.omics[0]
+  assert m.metadata[rna_omic] == list(map(str, train.get_var_names(rna_omic)))
+  # explicit call (reference API) works too
+  assert m.set_metadata(test) is m and m.dataset == test.name
+  path = str(tmp_path / "meta_ckpt")
+  m.save_weights(path)
+  loaded = load_model(path)
+  assert loaded.dataset == m.dataset
+  assert loaded.metadata[rna_omic] == m.metadata[rna_omic]
