@@ -74,12 +74,15 @@ class Posterior(Visualizer):
                batch_size: int = 256,
                seed: int = 8,
                device_cache: bool = False,
+               mesh=None,
                verbose: bool = False):
     self.scm = scm
     self.sco_original = sco
     self.sample_shape = int(sample_shape)
     self.batch_size = int(batch_size)
-    self.device_cache = bool(device_cache)
+    self.mesh = mesh
+    # mesh implies the one-executable device paths (cells shard over 'data')
+    self.device_cache = bool(device_cache) or mesh is not None
     self.verbose = bool(verbose)
     self.seed = int(seed)
     self._cache: Dict[str, object] = {}
@@ -100,10 +103,11 @@ class Posterior(Visualizer):
     # predictions on corrupted and original data
     self.pX_cor, self.qZ_cor = scm.predict(
         sco, sample_shape=(self.sample_shape,), batch_size=self.batch_size,
-        device_cache=self.device_cache)
+        device_cache=self.device_cache, mesh=self.mesh)
     self.pX_org, self.qZ_org = scm.predict(
         self.sco_original, sample_shape=(self.sample_shape,),
-        batch_size=self.batch_size, device_cache=self.device_cache)
+        batch_size=self.batch_size, device_cache=self.device_cache,
+        mesh=self.mesh)
     pX = self.pX_cor if isinstance(self.pX_cor, (tuple, list)) \
         else (self.pX_cor,)
     qZ = self.qZ_cor if isinstance(self.qZ_cor, (tuple, list)) \
@@ -188,7 +192,8 @@ class Posterior(Visualizer):
                         ("org", self.sco_original)):
       vals = self.scm.compute_llk(source, targets,
                                   sample_shape=(self.sample_shape,),
-                                  batch_size=self.batch_size)
+                                  batch_size=self.batch_size,
+                                  mesh=self.mesh)
       for key, v in vals.items():
         data_tag, output_i = key.split("_output")
         omic_name = self.output_omics[int(output_i)]

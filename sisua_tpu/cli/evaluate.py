@@ -24,6 +24,9 @@ def main(argv=None):
   p.add_argument("--summary-plots", action="store_true",
                  help="render only the 10-figure summary instead of the "
                       "full per-factor grid")
+  p.add_argument("--mesh", default=None,
+                 help="run the posterior predictions data-parallel over a "
+                      "device mesh: 'all' or an int (first N chips)")
   args = p.parse_args(argv)
 
   from ..analysis import Posterior, ResultsSheet
@@ -42,6 +45,16 @@ def main(argv=None):
     print("No trained models matched", query)
     return []
 
+  mesh = None
+  if args.mesh is not None:
+    import jax
+
+    from ..parallel import create_mesh
+    devs = jax.devices()
+    if args.mesh != "all":
+      devs = devs[:int(args.mesh)]
+    mesh = create_mesh(n_data=len(devs), devices=devs)
+
   posteriors = []
   for cfg, model in found:
     ds_name = args.ds2 or cfg["dataset"]["name"]
@@ -49,7 +62,8 @@ def main(argv=None):
     _, test = sco.split(float(cfg["dataset"].get("train_percent", 0.8)))
     post = model.create_posterior(
         test, dropout_rate=float(cfg["dataset"].get("dropout_rate", 0.2)),
-        retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)))
+        retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)),
+        mesh=mesh)
     uid = f"{model.id}_{ds_name}"
     scores = post.save_scores()
     exp.scoreboard.write_scores(table=f"eval_{ds_name}", unique=uid,

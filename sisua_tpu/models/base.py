@@ -995,6 +995,7 @@ class SingleCellModel:
                        corruption_distribution: str = "binomial",
                        sample_shape: int = 10, batch_size: int = 256,
                        device_cache: bool = False,
+                       mesh=None,
                        verbose: bool = False):
     """Posterior analysis hub (reference :247-281 → analysis/posterior).
     ``device_cache=True`` runs the predictions one-executable-per-dataset
@@ -1004,7 +1005,7 @@ class SingleCellModel:
                      retain_rate=retain_rate,
                      corruption_distribution=corruption_distribution,
                      sample_shape=sample_shape, batch_size=batch_size,
-                     device_cache=device_cache, verbose=verbose)
+                     device_cache=device_cache, mesh=mesh, verbose=verbose)
 
   # -------------------------------------------------------------------- io
   def save_weights(self, path: str, backend: str = "msgpack") -> str:

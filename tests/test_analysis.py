@@ -229,3 +229,37 @@ def test_posterior_full_figure_grid(splits, small_nets):
     assert frag in names, (frag, sorted(post.figures))
   import matplotlib.pyplot as plt
   plt.close("all")
+
+
+@pytest.mark.slow
+def test_posterior_on_mesh_matches_single_device(splits, small_nets):
+  """create_posterior(mesh=...) runs the corrupt→predict→score pipeline
+  data-parallel over the 8-device mesh; every metric family matches the
+  single-device device-cached run within MC noise."""
+  from sisua_tpu.models import VAE, RVmeta
+  from sisua_tpu.parallel import create_mesh
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=3, **small_nets)
+  m.fit(train, epochs=3, batch_size=64)
+  mesh = create_mesh()
+
+  rng = m._rng
+  single = m.create_posterior(test, sample_shape=6, device_cache=True)
+  m._rng = rng
+  meshed = m.create_posterior(test, sample_shape=6, mesh=mesh)
+  assert meshed.device_cache  # mesh implies the one-executable paths
+
+  rng2 = m._rng  # pin MC draws for the two cal_llk passes
+  llk_s = single.cal_llk()
+  m._rng = rng2
+  llk_m = meshed.cal_llk()
+  assert set(llk_s) == set(llk_m)
+  for k in llk_s:
+    np.testing.assert_allclose(llk_m[k], llk_s[k], rtol=1e-3), k
+  imp_s, imp_m = (single.cal_imputation_scores(),
+                  meshed.cal_imputation_scores())
+  for k in imp_s:
+    np.testing.assert_allclose(imp_m[k], imp_s[k], rtol=1e-2, atol=1e-3)
+  # latent space identical → clustering scores identical
+  np.testing.assert_allclose(meshed.latents, single.latents,
+                             rtol=2e-4, atol=2e-4)

@@ -183,3 +183,55 @@ def test_cross_analyze_end_to_end(tmp_path, monkeypatch):
   s = scores[("dca", "synthetic1k")]
   assert any(k.startswith("llk") for k in s)
   assert (out / "cross_scores.csv").exists()
+
+
+@pytest.mark.slow
+def test_evaluate_cli_end_to_end(tmp_path, monkeypatch):
+  """sisua-evaluate: find trained models in the experiment root, rebuild the
+  posterior (here: data-parallel over the 8-device mesh via --mesh all),
+  write scores to the scoreboard, render the summary figures."""
+  import yaml as _yaml
+
+  from sisua_tpu.cli.evaluate import main as evaluate_main
+
+  cfg_path = tmp_path / "cfg.yaml"
+  base = {
+      "verbose": False,
+      "model": {"name": "vae", "log_norm": True, "beta": 1.0,
+                "encoder": {"units": [16], "batchnorm": True},
+                "decoder": {"units": [16]}},
+      "dataset": {"name": "synthetic", "train_percent": 0.8,
+                  "labels_percent": 0.1, "batch_size": 128,
+                  "dropout_rate": 0.2, "retain_rate": 0.2},
+      "variables": {
+          "latents": {"event_shape": 6, "posterior": "diag"},
+          "transcriptomic": {"posterior": "zinb"},
+          "proteomic": {"posterior": "nb"},
+          "celltype": {"posterior": "onehot"}},
+      "train": {"optimizer": "adam", "learning_rate": 1e-3,
+                "valid_freq": 0, "clipnorm": 100, "epochs": 2,
+                "max_iter": -1, "earlystop_patience": 20},
+  }
+  with open(cfg_path, "w") as f:
+    _yaml.safe_dump(base, f)
+  exp = SisuaExperimenter(save_path=str(tmp_path / "exp"),
+                          config_path=str(cfg_path))
+  exp.run_config(exp.load_config())
+  # point the CLI's internal experimenter at the same store (EXP_DIR default
+  # is bound at import; the env var only affects fresh processes)
+  orig_init = SisuaExperimenter.__init__
+  monkeypatch.setattr(
+      "sisua_tpu.train.experimenter.SisuaExperimenter.__init__",
+      lambda self, save_path=None, config_path=None, **kw: orig_init(
+          self, save_path=str(tmp_path / "exp"),
+          config_path=str(cfg_path), **kw))
+
+  posteriors = evaluate_main(["-model", "vae", "-ds", "synthetic",
+                              "-path", str(tmp_path / "figs"),
+                              "--no-plots", "--mesh", "all"])
+  assert len(posteriors) == 1
+  post = posteriors[0]
+  assert post.mesh is not None and post.device_cache
+  df = exp.scoreboard.read_scores("eval_synthetic")
+  assert len(df) == 1
+  assert any(c.startswith("llk") for c in df.columns)
