@@ -196,3 +196,19 @@ def test_mesh_inference_pads_ragged_batch(mesh, splits, small_nets):
   x, z = m.predict_mean(test, batch_size=60, mesh=mesh)  # 60 → 64
   assert x[0].shape[0] == test.n_obs and z[0].shape[0] == test.n_obs
   assert np.isfinite(x[0]).all()
+
+
+def test_mesh_inference_scvi_library_path(mesh, splits):
+  """SCVI consumes per-cell library stats — the mesh path must shard them
+  alongside the counts."""
+  train, test = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"), seed=5)
+  m.fit(train, epochs=1, batch_size=128, valid_freq=0, patience=0)
+  rng = m._rng
+  x1, z1 = m.predict_mean(test, sample_shape=(2,), batch_size=64)
+  m._rng = rng
+  x2, z2 = m.predict_mean(test, sample_shape=(2,), batch_size=64, mesh=mesh)
+  np.testing.assert_allclose(np.asarray(x2[0]), np.asarray(x1[0]),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(z2[0]), np.asarray(z1[0]),
+                             rtol=2e-4, atol=2e-4)
