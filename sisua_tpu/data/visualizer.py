@@ -58,6 +58,113 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
     # continuous fallback: argmax variable
     return name, np.asarray(var_names)[np.argmax(x, -1)]
 
+  # ------------------------------------------------------------ var helpers
+  def _process_varnames(self, omic, var_names, default_n: int = 16):
+    """Resolve the reference's ``var_names`` vocabulary
+    (``_single_cell_visualizer.py:90-120``): ``'auto'`` → the omic's curated
+    markers present in this dataset (top-variance fallback); an int → top-n
+    highest-variance vars; ``None`` → markers, else all vars (top-variance
+    when wide); a list → filtered to existing names."""
+    omic = OMIC.parse(omic)
+    names = [str(v) for v in self.get_var_names(omic)]
+    name_set = set(names)
+    markers = [m for m in (omic.markers or []) if m in name_set]
+    if isinstance(var_names, str) and var_names == "auto":
+      var_names = markers[:default_n] or list(self.top_vars(omic, default_n))
+    elif var_names is None:
+      var_names = markers or (names if len(names) <= 50
+                              else list(self.top_vars(omic, default_n)))
+    elif isinstance(var_names, (int, np.integer)):
+      var_names = list(self.top_vars(omic, int(var_names)))
+    else:
+      var_names = [str(v) for v in var_names if str(v) in name_set]
+    assert len(var_names) > 0, f"No valid var_names for omic {omic.name}"
+    return omic, list(dict.fromkeys(map(str, var_names)))
+
+  def _resolve_groups(self, group_by, clustering, groups):
+    """(key, per-cell labels, shown categories); ``groups`` filters the
+    categories shown (ref ``groups=`` argument)."""
+    if group_by is None:
+      labels = np.full(self.n_obs, "all")
+      return None, labels, np.array(["all"])
+    key, labels = self._process_omics(group_by, clustering=clustering)
+    labels = np.asarray(labels).astype(str)
+    uniq = np.unique(labels)
+    if groups is not None:
+      if isinstance(groups, (str, bytes)):
+        groups = [groups]
+      want = {str(g) for g in groups}
+      uniq = np.array([u for u in uniq if u in want])
+      assert len(uniq) > 0, f"None of groups={sorted(want)} found in {key}"
+    return key, labels, uniq
+
+  @staticmethod
+  def _ranked_var_blocks(x, labels, uniq, n):
+    """Per-group top-n discriminative variable columns (Welch t-test
+    one-vs-rest) — the selection behind the reference's ``rank_vars>0``
+    scanpy ``rank_genes_groups_*`` panels."""
+    from scipy import stats as sp_stats
+    blocks = []
+    for u in uniq:
+      in_g = labels == u
+      if in_g.sum() < 2 or (~in_g).sum() < 2:
+        blocks.append(list(np.argsort(-x[in_g].mean(0))[:n]))
+        continue
+      score, _ = sp_stats.ttest_ind(x[in_g], x[~in_g], axis=0,
+                                    equal_var=False)
+      blocks.append(list(np.argsort(-np.nan_to_num(score))[:n]))
+    return blocks
+
+  @staticmethod
+  def _dendrogram_order(cent):
+    """Ward-linkage leaf order over group centroids (scanpy dendrogram)."""
+    from scipy.cluster import hierarchy
+    if len(cent) < 2:
+      return np.arange(len(cent)), None
+    link = hierarchy.linkage(cent, method="ward")
+    order = hierarchy.dendrogram(link, no_plot=True)["leaves"]
+    return np.asarray(order), link
+
+  @staticmethod
+  def _fig_desc(title, omic, key, *, nv=None, rank=0, log=True,
+                dendrogram=False, swap_axes=False, scale=None, groups=None):
+    """Unique figure name from the argument grid (the reference's
+    `_validate_arguments` title, extended so no two grid points collide)."""
+    parts = [title, omic.name, str(key),
+             None if nv is None else f"v{nv}",
+             f"rank{rank}" if rank else None,
+             "log" if log else "raw",
+             "dendro" if dendrogram else None,
+             "swap" if swap_axes else None,
+             f"scale-{scale}" if scale else None,
+             f"g{len(groups)}" if groups is not None else None]
+    return "_".join(p for p in parts if p)
+
+  @staticmethod
+  def _standard_scale(x, mode):
+    """scanpy ``standard_scale``: min-max each var ('var') or cell ('obs')."""
+    if mode == "var":
+      x = x - x.min(0, keepdims=True)
+      x = x / np.maximum(x.max(0, keepdims=True), 1e-12)
+    elif mode == "obs":
+      x = x - x.min(1, keepdims=True)
+      x = x / np.maximum(x.max(1, keepdims=True), 1e-12)
+    return x
+
+  def _select_vars(self, omic, var_names, rank_vars, full, labels, uniq):
+    """Columns + per-group boundaries for the rank-genes panel layout."""
+    names = np.asarray([str(v) for v in self.get_var_names(omic)])
+    if rank_vars > 0:
+      blocks = self._ranked_var_blocks(full, labels, uniq, rank_vars)
+      cols, bounds = [], [0]
+      for b in blocks:
+        cols.extend(b)
+        bounds.append(len(cols))
+      return list(names[cols]), cols, bounds
+    omic, var_list = self._process_varnames(omic, var_names)
+    vi = self.get_var_indices(omic)
+    return var_list, [vi[v] for v in var_list], None
+
   # ----------------------------------------------------------------- plots
   def plot_scatter(self,
                    X=OMIC.transcriptomic,
@@ -83,93 +190,216 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
   def plot_stacked_violins(self,
                            X=OMIC.transcriptomic,
                            group_by=OMIC.celltype,
-                           var_names: Optional[Sequence[str]] = None,
+                           groups=None,
+                           var_names="auto",
                            clustering: Optional[str] = None,
-                           log: bool = True) -> "_OMICvisualizer":
-    """Violin of marker vars per label group (ref :162-230)."""
+                           rank_vars: int = 0,
+                           rank_genes: int = 0,
+                           dendrogram: bool = False,
+                           standard_scale: Optional[str] = None,
+                           log: bool = True,
+                           swap_axes: bool = False,
+                           title: str = "",
+                           return_figure: bool = False):
+    """Violin of vars per label group — the reference's full surface
+    (``_single_cell_visualizer.py:249-314``): ``rank_vars>0`` ranks vars per
+    group (rank_genes_groups_stacked_violin), ``dendrogram`` orders groups
+    by Ward linkage, ``groups`` selects categories, ``standard_scale``
+    min-max scales, ``swap_axes`` swaps var/group roles."""
     import matplotlib.pyplot as plt
     import seaborn as sns
+    rank_vars = max(int(rank_vars), int(rank_genes))
     omic = OMIC.parse(X)
-    if var_names is None:
-      markers = omic.markers or []
-      names = set(map(str, self.get_var_names(omic)))
-      var_names = [m for m in markers if m in names][:10] or \
-          list(self.top_vars(omic, 10))
-    _, labels = self._process_omics(group_by, clustering=clustering)
-    vi = self.get_var_indices(omic)
-    x = self.numpy(omic)[:, [vi[str(v)] for v in var_names]]
+    key, labels, uniq = self._resolve_groups(group_by, clustering, groups)
+    full = self.numpy(omic)
     if log:
-      x = np.log1p(x)
-    df = pd.DataFrame(x, columns=[str(v) for v in var_names])
-    df["group"] = labels
+      full = np.log1p(full)
+    if dendrogram and len(uniq) > 1:
+      cent = np.stack([full[labels == u].mean(0) for u in uniq])
+      order, _ = self._dendrogram_order(cent)
+      uniq = uniq[order]
+    var_list, cols, _ = self._select_vars(omic, var_names, rank_vars, full,
+                                          labels, uniq)
+    keep = np.isin(labels, uniq)
+    x = self._standard_scale(full[keep][:, cols], standard_scale)
+    df = pd.DataFrame(x, columns=pd.Index(var_list).astype(str))
+    # duplicated rank columns across groups collapse in the frame; keep first
+    df = df.loc[:, ~df.columns.duplicated()]
+    df["group"] = pd.Categorical(labels[keep], categories=list(uniq))
     melt = df.melt(id_vars="group", var_name="var", value_name="value")
-    fig, ax = plt.subplots(figsize=(max(8, len(var_names)), 5))
-    sns.violinplot(data=melt, x="var", y="value", hue="group", ax=ax,
+    xvar, hue = ("group", "var") if swap_axes else ("var", "group")
+    fig, ax = plt.subplots(figsize=(max(8, len(var_list)), 5))
+    sns.violinplot(data=melt, x=xvar, y="value", hue=hue, ax=ax,
                    cut=0, linewidth=0.4, density_norm="width")
     ax.legend(fontsize=6)
     ax.tick_params(axis="x", rotation=45)
-    name = f"{omic.name}_violins"
-    self.add_figure(name, fig)
+    desc = self._fig_desc(title, omic, key, nv=len(var_list), rank=rank_vars,
+                          log=log, dendrogram=dendrogram,
+                          swap_axes=swap_axes, scale=standard_scale,
+                          groups=groups)
+    ax.set_title(desc, fontsize=9)
+    if return_figure:
+      return fig
+    self.add_figure(f"violin_{desc}", fig)
     return self
 
   def plot_dotplot(self,
                    X=OMIC.transcriptomic,
                    group_by=OMIC.celltype,
-                   var_names: Optional[Sequence[str]] = None
-                   ) -> "_OMICvisualizer":
-    """Mean-expression dot plot: dot size = fraction expressing (ref :232)."""
+                   groups=None,
+                   var_names="auto",
+                   clustering: Optional[str] = None,
+                   rank_genes: int = 0,
+                   rank_vars: int = 0,
+                   dendrogram: bool = False,
+                   standard_scale: Optional[str] = "var",
+                   cmap: str = "Reds",
+                   log: bool = True,
+                   title: str = "",
+                   return_figure: bool = False):
+    """Dot plot: dot size = fraction of group expressing, color = (scaled)
+    mean expression — the reference's full surface
+    (``_single_cell_visualizer.py:315-353``) incl. the
+    rank_genes_groups_dotplot panel (``rank_genes>0``, per-group separators)
+    and Ward-dendrogram group ordering drawn in a side panel."""
     import matplotlib.pyplot as plt
+    from scipy.cluster import hierarchy
+    rank_vars = max(int(rank_vars), int(rank_genes))
     omic = OMIC.parse(X)
-    if var_names is None:
-      markers = omic.markers or []
-      names = set(map(str, self.get_var_names(omic)))
-      var_names = [m for m in markers if m in names][:12] or \
-          list(self.top_vars(omic, 12))
-    _, labels = self._process_omics(group_by)
-    vi = self.get_var_indices(omic)
-    x = self.numpy(omic)[:, [vi[str(v)] for v in var_names]]
-    uniq = np.unique(labels)
-    mean = np.stack([x[labels == u].mean(0) for u in uniq])
-    frac = np.stack([(x[labels == u] > 0).mean(0) for u in uniq])
-    fig, ax = plt.subplots(figsize=(max(6, len(var_names) * 0.6),
-                                    max(4, len(uniq) * 0.4)))
-    gi, vj = np.meshgrid(np.arange(len(uniq)), np.arange(len(var_names)),
-                         indexing="ij")
+    key, labels, uniq = self._resolve_groups(group_by, clustering, groups)
+    full = self.numpy(omic)
+    logged = np.log1p(full) if log else full
+    link = None
+    if dendrogram and len(uniq) > 1:
+      cent = np.stack([logged[labels == u].mean(0) for u in uniq])
+      order, link = self._dendrogram_order(cent)
+      uniq = uniq[order]
+    var_list, cols, bounds = self._select_vars(omic, var_names, rank_vars,
+                                               logged, labels, uniq)
+    mean = np.stack([logged[labels == u][:, cols].mean(0) for u in uniq])
+    frac = np.stack([(full[labels == u][:, cols] > 0).mean(0) for u in uniq])
+    mean = self._standard_scale(mean, standard_scale)
+    nv, ng = len(var_list), len(uniq)
+    fig = plt.figure(figsize=(max(6, nv * 0.6) + (1.2 if link is not None
+                                                  else 0), max(4, ng * 0.4)))
+    if link is not None:
+      gs = fig.add_gridspec(1, 2, width_ratios=[5, 1], wspace=0.05)
+      ax = fig.add_subplot(gs[0])
+      ax_d = fig.add_subplot(gs[1], sharey=None)
+      with plt.rc_context({"lines.linewidth": 0.8}):
+        hierarchy.dendrogram(link, ax=ax_d, orientation="right",
+                             no_labels=True, link_color_func=lambda _: "k")
+      ax_d.axis("off")
+    else:
+      ax = fig.add_subplot(111)
+    gi, vj = np.meshgrid(np.arange(ng), np.arange(nv), indexing="ij")
     sc = ax.scatter(vj.ravel(), gi.ravel(), s=20 + 180 * frac.ravel(),
-                    c=mean.ravel(), cmap="Reds")
-    ax.set_xticks(range(len(var_names)))
-    ax.set_xticklabels([str(v) for v in var_names], rotation=45, fontsize=7,
+                    c=mean.ravel(), cmap=cmap)
+    if bounds is not None:  # rank-genes panel: separate per-group blocks
+      for b in bounds[1:-1]:
+        ax.axvline(b - 0.5, color="0.7", lw=0.8)
+    ax.set_xticks(range(nv))
+    ax.set_xticklabels([str(v) for v in var_list], rotation=45, fontsize=7,
                        ha="right")
-    ax.set_yticks(range(len(uniq)))
+    ax.set_yticks(range(ng))
     ax.set_yticklabels([str(u) for u in uniq], fontsize=7)
-    fig.colorbar(sc, ax=ax, label="mean expression")
-    self.add_figure(f"{omic.name}_dotplot", fig)
+    fig.colorbar(sc, ax=ax, label="mean expression"
+                 + (" (scaled)" if standard_scale else ""))
+    desc = self._fig_desc(title, omic, key, nv=nv, rank=rank_vars, log=log,
+                          dendrogram=dendrogram, scale=standard_scale,
+                          groups=groups)
+    ax.set_title(desc, fontsize=9)
+    if return_figure:
+      return fig
+    self.add_figure(f"dotplot_{desc}", fig)
     return self
 
   def plot_heatmap(self,
                    X=OMIC.transcriptomic,
                    group_by=OMIC.celltype,
-                   var_names: Optional[Sequence[str]] = None,
-                   log: bool = True) -> "_OMICvisualizer":
-    """Cells×vars heatmap grouped by labels (ref :plot_heatmap)."""
+                   groups=None,
+                   var_names="auto",
+                   clustering: Optional[str] = None,
+                   rank_vars: int = 0,
+                   rank_genes: int = 0,
+                   dendrogram: bool = False,
+                   swap_axes: bool = False,
+                   cmap: str = "viridis",
+                   standard_scale: Optional[str] = "var",
+                   log: bool = True,
+                   title: str = "",
+                   return_figure: bool = False):
+    """Cells×vars heatmap grouped by labels — the reference's full surface
+    (``_single_cell_visualizer.py:354-422``): ``rank_vars>0`` renders the
+    rank_genes_groups_heatmap panel (per-group top discriminative vars with
+    block separators), ``dendrogram`` orders groups by Ward linkage (drawn
+    in a side panel), ``groups`` selects categories, plus
+    ``standard_scale``/``swap_axes``/``cmap``/``return_figure``."""
     import matplotlib.pyplot as plt
+    from scipy.cluster import hierarchy
+    rank_vars = max(int(rank_vars), int(rank_genes))
     omic = OMIC.parse(X)
-    if var_names is None:
-      var_names = list(self.top_vars(omic, 25))
-    _, labels = self._process_omics(group_by)
-    vi = self.get_var_indices(omic)
-    x = self.numpy(omic)[:, [vi[str(v)] for v in var_names]]
+    key, labels, uniq = self._resolve_groups(group_by, clustering, groups)
+    full = self.numpy(omic)
     if log:
-      x = np.log1p(x)
-    order = np.argsort(labels)
-    fig, ax = plt.subplots(figsize=(8, 6))
-    im = ax.imshow(x[order], aspect="auto", cmap="viridis",
+      full = np.log1p(full)
+    link = None
+    if dendrogram and len(uniq) > 1:
+      cent = np.stack([full[labels == u].mean(0) for u in uniq])
+      order, link = self._dendrogram_order(cent)
+      uniq = uniq[order]
+    var_list, cols, bounds = self._select_vars(omic, var_names, rank_vars,
+                                               full, labels, uniq)
+    x = self._standard_scale(full[:, cols], standard_scale)
+    # cells sorted into group blocks in display order
+    sel = np.concatenate([np.where(labels == u)[0] for u in uniq])
+    x = x[sel]
+    sizes = [int(np.sum(labels == u)) for u in uniq]
+    row_bounds = np.cumsum(sizes)
+    centers = row_bounds - np.asarray(sizes) / 2.0
+    nv = len(var_list)
+    fig = plt.figure(figsize=((10, 7) if swap_axes else
+                              (max(8, nv * 0.3), 7)))
+    if link is not None:
+      gs = fig.add_gridspec(1, 2, width_ratios=[5, 1], wspace=0.05)
+      ax = fig.add_subplot(gs[0])
+      ax_d = fig.add_subplot(gs[1])
+      with plt.rc_context({"lines.linewidth": 0.8}):
+        hierarchy.dendrogram(link, ax=ax_d, orientation="right",
+                             no_labels=True, link_color_func=lambda _: "k")
+      ax_d.axis("off")
+    else:
+      ax = fig.add_subplot(111)
+    im = ax.imshow(x.T if swap_axes else x, aspect="auto", cmap=cmap,
                    interpolation="nearest")
-    ax.set_xticks(range(len(var_names)))
-    ax.set_xticklabels([str(v) for v in var_names], rotation=90, fontsize=6)
-    ax.set_yticks([])
+    var_axis, group_axis = ("y", "x") if swap_axes else ("x", "y")
+    # variable labels (only readable below ~50 names, as the reference)
+    var_ticks = (range(nv), [str(v) for v in var_list]) if nv < 50 \
+        else ([], [])
+    getattr(ax, f"set_{var_axis}ticks")(var_ticks[0])
+    getattr(ax, f"set_{var_axis}ticklabels")(
+        var_ticks[1], fontsize=6,
+        **({"rotation": 90} if var_axis == "x" else {}))
+    # group blocks: labels at block centers, separators at boundaries
+    getattr(ax, f"set_{group_axis}ticks")(centers)
+    getattr(ax, f"set_{group_axis}ticklabels")(
+        [str(u) for u in uniq], fontsize=7,
+        **({"rotation": 45} if group_axis == "x" else {}))
+    sep = ax.axvline if swap_axes else ax.axhline
+    for b in row_bounds[:-1]:
+      sep(b - 0.5, color="w", lw=1.0)
+    if bounds is not None:  # rank-vars panel: per-group var-block separators
+      vsep = ax.axhline if swap_axes else ax.axvline
+      for b in bounds[1:-1]:
+        vsep(b - 0.5, color="w", lw=0.8)
     fig.colorbar(im, ax=ax)
-    self.add_figure(f"{omic.name}_heatmap", fig)
+    desc = self._fig_desc(title, omic, key, nv=nv, rank=rank_vars, log=log,
+                          dendrogram=dendrogram, swap_axes=swap_axes,
+                          scale=standard_scale, groups=groups)
+    ax.set_title(desc, fontsize=9)
+    if return_figure:
+      return fig
+    self.add_figure(f"heatmap_{desc}", fig)
     return self
 
   def plot_dendrogram_heatmap(self,

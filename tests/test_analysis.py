@@ -225,7 +225,7 @@ def test_posterior_full_figure_grid(splits, small_nets):
   # the round-1 gaps — are all present
   names = "\n".join(post.figures)
   for frag in ("dendrogram", "protein_prediction", "disentanglement_scatter",
-               "llk", "corr_scatter", "violins", "dotplot"):
+               "llk", "corr_scatter", "violin", "dotplot"):
     assert frag in names, (frag, sorted(post.figures))
   import matplotlib.pyplot as plt
   plt.close("all")

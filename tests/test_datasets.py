@@ -165,6 +165,54 @@ def test_visualization_smoke(tmp_path, sco):
   assert len(os.listdir(tmp_path)) >= 6
 
 
+def test_visualization_reference_grid(tmp_path, sco):
+  """The reference's visualization smoke grid
+  (``/root/reference/tests/test_datasets.py:181-249``): sweep
+  (X, var_names, rank_genes, clustering, dendrogram) through
+  plot_heatmap / plot_dotplot / plot_stacked_violins; rank only applies to
+  transcriptomic X (as upstream skips prot+rank)."""
+  import itertools
+  cp = sco.copy()
+  for X, var_names, rank, clustering, dendro in itertools.product(
+      (OMIC.transcriptomic, OMIC.proteomic),
+      (None, 10),
+      (0, 3),
+      (None, "kmeans"),
+      (False, True)):
+    if X == OMIC.proteomic and rank > 0:
+      continue
+    # thin the grid: dendrogram sweeps only the var_names=None arm
+    if dendro and var_names is not None:
+      continue
+    cp.plot_heatmap(X=X, group_by=OMIC.proteomic, var_names=var_names,
+                    clustering=clustering, rank_genes=rank,
+                    dendrogram=dendro)
+    cp.plot_dotplot(X=X, group_by=OMIC.proteomic, var_names=var_names,
+                    clustering=clustering, rank_genes=rank,
+                    dendrogram=dendro)
+    if rank == 0 and clustering is None:  # violins: lighter sweep
+      cp.plot_stacked_violins(X=X, group_by=OMIC.proteomic,
+                              var_names=var_names, dendrogram=dendro)
+  # the remaining reference arguments: groups filter, swap_axes,
+  # standard_scale=obs, return_figure contract
+  labels = np.unique(cp._process_omics(OMIC.celltype)[1])
+  fig = cp.plot_heatmap(group_by=OMIC.celltype, groups=list(labels[:2]),
+                        swap_axes=True, standard_scale="obs",
+                        return_figure=True)
+  assert fig is not None and len(fig.get_axes()) >= 1
+  fig2 = cp.plot_stacked_violins(group_by=OMIC.celltype, swap_axes=True,
+                                 rank_vars=2, return_figure=True)
+  assert fig2 is not None
+  fig3 = cp.plot_dotplot(group_by=OMIC.celltype, groups=list(labels[:2]),
+                         standard_scale=None, return_figure=True)
+  assert fig3 is not None
+  n_figs = len(cp.figures)
+  assert n_figs >= 20, n_figs  # distinct names per grid point
+  cp.save_figures(str(tmp_path))
+  import os
+  assert len(os.listdir(tmp_path)) == n_figs
+
+
 def test_history_provenance(sco):
   cp = sco.copy()
   cp.normalize(total=True)
