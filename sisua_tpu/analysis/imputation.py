@@ -69,7 +69,10 @@ def correlation_scores(X: np.ndarray,
   """(spearman, pearson) between each marker gene in X and its paired
   protein in y, using the marker knowledge base (reference :34-96).
 
-  Returns {'<protein>/<gene>': (spearman, pearson)}.
+  Returns {'<protein>/<gene>': (spearman, pearson)}, or — with
+  ``return_series=True`` — {'<protein>/<gene>': (gene_series, prot_series)}
+  (the raw per-cell series, the reference's ``return_series`` used by
+  ``ResultsSheet.plot_correlation_marker_pairs``).
   """
   from ..data.const import MARKER_ADT_GENE
   from ..data.utils import standardize_protein_name
@@ -82,6 +85,9 @@ def correlation_scores(X: np.ndarray,
       continue
     gx = np.asarray(X[:, gene_idx[gene]], np.float64).ravel()
     py = np.asarray(y[:, j], np.float64).ravel()
+    if return_series:
+      scores[f"{prot}/{gene}"] = (gx, py)
+      continue
     if gx.std() == 0 or py.std() == 0:
       spear = pear = 0.0
     else:

@@ -154,6 +154,19 @@ def test_results_sheet(trained, tmp_path):
   import os
   assert (tmp_path / "scores.csv").exists()
   assert (tmp_path / "scores.html").exists()
+  # dunder surface + the comparison figure families (reference :226-657)
+  assert len(rs) == 2 and rs[sisua.name] is rs[1] and list(rs) == rs.posteriors
+  assert sisua.name in rs.summary()
+  (rs.plot_comparison_f1().plot_correlation_marker_pairs()
+     .boxplot_f1().boxplot_spearman().boxplot_pearson().boxplot_cluster()
+     .barplot_f1().barplot_spearman().barplot_pearson().barplot_cluster()
+     .plot_scores("imputation").plot_latents_binary_scatter())
+  names = set(rs.figures)
+  for frag in ("compare_classifier_f1", "correlation_marker_pairs",
+               "boxplot_classifier", "barplot_cluster", "scores_imputation"):
+    assert any(frag in n for n in names), (frag, sorted(names))
+  rs.save_plots(str(tmp_path / "figs"))
+  assert len(os.listdir(tmp_path / "figs")) >= 10
 
 
 def test_metric_functions():
