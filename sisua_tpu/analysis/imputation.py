@@ -20,8 +20,16 @@ from scipy import stats as sp_stats
 
 __all__ = [
     "imputation_score", "imputation_mean_score", "imputation_std_score",
-    "correlation_scores", "plot_imputation",
+    "correlation_scores", "get_imputed_indices", "plot_imputation",
+    "plot_imputation_series",
 ]
+
+
+def get_imputed_indices(x_org: np.ndarray, x_imp: np.ndarray) -> np.ndarray:
+  """Indices of cells whose counts changed under imputation
+  (reference :25-31: row sums differ)."""
+  return np.nonzero(np.asarray(x_org).sum(axis=1)
+                    != np.asarray(x_imp).sum(axis=1))[0]
 
 
 def _per_cell_median_abs_err(original: np.ndarray,
@@ -95,6 +103,41 @@ def correlation_scores(X: np.ndarray,
       pear = float(sp_stats.pearsonr(gx, py).statistic)
     scores[f"{prot}/{gene}"] = (spear, pear)
   return scores
+
+
+def plot_imputation_series(original: np.ndarray, imputed: np.ndarray,
+                           title: str = "Imputation"):
+  """Pairwise original/imputed library-size series: joint scatter with a
+  regression line + identity, and marginal histograms (reference :133-159's
+  seaborn pairplot, rendered as a 2×2 grid)."""
+  import matplotlib
+  matplotlib.use("Agg")
+  import matplotlib.pyplot as plt
+  x = np.log1p(np.asarray(original, np.float64).ravel())
+  y = np.log1p(np.asarray(imputed, np.float64).ravel())
+  max_val = float(max(x.max(), y.max())) if x.size else 1.0
+  fig, axes = plt.subplots(2, 2, figsize=(8, 8))
+  axes[0][0].hist(x, bins=180, color="g", alpha=0.8)
+  axes[0][0].set_xlabel("Original Value")
+  axes[1][1].hist(y, bins=180, color="g", alpha=0.8)
+  axes[1][1].set_xlabel("Imputed Value")
+  slope, intercept = (np.polyfit(x, y, 1) if x.size > 1 else (1.0, 0.0))
+  grid = np.linspace(0, max_val, 50)
+  for ax, (a, b) in ((axes[0][1], (x, y)), (axes[1][0], (y, x))):
+    ax.scatter(a, b, s=2, alpha=0.6, color="g", linewidths=0)
+    fit = slope * grid + intercept if ax is axes[0][1] \
+        else (grid - intercept) / max(slope, 1e-8)
+    ax.plot(grid, fit, color="red", alpha=0.8, lw=1.2)
+    ax.plot(grid, grid, linestyle="--", linewidth=1, color="black")
+    ax.set_xlim((0, max_val))
+    ax.set_ylim((0, max_val))
+  axes[0][1].set_xlabel("Original Value")
+  axes[0][1].set_ylabel("Imputed Value")
+  axes[1][0].set_xlabel("Imputed Value")
+  axes[1][0].set_ylabel("Original Value")
+  fig.suptitle(title)
+  fig.tight_layout()
+  return fig
 
 
 def plot_imputation(original: np.ndarray, imputed: np.ndarray,

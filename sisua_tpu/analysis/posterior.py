@@ -142,6 +142,82 @@ class Posterior(Visualizer):
     return f"{self.scm.id}_{self.sco_original.name}"
 
   @property
+  def dataset(self):
+    """The enriched analysis dataset: original omics + imputed mirrors +
+    latent omic (the reference Posterior's ``dataset``, :394-396)."""
+    return self.sco_analysis
+
+  @property
+  def n_latents(self) -> int:
+    return int(self.latents.shape[1])
+
+  @property
+  def n_outputs(self) -> int:
+    return len(self.output_omics)
+
+  # ------------------------------------------------------------ data access
+  def get_data(self, omic, data_type: str = "auto"):
+    """Extract an array or predicted distribution (reference :274-302).
+
+    data_type one of {'imputed', 'original', 'corrupted', 'reconstructed',
+    'auto'} (or a list; first found wins): 'imputed' = prediction from the
+    corrupted input, 'reconstructed' = prediction from the original input,
+    'original'/'corrupted' = the raw arrays. For the latent omic,
+    'corrupted'/'auto' is the posterior on corrupted data."""
+    omic = OMIC.parse(omic).name
+    dists_cor = self.pX_cor if isinstance(self.pX_cor, (tuple, list)) \
+        else (self.pX_cor,)
+    dists_org = self.pX_org if isinstance(self.pX_org, (tuple, list)) \
+        else (self.pX_org,)
+    types = [data_type] if isinstance(data_type, str) else list(data_type)
+    for dtype in [str(t).lower().strip() for t in types]:
+      if omic == "latent":
+        if dtype in ("corrupted", "imputed", "auto"):
+          return self.qZ_cor
+        if dtype in ("original", "reconstructed"):
+          return self.qZ_org
+        continue
+      if dtype in ("imputed", "reconstructed"):
+        dists = dists_cor if dtype == "imputed" else dists_org
+        for name, d in zip(self.output_omics, dists):
+          if name == omic:
+            return d
+      elif dtype == "original" and omic in self.sco_original.omics:
+        return self.sco_original.numpy(omic)
+      elif dtype == "corrupted" and omic in self.sco_corrupted.omics:
+        return self.sco_corrupted.numpy(omic)
+      elif dtype == "auto":
+        if omic in self.sco_analysis.omics:
+          return self.sco_analysis.numpy(omic)
+        for name, d in zip(self.output_omics, dists_cor):
+          if f"i{name}" == omic:
+            return d
+    raise ValueError(
+        f"No data found for OMIC: {omic}-{data_type}; outputs="
+        f"{self.output_omics}, omics={list(self.sco_analysis.omics)}")
+
+  def get_criticizer(self, factor_omic: str = "proteomic") -> Criticizer:
+    """The per-factor-omic Criticizer (reference :304-376); built in
+    ``_initialize`` for every factor omic, created on demand otherwise."""
+    factor_omic = OMIC.parse(factor_omic).name
+    if factor_omic not in self.criticizers:
+      assert factor_omic in self.sco_original.omics, \
+          f"No omic {factor_omic} in {list(self.sco_original.omics)}"
+      self.criticizers[factor_omic] = Criticizer(
+          self.latents, self.sco_original.numpy(factor_omic),
+          factor_names=list(self.sco_original.get_var_names(factor_omic)),
+          seed=self.seed)
+    return self.criticizers[factor_omic]
+
+  def get_marker_pairs(self, omic1="transcriptomic", omic2="proteomic",
+                       var_names1=None, var_names2=None,
+                       remove_duplicated: bool = True):
+    """Marker pairs of the analysis dataset (reference :258-272)."""
+    return self.sco_analysis.get_marker_pairs(
+        omic1, omic2, var_names1, var_names2,
+        remove_duplicated=remove_duplicated)
+
+  @property
   def main_omic(self) -> str:
     return self.output_omics[0]
 

@@ -10,6 +10,46 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+import traceback
+
+__all__ = ["robust_run", "scoring", "plotting", "main"]
+
+
+def robust_run(method_name, log_text, fn, *args, scoreboard=None, **kwargs):
+  """Run one evaluation step, recording (not raising) any exception — one
+  failing model/figure must not kill a whole evaluation sweep
+  (reference evaluate.py:32-48). Returns the result or None on failure."""
+  assert callable(fn)
+  try:
+    return fn(*args, **kwargs)
+  except Exception:
+    text = traceback.format_exc().strip()
+    if scoreboard is not None:
+      scoreboard.write_error(unique=f"{method_name}:{log_text}", message=text)
+    print(f"[evaluate] {method_name} failed ({log_text}):\n{text}",
+          file=sys.stderr)
+    return None
+
+
+def scoring(post, scoreboard=None, table: str = "scores",
+            uid: str = None) -> dict:
+  """Compute the full score battery for one Posterior and (optionally)
+  persist it in the sqlite scoreboard (reference evaluate.py:54-68)."""
+  uid = uid or post.name
+  scores = post.save_scores()
+  if scoreboard is not None:
+    scoreboard.write_scores(table=table, unique=uid, scores=scores)
+  return scores
+
+
+def plotting(post, path: str, full: bool = True) -> int:
+  """Render the per-factor figure grid for one Posterior into ``path``
+  (reference evaluate.py:71-152); returns the number of figures."""
+  post.plot_all(full=full)
+  n = len(post.figures)
+  post.save_figures(path)
+  return n
 
 
 def main(argv=None):
@@ -65,11 +105,12 @@ def main(argv=None):
         retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)),
         mesh=mesh)
     uid = f"{model.id}_{ds_name}"
-    scores = post.save_scores()
-    exp.scoreboard.write_scores(table=f"eval_{ds_name}", unique=uid,
-                                scores=scores)
-    print(f"[{uid}] " + " ".join(
-        f"{k}={v:.4f}" for k, v in list(scores.items())[:5]))
+    scores = robust_run("scoring", uid, scoring, post, exp.scoreboard,
+                        table=f"eval_{ds_name}", uid=uid,
+                        scoreboard=exp.scoreboard)
+    if scores:
+      print(f"[{uid}] " + " ".join(
+          f"{k}={v:.4f}" for k, v in list(scores.items())[:5]))
     posteriors.append(post)
 
   rs = ResultsSheet(*posteriors)
@@ -77,9 +118,10 @@ def main(argv=None):
   if not args.no_plots:
     n_figs = 0
     for post in posteriors:
-      post.plot_all(full=not args.summary_plots)
-      n_figs += len(post.figures)
-      post.save_figures(args.path)
+      n = robust_run("plotting", post.name, plotting, post, args.path,
+                     full=not args.summary_plots,
+                     scoreboard=exp.scoreboard)
+      n_figs += n or 0
     rs.plot_all()
     n_figs += len(rs.figures)
     rs.save_figures(args.path)

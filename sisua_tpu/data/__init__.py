@@ -31,7 +31,7 @@ from .utils import (apply_artificial_corruption, get_library_size,
 
 __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
-    "get_dataset_availability", "AVAILABILITY",
+    "get_dataset_availability", "get_dataset_summary", "AVAILABILITY",
     "generate_synthetic", "generate_citeseq", "read_h5ad", "write_h5ad",
     "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",
@@ -163,6 +163,46 @@ def get_dataset_availability(name: str = None):
   if key not in _AVAILABILITY_CACHE:
     raise KeyError(f"Unknown dataset '{name}'")
   return _AVAILABILITY_CACHE[key]
+
+
+def get_dataset_summary(return_html: bool = False, names=None,
+                        availability=("always",)):
+  """Table of dataset shapes/labels (reference data/__init__.py:228-246).
+
+  The reference loads every registry entry; with zero-egress environments in
+  mind this summarizes only names whose availability is in ``availability``
+  (default: the in-memory synthetic family) plus anything already cached —
+  pass ``names=[...]`` or ``availability=None`` to widen."""
+  import pandas as pd
+  meta = get_dataset_meta()
+  if names is None:
+    names = [n for n, tag in get_dataset_availability().items()
+             if availability is None or tag in availability]
+  rows = []
+  for name in sorted(str(n).lower().strip() for n in names):
+    if name not in meta:
+      continue
+    try:
+      ds = get_dataset(name)
+    except Exception as e:  # uncached download-gated name: record the gap
+      rows.append({"Keyword": name, "Error": type(e).__name__})
+      continue
+    X = ds.numpy()
+    has_y = "proteomic" in ds.omics or "celltype" in ds.omics
+    y_omic = "proteomic" if "proteomic" in ds.omics else (
+        "celltype" if "celltype" in ds.omics else None)
+    rows.append({
+        "Keyword": name,
+        "#Cells": X.shape[0],
+        "#Genes": X.shape[1],
+        "#Labels": ds.get_dim(y_omic) if has_y else 0,
+        "Binary": bool(ds.is_binary(y_omic)) if has_y else False,
+        "Labels": ", ".join(standardize_protein_name(str(i))
+                            for i in ds.get_var_names(y_omic)[:24])
+                  if has_y else "",
+    })
+  df = pd.DataFrame(rows)
+  return df.to_html() if return_html else df
 
 
 def get_dataset(name: str, override: bool = False, verbose: bool = False,

@@ -242,6 +242,14 @@ class _OMICanalyzer(_OMICbase):
     return obj
 
   # ------------------------------------------------------------ embeddings
+  def get_x_probs(self, omic=None) -> np.ndarray:
+    """Probability embedding of an omic (ref _single_cell_analysis.py:69-71)."""
+    return self.probabilistic_embedding(omic=omic)[1]
+
+  def get_x_bins(self, omic=None) -> np.ndarray:
+    """Binary embedding of an omic (ref _single_cell_analysis.py:73-75)."""
+    return self.probabilistic_embedding(omic=omic)[2]
+
   def probabilistic_embedding(self,
                               omic=None,
                               n_components_per_class: int = 2,

@@ -75,6 +75,10 @@ class _OMICbase:
     self._name = name or "scOMIC"
     self._current_omic = omic
     self._duplicated_var = duplicated_var
+    self._verbose = False
+    # original row indices — survive slicing/split so a partition can be
+    # traced back to the source rows (ref _single_cell_base.py:134,301-306)
+    self.obs["indices"] = np.arange(n, dtype=np.int64)
     self.add_omic(omic, X, gene_id)
 
   # ------------------------------------------------------------------ history
@@ -87,6 +91,15 @@ class _OMICbase:
   @property
   def history(self):
     return list(self._history)
+
+  def set_verbose(self, verbose) -> "_OMICbase":
+    """If True, analysis methods narrate their calls (ref :137-144)."""
+    self._verbose = bool(verbose)
+    return self
+
+  @property
+  def verbose(self) -> bool:
+    return getattr(self, "_verbose", False)
 
   # ------------------------------------------------------------------- omics
   @property
@@ -161,11 +174,26 @@ class _OMICbase:
     self._record("add_omic", dict(omic=omic.name, shape=tuple(X.shape)))
     return self
 
-  def set_omic(self, omic) -> "_OMICbase":
-    """Switch the current omic (the reference's `_swap_omic` in-place)."""
+  def set_omic(self, omic, X=None,
+               recalculate_statistics: bool = True) -> "_OMICbase":
+    """With ``X`` given, replace the stored matrix of an omic in place
+    (the reference's ``set_omic``, :370-392: shape must match, statistics
+    refreshed). Without ``X``, switch the current omic (the in-place form
+    of the reference's ``_swap_omic``)."""
     omic = OMIC.parse(omic)
     assert omic.name in self._omics, f"No omic {omic.name} in {self.omics}"
-    self._current_omic = omic
+    if X is not None:
+      X = _as_matrix(X)
+      old = self._omics[omic.name]
+      assert X.shape == old.shape, \
+          (f"Dimensions mismatch, {omic.name} has dim={old.shape} "
+           f"but given: {X.shape}")
+      self._omics[omic.name] = X
+      if recalculate_statistics:
+        self._calculate_statistics(omic)
+      self._record("set_omic", dict(omic=omic.name, shape=tuple(X.shape)))
+    else:
+      self._current_omic = omic
     return self
 
   def _swap_omic(self, omic) -> "_OMICbase":
@@ -234,6 +262,127 @@ class _OMICbase:
     return {k: self.obs[f"{omic.name}_{k}"].values
             for k in ("total", "log_counts", "local_mean", "local_var")}
 
+  # ------------------------------------------------- per-stat accessors
+  # the reference exposes each statistics column as an (n_cells, 1) array
+  # (``_single_cell_base.py:483-516``); same surface here, read from obs
+  def _stat_column(self, omic, key) -> np.ndarray:
+    omic = self._current_omic if omic is None else OMIC.parse(omic)
+    return self.obs[f"{omic.name}_{key}"].values[:, None].astype(np.float32)
+
+  def total_counts(self, omic=None) -> np.ndarray:
+    return self._stat_column(omic, "total")
+
+  def log_counts(self, omic=None) -> np.ndarray:
+    return self._stat_column(omic, "log_counts")
+
+  def local_mean(self, omic=None) -> np.ndarray:
+    return self._stat_column(omic, "local_mean")
+
+  def local_var(self, omic=None) -> np.ndarray:
+    return self._stat_column(omic, "local_var")
+
+  def library_size(self, omic=None) -> Tuple[np.ndarray, np.ndarray]:
+    """``(local_mean, local_var)`` of the log library size — the tuple form
+    of :meth:`get_library_size` (ref :477-496)."""
+    return self.local_mean(omic), self.local_var(omic)
+
+  def sparsity(self, omic=None) -> float:
+    """Fraction of zero entries in an omic matrix (ref :496-498)."""
+    x = self.get_omic(omic)
+    nnz = x.nnz if sparse.issparse(x) else np.count_nonzero(x)
+    return 1.0 - nnz / (x.shape[0] * x.shape[1])
+
+  def counts_per_cell(self, omic=None) -> np.ndarray:
+    """Total counts per cell (ref :499-507)."""
+    return np.asarray(self.get_omic(omic).sum(axis=1)).ravel()
+
+  def counts_per_gene(self, omic=None) -> np.ndarray:
+    """Total counts per variable (ref :508-517)."""
+    return np.asarray(self.get_omic(omic).sum(axis=0)).ravel()
+
+  # ------------------------------------------------------- id accessors
+  @property
+  def indices(self) -> np.ndarray:
+    """Original row numbers of these cells in the source dataset; tracks
+    partitions through ``split``/slicing (ref :301-306)."""
+    return self.obs["indices"].values
+
+  @property
+  def cell_id(self) -> pd.Index:
+    return self.obs.index
+
+  @property
+  def gene_id(self) -> pd.Index:
+    return self.var.index
+
+  @property
+  def marker_genes(self) -> List[str]:
+    """Var names of the current omic found in the marker knowledge base
+    (ref :316-323)."""
+    from .const import MARKER_GENES
+    known = {g.lower() for g in MARKER_GENES}
+    return [g for g in self.gene_id if g.lower() in known]
+
+  def get_n_var(self, omic=None) -> int:
+    return self.get_var(omic).shape[0]
+
+  def get_current_omic(self) -> OMIC:
+    return self._current_omic
+
+  @property
+  def dtype(self):
+    return self.X.dtype
+
+  def is_binary(self, omic=None) -> bool:
+    return is_binary_dtype(self.get_omic(omic))
+
+  def is_categorical(self, omic=None) -> bool:
+    return is_categorical_dtype(self.get_omic(omic))
+
+  # ------------------------------------------------------------- labels
+  def get_labels_name(self, omic=OMIC.proteomic) -> str:
+    omic = OMIC.parse(omic)
+    return f"{omic.name}_labels"
+
+  def labels(self, omic=OMIC.proteomic) -> pd.Series:
+    """Per-cell label names for a label-like omic: the cached
+    ``<omic>_labels`` obs column if present, else derived as the argmax
+    variable name and cached (ref :412-420; the reference's loaders
+    pre-populate the column, here it is derived on demand)."""
+    omic = OMIC.parse(omic)
+    name = self.get_labels_name(omic)
+    if name not in self.obs:
+      assert omic.name in self._omics, \
+          f"No omic {omic.name} in {self.omics}"
+      ids = np.argmax(self.numpy(omic), axis=1)
+      self.obs[name] = self.get_var_names(omic)[ids]
+    return self.obs[name]
+
+  def describe(self) -> str:
+    """Multi-line text summary of every omic (ref :619-646)."""
+    def _five(v):
+      v = np.asarray(v, np.float64).ravel()
+      if v.size == 0:
+        return "(empty)"
+      return (f"min:{v.min():.2f} q1:{np.percentile(v, 25):.2f} "
+              f"med:{np.median(v):.2f} q3:{np.percentile(v, 75):.2f} "
+              f"max:{v.max():.2f} mean:{v.mean():.2f}")
+    pad = "\n     "
+    text = f"SingleCellOMICs: {self.name}"
+    for omic in self.omics:
+      x = self.get_omic(omic)
+      nz = x.data if sparse.issparse(x) else np.asarray(x)[np.nonzero(x)]
+      kind = "binary" if self.is_binary(omic) else "continuous"
+      text += f"\n  OMIC: '{omic}' - dtype: '{kind}'"
+      text += pad + f"Sparsity  : {self.sparsity(omic):.2f}"
+      text += pad + f"Nonzeros  : {_five(nz)}"
+      text += pad + f"Cell      : {_five(self.counts_per_cell(omic))}"
+      text += pad + f"Gene      : {_five(self.counts_per_gene(omic))}"
+      text += pad + f"LogCount  : {_five(self.log_counts(omic))}"
+      text += pad + f"LocalMean : {_five(self.local_mean(omic))}"
+      text += pad + f"LocalVar  : {_five(self.local_var(omic))}"
+    return text
+
   # ---------------------------------------------------------------- defaults
   def get_rv(self, omic=None) -> RVmeta:
     """Default likelihood per omic kind (ref :518-537): counts → 'zinb',
@@ -275,6 +424,7 @@ class _OMICbase:
     new._name = self._name
     new._current_omic = self._current_omic
     new._duplicated_var = self._duplicated_var
+    new._verbose = self.verbose
     return new
 
   def apply_indices(self, indices, observation: bool = True) -> "_OMICbase":

@@ -36,9 +36,9 @@ from scipy import sparse
 __all__ = [
     "apply_artificial_corruption", "get_library_size", "download_file",
     "md5_checksum", "md5_folder", "read_compressed", "save_to_dataset",
-    "load_from_dataset", "validate_data_dir", "standardize_protein_name",
-    "unzip_aes",
-    "is_binary_dtype", "is_categorical_dtype",
+    "load_from_dataset", "validate_data_dir", "validating_dataset",
+    "standardize_protein_name", "unzip_aes", "remove_allzeros_columns",
+    "get_gene_id2name", "is_binary_dtype", "is_categorical_dtype",
 ]
 
 
@@ -363,6 +363,83 @@ def load_from_dataset(path: str):
     y = _load_matrix(os.path.join(path, "y"))
     y_col = np.load(os.path.join(path, "y_col.npz"))["data"]
   return X, X_col, X_row, y, y_col
+
+
+def validating_dataset(path) -> None:
+  """Assert a persisted dataset folder (or preloaded dict) carries the
+  required arrays — X, X_col, X_row, and y/y_col as a pair
+  (reference utils.py:375-392)."""
+  if isinstance(path, dict):
+    ds = dict(path)
+  else:
+    X, X_col, X_row, y, y_col = load_from_dataset(path)
+    ds = {"X": X, "X_col": X_col, "X_row": X_row}
+    if y is not None:
+      ds["y"], ds["y_col"] = y, y_col
+  for key, dim in (("X", 2), ("X_col", 1), ("X_row", 1)):
+    assert key in ds and ds[key] is not None, \
+        f"`{key}` must be stored at path: {path}"
+  assert ds["X"].shape[1] == len(ds["X_col"]), "X_col mismatches X columns"
+  assert ds["X"].shape[0] == len(ds["X_row"]), "X_row mismatches X rows"
+  if ds.get("y") is not None:
+    assert ds.get("y_col") is not None, f"`y_col` must pair `y` at: {path}"
+    assert ds["y"].shape[0] == ds["X"].shape[0], "y rows mismatch X rows"
+    assert ds["y"].shape[1] == len(ds["y_col"]), "y_col mismatches y columns"
+
+
+def remove_allzeros_columns(matrix, colname, print_log: bool = True):
+  """Drop columns with total count ≤ 1 from the matrix and its name vector
+  (reference utils.py:354-372; the >1 floor keeps every retained gene
+  usable after a train/test split)."""
+  assert matrix.ndim == 2
+  orig_shape = matrix.shape
+  colname = np.asarray(colname)
+  nonzero_col = np.asarray(matrix.sum(axis=0)).ravel() > 1
+  matrix = matrix[:, nonzero_col]
+  colname = colname[nonzero_col]
+  if print_log:
+    print(f"Filtering {int(len(nonzero_col) - nonzero_col.sum())} all-zero "
+          f"columns from data: {orig_shape} -> {matrix.shape} ...")
+  return matrix, colname
+
+
+def get_gene_id2name(cache_only: bool = False) -> dict:
+  """Mapping gene identifier (e.g. ENSG…) → gene symbol (reference
+  utils.py:325-337 downloads a private pickle; here the mapping is built
+  from the id+symbol columns of any cached 10x ``features/genes`` table and
+  memoized in DOWNLOAD_DIR)."""
+  import gzip
+  import pickle
+  from .path import DOWNLOAD_DIR
+  cache = os.path.join(DOWNLOAD_DIR, "gene_id2name.pkl")
+  if os.path.isfile(cache):
+    with open(cache, "rb") as f:
+      return pickle.load(f)
+  mapping: dict = {}
+  for root, _, files in os.walk(DOWNLOAD_DIR):
+    for fn in files:
+      base = fn.lower()
+      if not (("features" in base or "genes" in base)
+              and (base.endswith(".tsv") or base.endswith(".tsv.gz"))):
+        continue
+      fp = os.path.join(root, fn)
+      opener = gzip.open if base.endswith(".gz") else open
+      try:
+        with opener(fp, "rt") as f:
+          for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0] and parts[1]:
+              mapping.setdefault(parts[0], parts[1])
+      except (OSError, UnicodeDecodeError):
+        continue
+  if not mapping and cache_only:
+    raise RuntimeError(
+        f"No gene id→name table found under {DOWNLOAD_DIR}; download any "
+        f"10x dataset first (e.g. get_dataset('pbmc8k'))")
+  if mapping:
+    with open(cache, "wb") as f:
+      pickle.dump(mapping, f)
+  return mapping
 
 
 def validate_data_dir(path: str) -> bool:

@@ -223,6 +223,34 @@ class ProbabilisticEmbedding:
 
   plot_diagnosis = plot_distribution  # diagnostic alias
 
+  def boxplot(self, X: np.ndarray, labels=None, path=None):
+    """Per-feature three-panel boxplots — original / nonzeros / normalized —
+    the fitting diagnostics of the reference (label_threshold.py:420-466)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    X = np.atleast_2d(np.asarray(X, np.float64))
+    if X.shape[0] == 1:
+      X = X.T
+    n = X.shape[1]
+    labels = labels if labels is not None else [f"#{i}" for i in range(n)]
+    style = dict(whis=1.5, flierprops={"marker": ".", "markersize": 8},
+                 showmeans=True, meanline=True)
+    fig, axes = plt.subplots(n, 3, figsize=(4.5, 3 * n), squeeze=False)
+    for i, (x, name) in enumerate(zip(X.T, labels)):
+      axes[i][0].boxplot(x, tick_labels=["Original"], **style)
+      axes[i][0].set_ylabel(str(name))
+      nz = x[x > 0]
+      axes[i][1].boxplot(nz if nz.size else x, tick_labels=["NonZeros"],
+                         **style)
+      axes[i][2].boxplot(self.normalize(x, test_mode=False),
+                         tick_labels=["Normalized"], **style)
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+    return fig
+
   # -------------------------------------------------------------------- io
   def save(self, path: str):
     with open(path, "wb") as f:

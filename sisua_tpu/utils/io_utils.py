@@ -12,7 +12,18 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["save_data_to_csv", "save_data_to_R", "load_data_from_csv"]
+__all__ = ["save_data", "save_data_to_csv", "save_data_to_R",
+           "load_data_from_csv"]
+
+
+def save_data(sco, outpath: str, omic=None) -> str:
+  """Feather when pyarrow is importable, CSV otherwise (reference
+  io_utils.py:14-24's format dispatch)."""
+  try:
+    import pyarrow  # noqa: F401
+    return save_data_to_R(sco, outpath, omic=omic)
+  except ImportError:
+    return save_data_to_csv(sco, outpath + ".csv.gz", omic=omic)
 
 
 def _to_frame(sco, omic=None) -> pd.DataFrame:

@@ -22,7 +22,8 @@ import numpy as np
 
 __all__ = [
     "filtering_experiment_path", "dimension_reduction",
-    "thresholding_by_sparsity", "UnitTimer", "profile_trace",
+    "thresholding_by_sparsity", "thresholding_by_sparsity_matching",
+    "apply_threshold", "anything2image", "UnitTimer", "profile_trace",
 ]
 
 
@@ -85,6 +86,57 @@ def dimension_reduction(x: np.ndarray,
     except ImportError:
       return dimension_reduction(x, "tsne", n_components, random_state)
   raise ValueError(f"Unknown algo '{algo}' (pca|tsne|umap)")
+
+
+def anything2image(x: np.ndarray) -> np.ndarray:
+  """Reshape a 1-D vector into the smallest zero-padded square image;
+  pass 2-D/3-D through (reference others.py:124-136)."""
+  x = np.asarray(x)
+  if x.ndim == 1:
+    side = int(np.ceil(np.sqrt(x.shape[0])))
+    z = np.zeros(side * side, dtype=x.dtype)
+    z[:x.shape[0]] = x
+    return z.reshape(side, side)
+  if x.ndim in (2, 3):
+    return x
+  raise ValueError(f"No support for image with {x.ndim} dimensions")
+
+
+def apply_threshold(x: np.ndarray, threshold: float) -> np.ndarray:
+  """x<t → 0; t≤x<1 → 1; else x — binarize denoised counts at a threshold
+  (reference others.py:172-180)."""
+  x = np.where(x < threshold, 0, x)
+  return np.where(np.logical_and(0 < x, x < 1), 1, x).astype(np.int32)
+
+
+def thresholding_by_sparsity_matching(T, W, *applying_data):
+  """Find the threshold on reconstruction ``W`` whose support matches the
+  sparsity of the original counts ``T``, then apply it to every extra array
+  (reference others.py:183-215). Returns ``(threshold, tuple(new_data))``."""
+  T = np.asarray(T)
+  W = W[0] if isinstance(W, (tuple, list)) else np.asarray(W)
+  if W.ndim == 3:
+    W = W[0]
+  assert W.ndim == 2
+  n_nonzero = int(np.count_nonzero(T))
+  best_threshold = 0.0
+  for threshold in np.linspace(0, 1, num=100, endpoint=True)[::-1]:
+    if int(np.sum(W >= threshold)) >= n_nonzero:
+      best_threshold = float(threshold)
+      break
+  new_data = []
+  for data in applying_data:
+    if data is None:
+      new_data.append(None)
+      continue
+    if isinstance(data, tuple):
+      data = list(data)
+    if isinstance(data, list) or np.asarray(data).ndim == 3:
+      data[0] = apply_threshold(np.asarray(data[0]), best_threshold)
+    else:
+      data = apply_threshold(np.asarray(data), best_threshold)
+    new_data.append(data)
+  return best_threshold, tuple(new_data)
 
 
 def thresholding_by_sparsity(w: np.ndarray, x_target: np.ndarray

@@ -21,7 +21,7 @@ import numpy as np  # noqa: E402
 __all__ = [
     "Visualizer", "fast_scatter", "plot_evaluate_classifier",
     "plot_evaluate_regressor", "plot_evaluate_reconstruction",
-    "save_figures", "to_axis",
+    "save_figures", "to_axis", "downsample_data", "show_image",
 ]
 
 
@@ -78,6 +78,37 @@ def save_figures(figures: Dict[str, plt.Figure], path: str, dpi: int = 120):
   for k, f in figures.items():
     v.add_figure(k, f)
   v.save_figures(path, dpi=dpi)
+
+
+def downsample_data(*X, max_samples: int = 8000, seed: int = 87654321):
+  """Subsample every array to ≤ ``max_samples`` rows with one shared seeded
+  choice; None entries pass through (reference visualization.py:44-61)."""
+  sizes = {x.shape[0] for x in X if x is not None}
+  assert len(sizes) == 1, "Inconsistent shape[0] across inputs"
+  n = sizes.pop()
+  if n <= max_samples:
+    return tuple(X)
+  ids = np.random.RandomState(seed).choice(n, max_samples, replace=False)
+  return tuple(None if x is None else x[ids] for x in X)
+
+
+def show_image(x: np.ndarray, is_probability: bool = False,
+               ax=None) -> plt.Axes:
+  """Render a vector/matrix as a grayscale image, 4×4 max-pooled when large
+  (reference visualization.py:64-86)."""
+  from .others import anything2image
+  x = np.asarray(anything2image(np.asarray(x)), np.float32)
+  if x.ndim == 2 and x.shape[0] > 32:
+    h, w = (x.shape[0] // 4) * 4, (x.shape[1] // 4) * 4
+    x = x[:h, :w].reshape(h // 4, 4, w // 4, 4).max(axis=(1, 3))
+  ax = to_axis(ax)
+  ax.imshow(x, interpolation="nearest", cmap=plt.cm.Greys_r,
+            vmin=0.0 if is_probability else None,
+            vmax=1.0 if is_probability else None)
+  ax.set_xticks([])
+  ax.set_yticks([])
+  ax.set_aspect(aspect="auto")
+  return ax
 
 
 def fast_scatter(x: np.ndarray,

@@ -276,3 +276,50 @@ def test_posterior_on_mesh_matches_single_device(splits, small_nets):
   # latent space identical → clustering scores identical
   np.testing.assert_allclose(meshed.latents, single.latents,
                              rtol=2e-4, atol=2e-4)
+
+
+def test_posterior_accessor_surface(posterior):
+  """Round-2 Posterior accessors (reference posterior.py:258-412)."""
+  import numpy as np
+  assert posterior.dataset is posterior.sco_analysis
+  assert posterior.n_latents == posterior.latents.shape[1]
+  assert posterior.n_outputs == len(posterior.output_omics)
+  # get_data: arrays for original/corrupted, distributions for predictions
+  main = posterior.main_omic
+  org = posterior.get_data(main, "original")
+  cor = posterior.get_data(main, "corrupted")
+  assert org.shape == cor.shape and not np.allclose(org, cor)
+  imp = posterior.get_data(main, "imputed")
+  rec = posterior.get_data(main, "reconstructed")
+  assert hasattr(imp, "log_prob") and hasattr(rec, "log_prob")
+  auto = posterior.get_data(main, "auto")
+  assert auto.shape == org.shape
+  # latent: corrupted posterior by default
+  assert posterior.get_data("latent") is posterior.qZ_cor
+  assert posterior.get_data("latent", "original") is posterior.qZ_org
+  # first-found list semantics
+  got = posterior.get_data(main, ["missing-type", "original"])
+  np.testing.assert_allclose(got, org)
+  with pytest.raises(ValueError):
+    posterior.get_data(main, "missing-type")
+  # criticizer accessor returns the cached instance
+  crit = posterior.get_criticizer("celltype")
+  assert crit is posterior.criticizers["celltype"]
+  # marker pairs delegate to the analysis dataset
+  pairs = posterior.get_marker_pairs()
+  assert isinstance(pairs, list)
+
+
+def test_imputation_helper_functions():
+  from sisua_tpu.analysis.imputation import (get_imputed_indices,
+                                             plot_imputation_series)
+  rng = np.random.default_rng(0)
+  x = rng.poisson(3, (30, 8)).astype(float)
+  xi = x.copy()
+  xi[[2, 5, 7]] += 1.0
+  ids = get_imputed_indices(x, xi)
+  assert ids.tolist() == [2, 5, 7]
+  fig = plot_imputation_series(x, xi, title="t")
+  assert len(fig.axes) == 4
+  import matplotlib.pyplot as plt
+  plt.close(fig)

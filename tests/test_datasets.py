@@ -267,3 +267,65 @@ def test_sisua_to_anndata_gated():
   except ImportError:
     with pytest.raises(RuntimeError, match="scvi-tools"):
       sisua_to_scvi(sco)
+
+
+def test_container_convenience_surface():
+  """Round-2 base-container conveniences (reference
+  _single_cell_base.py:137-646, _single_cell_analysis.py:69-75)."""
+  from sisua_tpu.data import generate_synthetic
+  sco = generate_synthetic(n_cells=150, n_genes=40, n_proteins=5,
+                           n_celltypes=3, seed=3)
+  # id + indices tracking through split
+  assert sco.indices.tolist() == list(range(150))
+  tr, te = sco.split(0.8, seed=1)
+  assert sorted(np.concatenate([tr.indices, te.indices])) == list(range(150))
+  assert len(sco.cell_id) == 150 and len(sco.gene_id) == 40
+  assert sco.get_n_var("proteomic") == 5
+  assert sco.get_current_omic() is sco.current_omic
+  assert isinstance(sco.marker_genes, list)
+  assert sco.dtype == np.float32
+  assert not sco.is_binary("transcriptomic")
+  # statistics accessors: (n,1) views consistent with the stats table
+  assert sco.total_counts().shape == (150, 1)
+  np.testing.assert_allclose(sco.counts_per_cell(), sco.numpy().sum(1),
+                             rtol=1e-5)
+  np.testing.assert_allclose(sco.counts_per_gene(), sco.numpy().sum(0),
+                             rtol=1e-5)
+  lm, lv = sco.library_size()
+  np.testing.assert_allclose(np.concatenate([lm, lv], 1),
+                             sco.get_library_size())
+  assert 0.0 <= sco.sparsity() <= 1.0
+  # labels derived from argmax of a label-like omic, cached in obs
+  lab = sco.labels("celltype")
+  assert len(lab) == 150
+  assert set(lab) <= set(sco.get_var_names("celltype"))
+  assert sco.get_labels_name("celltype") == "celltype_labels"
+  # describe renders every omic
+  text = sco.describe()
+  for om in sco.omics:
+    assert om in text
+  # verbose flag propagates through slicing
+  assert sco.set_verbose(True)[np.arange(10)].verbose
+  # probabilization shortcuts
+  probs = sco.get_x_probs("proteomic")
+  bins = sco.get_x_bins("proteomic")
+  assert probs.shape == bins.shape == (150, 5)
+  assert set(np.unique(bins)) <= {0.0, 1.0}
+
+
+def test_set_omic_replaces_matrix():
+  """set_omic with a matrix replaces values in place and refreshes the
+  statistics (reference _single_cell_base.py:370-392)."""
+  from sisua_tpu.data import generate_synthetic
+  sco = generate_synthetic(n_cells=60, n_genes=20, n_proteins=4,
+                           n_celltypes=2, seed=4)
+  before_total = sco.total_counts("proteomic").copy()
+  X2 = sco.numpy("proteomic") + 1.0
+  sco.set_omic("proteomic", X2)
+  np.testing.assert_allclose(sco.numpy("proteomic"), X2)
+  assert (sco.total_counts("proteomic") > before_total).all()
+  with pytest.raises(AssertionError):
+    sco.set_omic("proteomic", X2[:, :2])
+  # the no-matrix form still switches the current omic
+  sco.set_omic("proteomic")
+  assert sco.current_omic.name == "proteomic"

@@ -133,3 +133,118 @@ def test_interpolation_schedules():
   assert float(cyc_delayed(0)) == 0.0
   assert float(cyc_delayed(4)) == 0.0
   assert abs(float(cyc_delayed(10)) - 0.5) < 1e-6
+
+
+def test_reference_utils_parity_batch():
+  """Round-2 convenience surface: anything2image, apply_threshold,
+  sparsity-matching thresholding, downsample, show_image, save_data,
+  countsum plots (reference utils/others.py:124-215,
+  visualization.py:44-86, plot_utils.py:45-160, io_utils.py:14-24)."""
+  from sisua_tpu.utils import (anything2image, apply_threshold,
+                               downsample_data, plot_countsum_comparison,
+                               plot_countsum_series, save_data, show_image,
+                               thresholding_by_sparsity_matching)
+  rng = np.random.default_rng(0)
+  img = anything2image(np.arange(10, dtype=np.float32))
+  assert img.shape == (4, 4) and img[0, 0] == 0 and img.ravel()[9] == 9
+  assert anything2image(np.zeros((3, 3))).shape == (3, 3)
+
+  x = np.array([-0.2, 0.1, 0.4, 0.8, 1.0, 3.7])
+  out = apply_threshold(x, 0.5)
+  assert out.tolist() == [0, 0, 0, 1, 1, 3] and out.dtype == np.int32
+
+  T = rng.poisson(0.8, (50, 30))
+  W = rng.uniform(0, 1, (50, 30))
+  thr, (W2, none) = thresholding_by_sparsity_matching(T, W, W, None)
+  assert none is None
+  assert np.sum(W >= thr) >= np.count_nonzero(T)
+  assert W2.dtype == np.int32
+
+  a = rng.normal(size=(9000, 3))
+  b = rng.normal(size=(9000, 2))
+  a2, n2, b2 = downsample_data(a, None, b, max_samples=1000)
+  assert a2.shape == (1000, 3) and b2.shape == (1000, 2) and n2 is None
+  same = downsample_data(a[:100], b[:100])
+  assert same[0] is a[:100][0:100].base or same[0].shape == (100, 3)
+
+  ax = show_image(rng.uniform(size=200), is_probability=True)
+  assert ax.images  # something was drawn
+  ax = show_image(rng.uniform(size=(64, 64)))
+  assert ax.images[0].get_array().shape == (16, 16)  # 4x4 max-pooled
+
+  org = rng.poisson(5, (80, 40)).astype(float)
+  exp_ = org + rng.normal(0, 0.3, org.shape)
+  ax = plot_countsum_series(org, (exp_, np.ones_like(org), 0.5 *
+                                  np.ones_like(org)),
+                            p=rng.uniform(size=org.shape), title="series")
+  assert ax.get_title() == "series"
+  ax = plot_countsum_comparison(org, exp_, exp_ * 1.1, title="cmp")
+  assert len(ax.collections) >= 2
+
+  import matplotlib.pyplot as plt
+  plt.close("all")
+
+
+def test_save_data_dispatch(tmp_path, sco):
+  from sisua_tpu.utils import save_data
+  out = save_data(sco, str(tmp_path / "exported"))
+  assert os.path.exists(out)
+
+
+def test_pe_boxplot():
+  from sisua_tpu.label_threshold import ProbabilisticEmbedding
+  rng = np.random.default_rng(1)
+  X = np.concatenate([rng.poisson(2, (100, 2)),
+                      rng.poisson(60, (80, 2))]).astype(np.float64)
+  pe = ProbabilisticEmbedding().fit(X)
+  fig = pe.boxplot(X, labels=["p1", "p2"])
+  assert len(fig.axes) == 6  # 2 proteins x (original, nonzeros, normalized)
+  import matplotlib.pyplot as plt
+  plt.close(fig)
+
+
+def test_data_utils_parity_batch(tmp_path):
+  from sisua_tpu.data.utils import (remove_allzeros_columns, save_to_dataset,
+                                    validating_dataset)
+  rng = np.random.default_rng(2)
+  X = rng.poisson(1, (30, 10)).astype(np.float32)
+  X[:, 3] = 0
+  X[:, 7] = 0
+  X[0, 7] = 1  # column sum 1 -> still dropped (needs > 1)
+  cols = np.array([f"g{i}" for i in range(10)])
+  X2, c2 = remove_allzeros_columns(X, cols, print_log=False)
+  assert X2.shape[1] == len(c2) < 10
+  assert "g3" not in c2 and "g7" not in c2
+
+  p = str(tmp_path / "ds")
+  save_to_dataset(p, X, cols, y=X[:, :2], y_col=["a", "b"], print_log=False)
+  validating_dataset(p)  # must not raise
+  with pytest.raises(AssertionError):
+    validating_dataset({"X": X, "X_col": cols[:-1],
+                        "X_row": [f"c{i}" for i in range(30)]})
+
+
+def test_get_dataset_summary():
+  from sisua_tpu.data import get_dataset_summary
+  df = get_dataset_summary(names=["synthetic1k"])
+  assert len(df) == 1 and df.iloc[0]["#Cells"] == 1000
+  html = get_dataset_summary(names=["synthetic1k"], return_html=True)
+  assert "<table" in html
+
+
+def test_evaluate_module_functions(tmp_path):
+  from sisua_tpu.cli.evaluate import robust_run
+  calls = []
+  assert robust_run("ok", "cfg", lambda a: calls.append(a) or 42, 1) == 42
+  assert calls == [1]
+
+  class _SB:
+    def __init__(self):
+      self.errors = []
+    def write_error(self, unique, message):
+      self.errors.append((unique, message))
+
+  sb = _SB()
+  out = robust_run("boom", "cfg", lambda: 1 / 0, scoreboard=sb)
+  assert out is None and len(sb.errors) == 1
+  assert "ZeroDivisionError" in sb.errors[0][1]
