@@ -153,13 +153,15 @@ def fit_hyper_vmap(model_fn: Callable[[int], Any],
                    batch_size: int = 64,
                    base_seed: int = 8,
                    metrics_interval: int = 1,
+                   mesh=None,
                    save_path: Optional[str] = None,
                    verbose: bool = False) -> Dict[str, Any]:
   """On-chip hyper-parameter search: ALL trials train simultaneously in one
   vmapped executable (a capability the reference's one-process-per-trial
   search cannot express). Fixed architecture; the search axes are learning
   rate × seed — each member's lr rides in its stacked optimizer state via
-  ``optax.inject_hyperparams``.
+  ``optax.inject_hyperparams``. ``mesh=`` fans the trials out over a device
+  mesh (one chip trains n_trials/n_devices members, zero communication).
 
   ``model_fn(seed) → SingleCellModel`` must build the same architecture.
   Returns {'best', 'loss', 'trials', 'ensemble'}; ``ensemble.extract(i)``
@@ -175,7 +177,7 @@ def fit_hyper_vmap(model_fn: Callable[[int], Any],
   ens.fit(train, epochs=epochs, batch_size=batch_size,
           learning_rate=[c["learning_rate"] for c in configs],
           shared_batches=False, metrics_interval=metrics_interval,
-          verbose=verbose)
+          mesh=mesh, verbose=verbose)
   final = ens.history["loss"][-1]  # (n_models,)
   trials = [{"config": c, "loss": float(l)} for c, l in zip(configs, final)]
   best_i = int(np.argmin(final))

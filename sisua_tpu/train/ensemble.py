@@ -9,9 +9,16 @@ batch read. With the device-resident epoch runner this trains an ensemble
 for nearly the cost of one model (the MLP matmuls batch perfectly on the
 MXU).
 
+Passing ``mesh=`` shards the member axis over the mesh's devices: each chip
+trains ``n_models / n_devices`` members with ZERO inter-chip communication
+(members are independent), upgrading the reference's one-process-per-model
+multirun to one *executable* for the whole fleet — data replicated, model
+fleet partitioned over ICI-connected chips.
+
 Use:
     ens = VmapEnsemble(lambda seed: VAE(...), n_models=8)
-    ens.fit(sco, epochs=50, batch_size=64)
+    ens.fit(sco, epochs=50, batch_size=64)               # single chip
+    ens.fit(sco, epochs=50, mesh=create_mesh())          # 1 member/chip
     losses = ens.history["loss"]          # (epochs, n_models)
     best = ens.extract(int(np.argmin(losses[-1])))
 """
@@ -25,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["VmapEnsemble"]
 
@@ -64,13 +72,17 @@ class VmapEnsemble:
           labels_percent: float = 0.0,
           shared_batches: bool = True,
           metrics_interval: int = 1,
+          mesh: Optional[Mesh] = None,
           verbose: bool = False) -> "VmapEnsemble":
     """Device-resident ensemble training: one lax.scan epoch executable,
     vmapped over the model axis. ``shared_batches=True`` feeds every member
     the same shuffled batches (pure seed ensembling); False gives each
     member its own shuffle stream. ``metrics_interval=K`` compiles K whole
     epochs into one executable with per-epoch losses as scan outputs (one
-    loss fetch per window)."""
+    loss fetch per window). ``mesh=`` shards the member axis over every
+    device of the mesh (data replicated, no collectives — each chip trains
+    its own members); ``n_models`` must divide evenly over the device
+    count."""
     model = self.model
     if not model.is_semi_supervised:
       labels_percent = 0.0
@@ -101,11 +113,28 @@ class VmapEnsemble:
     assert n >= int(batch_size), (
         f"VmapEnsemble needs at least one full batch: {n} cells < "
         f"batch_size {batch_size}")
+    member_sh = repl_sh = None
+    if mesh is not None:
+      n_dev = int(np.prod(list(mesh.shape.values())))
+      assert self.n_models % n_dev == 0, (
+          f"n_models {self.n_models} must divide evenly over the "
+          f"{n_dev}-device mesh (each chip trains n_models/n_devices "
+          "members)")
+      # member axis (axis 0 of every stacked leaf) shards over ALL mesh
+      # axes; everything else replicates. Members are independent, so the
+      # partitioned executable has no collectives at all.
+      member_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+      repl_sh = NamedSharding(mesh, P())
+      stacked = jax.device_put(stacked, member_sh)
     xs = [jnp.asarray(src.gather(np.arange(n, dtype=np.int64),
                                  out=np.empty((n, src.shape[1]), np.float32)))
           for src in feeder.sources]
     library = (jnp.asarray(feeder.library)
                if feeder.library is not None else None)
+    if repl_sh is not None:
+      xs = [jax.device_put(x, repl_sh) for x in xs]
+      library = (jax.device_put(library, repl_sh)
+                 if library is not None else None)
     B = int(batch_size)
     lp = float(labels_percent)
     n_models = self.n_models
@@ -160,6 +189,8 @@ class VmapEnsemble:
         member_keys = jax.random.split(
             sub, n_models * window).reshape((n_models, window) +
                                             sub.shape)
+      if member_sh is not None:
+        member_keys = jax.device_put(member_keys, member_sh)
       if window != interval:
         # trailing partial window: separate (smaller) executable
         stacked, win_losses = jax.jit(
