@@ -459,6 +459,7 @@ class SingleCellModel:
           transfer_dtype: Optional[str] = None,
           metrics_interval: int = 1,
           mesh=None,
+          hbm_budget_bytes: Optional[int] = None,
           profile_dir: Optional[str] = None,
           mc_samples: int = 1,
           verbose: bool = False) -> "SingleCellModel":
@@ -473,7 +474,13 @@ class SingleCellModel:
     host→device batch uploads (exact int16 for integral counts; widened
     back to float32 in-executable) — measured ~1.8× upload throughput on
     transfer-bound links. The device-resident path has its own
-    ``device_dtype`` compression."""
+    ``device_dtype`` compression.
+
+    ``device_cache=True`` on a dataset LARGER than HBM switches to the
+    out-of-core path: rows partition into HBM-sized random chunks, as many
+    as fit stay pinned on device, the rest stream per epoch with upload
+    overlapped against compute (``hbm_budget_bytes`` overrides the
+    detected budget)."""
     if not self.is_semi_supervised:
       labels_percent = 0.0
     # track what the model was fitted on (reference fit :221-226)
@@ -500,7 +507,8 @@ class SingleCellModel:
                       scan_steps=scan_steps, device_cache=device_cache,
                       device_dtype=device_dtype,
                       metrics_interval=metrics_interval,
-                      mesh=mesh, verbose=verbose)
+                      mesh=mesh, hbm_budget_bytes=hbm_budget_bytes,
+                      verbose=verbose)
     tx = trainer.make_optimizer()
     if self._state.opt_state is None:
       self._state = self._state.replace(opt_state=tx.init(self._state.params))

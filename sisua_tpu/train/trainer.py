@@ -144,6 +144,7 @@ class Trainer:
                device_dtype: str = "float32",
                metrics_interval: int = 1,
                mesh=None,
+               hbm_budget_bytes: Optional[int] = None,
                verbose: bool = False):
     self.step_core = step_core
     self.eval_fn = eval_fn
@@ -164,6 +165,7 @@ class Trainer:
                        f"got {device_dtype!r}")
     self.device_dtype = device_dtype
     self.metrics_interval = max(1, int(metrics_interval))
+    self.hbm_budget_bytes = hbm_budget_bytes
     self.verbose = bool(verbose)
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
@@ -325,8 +327,12 @@ class Trainer:
         return self._fit_device_cached(state, train_feeder, valid_feeder,
                                        epochs, key, callbacks,
                                        checkpoint_fn, model)
+      elif self._plan_out_of_core(train_feeder) is not None:
+        return self._fit_out_of_core(state, train_feeder, valid_feeder,
+                                     epochs, key, callbacks,
+                                     checkpoint_fn, model)
       else:
-        print("[trainer] device_cache requested but the dense dataset "
+        print("[trainer] device_cache requested but even one data chunk "
               "exceeds the device-memory budget — streaming instead")
     k = self.scan_steps
     use_scan = k > 1 and train_feeder.n_chunks(k) >= 1
@@ -442,24 +448,52 @@ class Trainer:
     return state
 
   # ------------------------------------------------------- device-resident
-  def _fits_device(self, feeder, budget_fraction: float = 0.5) -> bool:
-    """Whether the densified dataset fits the device-memory budget (half of
+  def _device_budget(self, budget_fraction: float = 0.5) -> int:
+    """Device-memory budget in bytes for resident training data (half of
     HBM by default — params, activations, and the donation double-buffer
     need the rest). Falls back to a 16 GB assumption when the runtime
-    doesn't report a limit. Sharding over a data mesh divides the cost;
-    compressed storage (device_dtype bf16/int16) halves it."""
-    itemsize = 4 if self.device_dtype == "float32" else 2
-    dense_bytes = sum(itemsize * feeder.n_obs * src.shape[1]
-                      for src in feeder.sources)
-    n_data = 1
-    if self.mesh is not None:
-      n_data = max(1, self.mesh.shape.get(DATA_AXIS, 1))
+    doesn't report a limit; ``hbm_budget_bytes`` overrides (tests force
+    the out-of-core path on tiny data with it)."""
+    if self.hbm_budget_bytes is not None:
+      return int(self.hbm_budget_bytes)
     try:
       stats = jax.devices()[0].memory_stats() or {}
       limit = int(stats.get("bytes_limit", 16 * 1024 ** 3))
     except Exception:
       limit = 16 * 1024 ** 3
-    return dense_bytes / n_data <= budget_fraction * limit
+    return int(budget_fraction * limit)
+
+  def _bytes_per_row(self, feeder) -> int:
+    itemsize = 4 if self.device_dtype == "float32" else 2
+    return sum(itemsize * src.shape[1] for src in feeder.sources)
+
+  def _fits_device(self, feeder) -> bool:
+    """Whether the densified dataset fits the device-memory budget.
+    Sharding over a data mesh divides the cost; compressed storage
+    (device_dtype bf16/int16) halves it."""
+    dense_bytes = self._bytes_per_row(feeder) * feeder.n_obs
+    n_data = 1
+    if self.mesh is not None:
+      n_data = max(1, self.mesh.shape.get(DATA_AXIS, 1))
+    return dense_bytes / n_data <= self._device_budget()
+
+  def _densify_rows(self, src, rows: np.ndarray) -> np.ndarray:
+    """Gather feeder-source rows into a dense host buffer, compressed per
+    ``device_dtype`` (int16 exact for integer counts, bf16 lossy)."""
+    dense = src.gather(np.ascontiguousarray(rows, np.int64),
+                       out=np.empty((len(rows), src.shape[1]), np.float32))
+    if self.device_dtype == "int16":
+      # exact for integer counts < 32768 (the usual scRNA-seq regime);
+      # refuse silent corruption otherwise
+      if dense.max() >= 32768 or np.any(dense != np.round(dense)):
+        raise ValueError(
+            "device_dtype='int16' needs integer counts < 32768; use "
+            "'bfloat16' (lossy) or 'float32' for this dataset")
+      dense = dense.astype(np.int16)
+    elif self.device_dtype == "bfloat16":
+      import ml_dtypes
+      dense = dense.astype(ml_dtypes.bfloat16)
+    return dense
 
   def _fit_device_cached(self, state, train_feeder, valid_feeder, epochs,
                          key, callbacks, checkpoint_fn, model):
@@ -481,22 +515,9 @@ class Trainer:
     def _put(a):
       return jax.device_put(a, row_sh) if row_sh is not None \
           else jnp.asarray(a)
-    xs = []
-    for src in train_feeder.sources:
-      rows = np.arange(n, dtype=np.int64)
-      dense = src.gather(rows, out=np.empty((n, src.shape[1]), np.float32))
-      if self.device_dtype == "int16":
-        # exact for integer counts < 32768 (the usual scRNA-seq regime);
-        # refuse silent corruption otherwise
-        if dense.max() >= 32768 or np.any(dense != np.round(dense)):
-          raise ValueError(
-              "device_dtype='int16' needs integer counts < 32768; use "
-              "'bfloat16' (lossy) or 'float32' for this dataset")
-        dense = dense.astype(np.int16)
-      elif self.device_dtype == "bfloat16":
-        import ml_dtypes
-        dense = dense.astype(ml_dtypes.bfloat16)
-      xs.append(_put(dense))
+    all_rows = np.arange(n, dtype=np.int64)
+    xs = [_put(self._densify_rows(src, all_rows))
+          for src in train_feeder.sources]
     library = (_put(train_feeder.library)
                if train_feeder.library is not None else None)
     if multichip:
@@ -615,6 +636,198 @@ class Trainer:
       # be skipped just because the window's last epoch didn't improve
       if window_improved and checkpoint_fn is not None:
         checkpoint_fn(best_state)
+    for cb in callbacks:
+      cb.on_train_end(dict(self.history))
+    if model is not None:
+      model._state = state
+    return state
+
+  # ---------------------------------------------------------- out-of-core
+  def _plan_out_of_core(self, feeder) -> Optional[Dict[str, int]]:
+    """Chunk plan for datasets larger than the device budget: rows are
+    partitioned into equal HBM-sized chunks; as many as fit (minus a
+    rotating double-buffer pair) stay pinned in HBM, the rest stream per
+    epoch with upload overlapped against compute. Returns None when even a
+    one-batch chunk exceeds the budget (→ caller streams per step)."""
+    B = int(feeder.batch_size)
+    n = int(feeder.n_obs)
+    bpr = self._bytes_per_row(feeder)
+    n_data = 1
+    if self.mesh is not None:
+      n_data = max(1, self.mesh.shape.get(DATA_AXIS, 1))
+    budget = self._device_budget() * n_data  # aggregate over data shards
+    # chunk ≈ budget/8: the double buffer costs 2 chunks (budget/4), the
+    # remaining ~3/4 of the budget pins resident chunks — marginal
+    # overflows stream only a small fraction of the data per epoch
+    chunk_rows = min(n, (budget // 8) // max(1, bpr))
+    chunk_rows = (chunk_rows // B) * B
+    if chunk_rows < B:
+      return None
+    n_chunks = -(-n // chunk_rows)  # ceil
+    max_chunks = max(0, int(budget // (chunk_rows * bpr)))
+    n_resident = max(0, min(n_chunks, max_chunks - 2))
+    return {"chunk_rows": int(chunk_rows), "n_chunks": int(n_chunks),
+            "n_resident": int(n_resident)}
+
+  def _fit_out_of_core(self, state, train_feeder, valid_feeder, epochs,
+                       key, callbacks, checkpoint_fn, model):
+    """Out-of-core device training: the dataset exceeds HBM, so rows are
+    randomly partitioned into equal chunks (each a uniform subset — the
+    one-time global permutation plus per-epoch within-chunk shuffling and
+    chunk-order shuffling is the standard windowed-shuffle approximation of
+    a full shuffle). Pinned chunks upload once; streamed chunks upload each
+    epoch through a one-slot background pipeline, so the host gather +
+    transfer of chunk c+1 overlaps the device compute of chunk c. Each
+    chunk epoch-shard is the SAME jitted executable as the device-resident
+    path (one compile — all chunks share a static shape; the last chunk
+    wraps around the permutation to keep it, revisiting a few rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+    plan = self._plan_out_of_core(train_feeder)
+    assert plan is not None
+    n = int(train_feeder.n_obs)
+    B = int(train_feeder.batch_size)
+    R, S, K = plan["chunk_rows"], plan["n_chunks"], plan["n_resident"]
+    multichip = (self.mesh is not None
+                 and self.mesh.shape.get(DATA_AXIS, 1) > 1)
+    if multichip:
+      n_data = self.mesh.shape[DATA_AXIS]
+      assert B % n_data == 0, (
+          f"batch_size {B} must divide evenly over the {n_data}-way data "
+          "mesh axis")
+    row_sh = (NamedSharding(self.mesh, P(DATA_AXIS, None)) if multichip
+              else None)
+    def _put(a):
+      return jax.device_put(a, row_sh) if row_sh is not None \
+          else jnp.asarray(a)
+
+    def _host_seed(k) -> int:
+      try:
+        data = jax.random.key_data(k)
+      except Exception:
+        data = k
+      return int(np.asarray(data).ravel()[-1])
+
+    key, sub = jax.random.split(key)
+    perm = np.random.default_rng(_host_seed(sub)).permutation(n)
+    perm = perm.astype(np.int64)
+    chunk_rows_list = []
+    for c in range(S):
+      rows = perm[c * R:(c + 1) * R]
+      if len(rows) < R:  # wrap to keep the executable's static shape
+        rows = np.concatenate([rows, perm[:R - len(rows)]])
+      chunk_rows_list.append(rows)
+    lib_full = train_feeder.library
+
+    def prepare(c: int):
+      rows = chunk_rows_list[c]
+      xs = [_put(self._densify_rows(src, rows))
+            for src in train_feeder.sources]
+      lib = _put(lib_full[rows]) if lib_full is not None else None
+      return xs, lib
+
+    if self.verbose:
+      gb = self._bytes_per_row(train_feeder) * n / 1024 ** 3
+      print(f"[trainer] out-of-core: {n:,} cells ({gb:.1f} GB dense) in "
+            f"{S} chunks × {R:,} rows — {K} pinned in HBM, "
+            f"{S - K} streamed per epoch")
+    resident = {c: prepare(c) for c in range(K)}
+    if multichip:
+      from ..parallel import shard_params
+      state = state.replace(
+          params=shard_params(state.params, self.mesh),
+          opt_state=shard_params(state.opt_state, self.mesh),
+          batch_stats=(shard_params(state.batch_stats, self.mesh)
+                       if state.batch_stats is not None else None))
+    epoch_fn, _ = self._build_epoch_fn(
+        B, train_feeder.labels_percent, has_library=lib_full is not None)
+    steps_per_chunk = R // B
+    steps_per_epoch = S * steps_per_chunk
+    probe = {"inputs": [jnp.asarray(
+                 self._densify_rows(src, chunk_rows_list[0][:B])
+                 .astype(np.float32))
+                        for src in train_feeder.sources],
+             "mask": jnp.ones((B,), jnp.float32)}
+    if lib_full is not None:
+      probe["library"] = jnp.asarray(lib_full[chunk_rows_list[0][:B]])
+    acc = self._init_acc(state, probe, key)
+    self._oc_plan = dict(plan)  # introspection (tests, tooling)
+
+    best_loss = np.inf
+    best_state = _snapshot(state)
+    wait = 0
+    order_rng = np.random.default_rng(_host_seed(key) ^ 0x5CA1AB1E)
+    executor = ThreadPoolExecutor(max_workers=1)
+    try:
+      for epoch in range(epochs):
+        logs: Dict[str, float] = {}
+        for cb in callbacks:
+          cb.on_epoch_begin(epoch, logs)
+        order = order_rng.permutation(S)
+        streamed_order = [int(c) for c in order if c >= K]
+        fut = (executor.submit(prepare, streamed_order[0])
+               if streamed_order else None)
+        si = 0
+        t0 = time.perf_counter()
+        for c in order:
+          if c < K:
+            xs_c, lib_c = resident[c]
+          else:
+            xs_c, lib_c = fut.result()
+            si += 1
+            fut = (executor.submit(prepare, streamed_order[si])
+                   if si < len(streamed_order) else None)
+          key, sub = jax.random.split(key)
+          state, acc = epoch_fn(state, acc, xs_c, lib_c, sub)
+          # drop the streamed buffers' references: the runtime keeps them
+          # alive until the dispatched chunk finishes, then frees the HBM
+          # for the next rotation
+          del xs_c, lib_c
+          if model is not None:
+            model._state = state
+        sums = jax.device_get(acc)
+        acc = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), acc)
+        dt = time.perf_counter() - t0
+        self._timings.append(dt)
+        logs.update({kk: float(v) / steps_per_epoch
+                     for kk, v in sums.items()})
+        logs["epoch_time"] = dt
+        logs["cells_per_sec"] = steps_per_epoch * B / max(dt, 1e-9)
+        if valid_feeder is not None:
+          key, ekey = jax.random.split(key)
+          val = self.evaluate(state, valid_feeder, ekey)
+          logs.update({f"val_{kk}": float(v) for kk, v in val.items()})
+        for cb in callbacks:
+          cb.on_epoch_end(epoch, logs)
+        for kk, v in logs.items():
+          self.history.setdefault(kk, []).append(v)
+        if self.verbose:
+          msg = " ".join(f"{kk}={v:.4f}" for kk, v in logs.items()
+                         if kk in ("loss", "val_loss"))
+          print(f"[epoch {epoch:03d}] {msg} ({dt:.2f}s)")
+        if self.terminate_on_nan and not np.isfinite(
+            logs.get("loss", 0.0)):
+          if self.verbose:
+            print(f"[trainer] NaN loss at epoch {epoch}; terminating")
+          if self.allow_rollback:
+            state = best_state
+          break
+        monitored = logs.get("val_loss", logs.get("loss", np.inf))
+        if monitored < best_loss - self.min_delta:
+          best_loss = monitored
+          best_state = _snapshot(state)
+          wait = 0
+          if checkpoint_fn is not None:
+            checkpoint_fn(state)
+        else:
+          wait += 1
+          if self.patience > 0 and wait >= self.patience:
+            if self.verbose:
+              print(f"[trainer] early stopping at epoch {epoch}")
+            if self.allow_rollback:
+              state = best_state
+            break
+    finally:
+      executor.shutdown(wait=True)
     for cb in callbacks:
       cb.on_train_end(dict(self.history))
     if model is not None:
