@@ -80,6 +80,53 @@ def test_out_of_core_deterministic():
   np.testing.assert_array_equal(runs[0], runs[1])
 
 
+def test_sparse_upload_matches_dense_upload():
+  """A sparse (CSR) dataset streams its out-of-core chunks as padded
+  triplets + on-device scatter; the densified chunks must be value-exact,
+  so the loss trajectory matches the dense-upload run bit-for-bit."""
+  import scipy.sparse as sp
+  from sisua_tpu.train import trainer as trainer_mod
+
+  rng = np.random.default_rng(2)
+  X = rng.poisson(0.25, size=(N, D)).astype(np.float32)  # ~78% zeros
+  assert (X == 0).mean() > 0.5
+  m_dense = _model(seed=11)
+  m_dense.fit(X, epochs=4, batch_size=B, device_cache=True,
+              hbm_budget_bytes=BUDGET, verbose=False)
+  m_sparse = _model(seed=11)
+  captured = {}
+  orig = trainer_mod.Trainer._fit_out_of_core
+  def spy(self, *a, **k):
+    out = orig(self, *a, **k)
+    captured.update(self._oc_plan)
+    return out
+  trainer_mod.Trainer._fit_out_of_core = spy
+  try:
+    m_sparse.fit(sp.csr_matrix(X), epochs=4, batch_size=B,
+                 device_cache=True, hbm_budget_bytes=BUDGET, verbose=False)
+  finally:
+    trainer_mod.Trainer._fit_out_of_core = orig
+  assert captured["sparse_sources"] == [True], captured
+  np.testing.assert_allclose(m_sparse.history["loss"],
+                             m_dense.history["loss"], rtol=1e-6)
+
+
+def test_sparse_upload_int16_exact():
+  """int16 chunk storage composes with sparse upload (counts scatter-add
+  in int16 exactly)."""
+  import scipy.sparse as sp
+  rng = np.random.default_rng(3)
+  X = rng.poisson(0.25, size=(N, D)).astype(np.float32)
+  m16 = _model(seed=13)
+  m16.fit(sp.csr_matrix(X), epochs=4, batch_size=B, device_cache=True,
+          device_dtype="int16", hbm_budget_bytes=BUDGET // 2, verbose=False)
+  m32 = _model(seed=13)
+  m32.fit(sp.csr_matrix(X), epochs=4, batch_size=B, device_cache=True,
+          device_dtype="float32", hbm_budget_bytes=BUDGET, verbose=False)
+  np.testing.assert_allclose(m16.history["loss"], m32.history["loss"],
+                             rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_out_of_core_int16_and_validation():
   """Compressed chunk storage + a validation feeder + early-stop patience
