@@ -38,6 +38,9 @@ def main():
   ap.add_argument("--epochs", type=int, default=4)
   ap.add_argument("--batch", type=int, default=128)
   ap.add_argument("--paths", default="streaming,out_of_core,resident")
+  ap.add_argument("--gamma-shape", type=float, default=0.3,
+                  help="rate~Gamma(shape,1.5): 0.3→~24%% density, "
+                       "0.1→~10%% (realistic 10x)")
   args = ap.parse_args()
 
   from sisua_tpu.models import VAE, RVmeta
@@ -48,7 +51,8 @@ def main():
   rng = np.random.default_rng(0)
   # realistic scRNA-seq sparsity (~88% zeros): most genes silent per cell,
   # a heavy tail of expressed ones; int16-compressible integer counts
-  rate = rng.gamma(0.3, 1.5, size=(args.cells, args.genes)).astype(np.float32)
+  rate = rng.gamma(args.gamma_shape, 1.5,
+                   size=(args.cells, args.genes)).astype(np.float32)
   X = sp.csr_matrix(rng.poisson(rate).astype(np.float32))
   del rate
   print(f"density: {X.nnz / (args.cells * args.genes):.3f}", flush=True)

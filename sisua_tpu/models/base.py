@@ -593,6 +593,28 @@ class SingleCellModel:
       buf = buf.astype(dtype)
     return jnp.asarray(buf).reshape(k, B, -1)
 
+  def _sparse_or_dense_batches(self, src, k: int, B: int, n: int, dtype):
+    """(k, B, d) device batches for one feeder source. CSR sources whose
+    triplets are clearly smaller than the dense block upload sparse —
+    (vals, cols, rowlen) over the wire, one scatter-add densify in HBM —
+    which cuts the transfer-bound serving upload ~3-7× at scRNA sparsity
+    (~90% zeros). Everything else takes the dense pad path."""
+    from ..ops.sparse import (col_dtype_for, csr_row_triplets,
+                              make_densify, worthwhile)
+    indptr = getattr(src, "indptr", None)
+    d = src.shape[1]
+    itemsize = np.dtype(dtype).itemsize
+    if indptr is None or not worthwhile(int(indptr[-1]), k * B, d,
+                                        itemsize, itemsize):
+      return self._pad_to_batches(src, k, B, n, dtype=dtype)
+    cap = max(8, -(-int(indptr[-1]) // 8) * 8)
+    vals, cols, rowlen = csr_row_triplets(
+        indptr, src.indices, src.data, rows=None, cap=cap, n_rows=k * B,
+        val_dtype=dtype, col_dtype=col_dtype_for(d))
+    densify = make_densify(k * B, d, cap, dtype)
+    return densify(jnp.asarray(vals), jnp.asarray(cols),
+                   jnp.asarray(rowlen)).reshape(k, B, d)
+
   def _device_batches(self, feeder, input_dtype: Optional[str] = None,
                       mesh=None):
     """Densify the feeder's sources into full (k, B, d) device batches:
@@ -631,7 +653,7 @@ class SingleCellModel:
       elif input_dtype == "int16":
         raise ValueError("input_dtype='int16' requires integral counts "
                          "< 32768")
-    xs = [self._pad_to_batches(src, k, B, n, dtype=dtype)
+    xs = [self._sparse_or_dense_batches(src, k, B, n, dtype)
           for src in feeder.sources]
     x_full = self._module_input([x.reshape(k * B, -1) for x in xs])
     xb = x_full.reshape(k, B, x_full.shape[-1])

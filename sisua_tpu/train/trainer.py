@@ -677,6 +677,7 @@ class Trainer:
     Engaged per source when the chunk triplets are < 70% of the dense
     bytes; dense rows otherwise. Multichip keeps dense uploads (triplet
     arrays have no row-aligned sharding)."""
+    from ..ops.sparse import col_dtype_for, worthwhile
     plans = []
     for src in feeder.sources:
       indptr = getattr(src, "indptr", None)
@@ -688,10 +689,9 @@ class Trainer:
       cap = max(int(nnz_per_row[rows].sum()) for rows in chunk_rows_list)
       cap = max(8, -(-cap // 8) * 8)
       val_bytes = 2 if self.device_dtype in ("int16", "bfloat16") else 4
-      col_bytes = 2 if d <= 65535 else 4
       itemsize = 4 if self.device_dtype == "float32" else 2
-      dense_bytes = len(chunk_rows_list[0]) * d * itemsize
-      if cap * (val_bytes + col_bytes) >= 0.7 * dense_bytes:
+      if not worthwhile(cap, len(chunk_rows_list[0]), d, val_bytes,
+                        itemsize):
         plans.append(None)
         continue
       if self.device_dtype == "int16":
@@ -706,41 +706,8 @@ class Trainer:
       else:
         val_dtype = np.float32
       plans.append({"cap": cap, "val_dtype": val_dtype,
-                    "col_dtype": np.uint16 if d <= 65535 else np.int32})
+                    "col_dtype": col_dtype_for(d)})
     return plans
-
-  @staticmethod
-  def _csr_chunk(src, rows: np.ndarray, plan: Dict) -> tuple:
-    """Host-side CSR row gather → padded (vals, cols, rowlen) triplets."""
-    starts = src.indptr[rows]
-    lens = src.indptr[rows + 1] - starts
-    total = int(lens.sum())
-    base = np.repeat(starts, lens)
-    cum = np.cumsum(lens)
-    within = np.arange(total, dtype=np.int64) - np.repeat(cum - lens, lens)
-    si = base + within
-    cap = plan["cap"]
-    vals = np.zeros(cap, plan["val_dtype"])
-    cols = np.zeros(cap, plan["col_dtype"])
-    vals[:total] = src.data[si]
-    cols[:total] = src.indices[si]
-    return vals, cols, lens.astype(np.int32)
-
-  @staticmethod
-  def _make_densify(R: int, D: int, cap: int, out_dtype):
-    """On-device CSR→dense: one scatter-add over flattened positions.
-    ``jnp.repeat`` pads past sum(rowlen) with the last row id; the padded
-    triplets carry value 0, so the scatter-add leaves those cells
-    untouched."""
-    @jax.jit
-    def densify(vals, cols, rowlen):
-      row_ids = jnp.repeat(jnp.arange(R, dtype=jnp.int32), rowlen,
-                           total_repeat_length=cap)
-      flat = row_ids * np.int32(D) + cols.astype(jnp.int32)
-      dense = jnp.zeros((R * D,), out_dtype).at[flat].add(
-          vals.astype(out_dtype))
-      return dense.reshape(R, D)
-    return densify
 
   def _fit_out_of_core(self, state, train_feeder, valid_feeder, epochs,
                        key, callbacks, checkpoint_fn, model):
@@ -797,9 +764,10 @@ class Trainer:
     if store_dtype is None:
       import ml_dtypes
       store_dtype = ml_dtypes.bfloat16
+    from ..ops.sparse import csr_row_triplets, make_densify
     densify_fns = [
         None if p is None else
-        self._make_densify(R, src.shape[1], p["cap"], store_dtype)
+        make_densify(R, src.shape[1], p["cap"], store_dtype)
         for src, p in zip(train_feeder.sources, splans)]
 
     def prepare(c: int):
@@ -809,7 +777,9 @@ class Trainer:
         if p is None:
           xs.append(_put(self._densify_rows(src, rows)))
         else:  # sparse upload: triplets over the wire, scatter on device
-          vals, cols, rowlen = self._csr_chunk(src, rows, p)
+          vals, cols, rowlen = csr_row_triplets(
+              src.indptr, src.indices, src.data, rows, p["cap"], R,
+              p["val_dtype"], p["col_dtype"])
           xs.append(dfn(jnp.asarray(vals), jnp.asarray(cols),
                         jnp.asarray(rowlen)))
       lib = _put(lib_full[rows]) if lib_full is not None else None

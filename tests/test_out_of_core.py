@@ -127,6 +127,37 @@ def test_sparse_upload_int16_exact():
                              rtol=1e-5)
 
 
+def test_serving_sparse_upload_matches_dense():
+  """The device-cached serving paths upload CSR sources as triplets; the
+  on-device densify must be value-exact, so results are bit-identical to
+  the dense-upload run under a pinned rng."""
+  import scipy.sparse as sp
+  from sisua_tpu.ops import sparse as sparse_ops
+
+  rng = np.random.default_rng(4)
+  X = rng.poisson(0.25, size=(512, D)).astype(np.float32)
+  m = _model(seed=17)
+  m.fit(X, epochs=2, batch_size=B, valid_freq=0, patience=0)
+  calls = []
+  orig = sparse_ops.csr_row_triplets
+  def spy(*a, **k):
+    calls.append(1)
+    return orig(*a, **k)
+  sparse_ops.csr_row_triplets = spy
+  try:
+    r = m._rng
+    xd, zd = m.predict_mean(X, sample_shape=(4,), input_dtype=None)
+    assert not calls  # dense input → dense pad path
+    m._rng = r
+    xs_, zs_ = m.predict_mean(sp.csr_matrix(X), sample_shape=(4,),
+                              input_dtype=None)
+    assert calls  # sparse input → triplet upload engaged
+  finally:
+    sparse_ops.csr_row_triplets = orig
+  np.testing.assert_array_equal(xs_[0], xd[0])
+  np.testing.assert_array_equal(zs_[0], zd[0])
+
+
 @pytest.mark.slow
 def test_out_of_core_int16_and_validation():
   """Compressed chunk storage + a validation feeder + early-stop patience
