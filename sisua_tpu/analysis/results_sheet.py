@@ -415,9 +415,18 @@ class ResultsSheet(Visualizer):
     return len(self.posteriors)
 
   def __getitem__(self, key):
+    """String keys match the full posterior name or any '_'-token of it,
+    case-insensitively (reference results_sheet.py:692-697 token
+    semantics: ``rs['SISUA']`` finds the 'sisua_…' posterior); callables
+    filter; ints/slices index."""
     if isinstance(key, str):
       for p in self.posteriors:
-        if p.name == key:
+        if p.name == key or key.lower() in p.name.lower().split("_"):
+          return p
+      raise KeyError(key)
+    if callable(key):
+      for p in self.posteriors:
+        if key(p):
           return p
       raise KeyError(key)
     return self.posteriors[key]

@@ -47,6 +47,14 @@ def _flatten(x) -> Tuple:
   return (x,)
 
 
+def _to_snake_case(name: str) -> str:
+  """keras' auto-name algorithm (generic_utils.to_snake_case): the
+  reference's models are keras Models whose default ``.name`` is this."""
+  import re
+  s = re.sub(r"(.)([A-Z][a-z0-9]+)", r"\1_\2", name)
+  return re.sub(r"([a-z])([A-Z])", r"\1_\2", s).lower()
+
+
 class SingleCellModel:
   """Base class of the zoo. Subclasses customize via class attrs + ctor."""
 
@@ -109,7 +117,11 @@ class SingleCellModel:
     self.dataset = dataset
     self.metadata = metadata or {}
     self.batch_key = str(batch_key)
-    self._name = name or type(self).__name__
+    # default name matches the reference's keras auto-name (snake_case of
+    # the class: SISUA→'sisua', DeepCountAutoencoder→'deep_count_autoencoder')
+    # so name-keyed lookups (ResultsSheet['SISUA'/'sisua'], figure titles)
+    # behave like upstream
+    self._name = name or _to_snake_case(type(self).__name__)
     self._module_kwargs = dict(module_kwargs)
     self.module = self._build_module(**module_kwargs)
     self._state: Optional[TrainState] = None

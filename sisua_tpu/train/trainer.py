@@ -23,6 +23,7 @@ TPU design (what makes this fast on real hardware):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -166,6 +167,14 @@ class Trainer:
     self.device_dtype = device_dtype
     self.metrics_interval = max(1, int(metrics_interval))
     self.hbm_budget_bytes = hbm_budget_bytes
+    # step-scan unroll factor for the device-resident epoch executable:
+    # replicating the step body U× inside the scan lets XLA amortize
+    # per-iteration fixed overhead. Measured on one v5e at the headline
+    # protocol (128×500 scVI): U=8 → +17% (1.05M → 1.23M cells/s); U=16
+    # regresses (i-cache/VMEM pressure). 'auto' picks 8 for small
+    # overhead-bound steps and 1 for wide models (unrolling multiplies
+    # compile time, already ~68 s at 33k genes).
+    self.scan_unroll = os.environ.get("SISUA_TPU_SCAN_UNROLL", "auto")
     self.verbose = bool(verbose)
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
@@ -221,8 +230,16 @@ class Trainer:
     return jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
 
+  def _unroll_for(self, batch_size: int, total_dim: int) -> int:
+    """Resolve the step-scan unroll factor: explicit int, or 'auto' →
+    8 when the per-step work is small enough to be dispatch-overhead-bound
+    (B·D ≤ 256k elements), else 1."""
+    if str(self.scan_unroll) != "auto":
+      return max(1, int(self.scan_unroll))
+    return 8 if batch_size * max(1, total_dim) <= 262144 else 1
+
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
-                      has_library: bool):
+                      has_library: bool, unroll: int = 1):
     """Whole-epoch executable for device-resident data: shuffle + mask +
     batch + all train steps inside one lax.scan (zero per-step host work)."""
     core = self.step_core
@@ -267,7 +284,8 @@ class Trainer:
         return (st, _tree_add(ac, m)), None
 
       (state, acc), _ = jax.lax.scan(
-          body, (state, acc), (jnp.arange(steps), keys))
+          body, (state, acc), (jnp.arange(steps), keys),
+          unroll=min(unroll, steps))
       return state, acc
 
     return jax.jit(epoch_body, donate_argnums=(0, 1)), epoch_body
@@ -529,7 +547,9 @@ class Trainer:
           batch_stats=(shard_params(state.batch_stats, self.mesh)
                        if state.batch_stats is not None else None))
     epoch_fn, epoch_body = self._build_epoch_fn(
-        B, train_feeder.labels_percent, has_library=library is not None)
+        B, train_feeder.labels_percent, has_library=library is not None,
+        unroll=self._unroll_for(B, sum(s.shape[1]
+                                       for s in train_feeder.sources)))
     steps_per_epoch = n // B
     probe_batch = {"inputs": [x[:B].astype(jnp.float32) for x in xs],
                    "mask": jnp.ones((B,), jnp.float32)}
@@ -802,7 +822,9 @@ class Trainer:
           batch_stats=(shard_params(state.batch_stats, self.mesh)
                        if state.batch_stats is not None else None))
     epoch_fn, _ = self._build_epoch_fn(
-        B, train_feeder.labels_percent, has_library=lib_full is not None)
+        B, train_feeder.labels_percent, has_library=lib_full is not None,
+        unroll=self._unroll_for(B, sum(s.shape[1]
+                                       for s in train_feeder.sources)))
     steps_per_chunk = R // B
     steps_per_epoch = S * steps_per_chunk
     probe = {"inputs": [jnp.asarray(
