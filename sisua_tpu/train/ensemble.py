@@ -157,8 +157,14 @@ class VmapEnsemble:
         st, metrics = core(st, batch, kk)
         return (st, loss_sum + metrics["loss"]), None
 
+      # unroll the step scan when the vmapped per-step work is small
+      # (same overhead-amortization as Trainer: +17% measured on v5e);
+      # stay at 1 for big fleets/models where it only multiplies compile
+      total = sum(x.shape[1] for x in x_list)
+      unroll = 8 if n_models * B * max(1, total) <= 2 ** 21 else 1
       (state, loss_sum), _ = jax.lax.scan(
-          body, (state, jnp.zeros(())), (jnp.arange(steps), keys))
+          body, (state, jnp.zeros(())), (jnp.arange(steps), keys),
+          unroll=min(unroll, steps))
       return state, loss_sum / (n // B)
 
     interval = max(1, int(metrics_interval))
