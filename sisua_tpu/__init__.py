@@ -52,3 +52,18 @@ def __getattr__(name):
     if hasattr(mod, name):
       return getattr(mod, name)
   raise AttributeError(f"module 'sisua_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+  """Advertise the lazy surface (reference ``sisua/__init__.py`` parity:
+  `dir(sisua_tpu)` lists models, data entry points, Posterior, …)."""
+  import importlib
+  names = set(_SUBMODULES) | {"__version__"}
+  for module in ("models", "data", "analysis", "train"):
+    try:
+      mod = importlib.import_module(f".{module}", __name__)
+      names.update(getattr(mod, "__all__", ()) or
+                   (n for n in dir(mod) if not n.startswith("_")))
+    except Exception:
+      pass
+  return sorted(names)
