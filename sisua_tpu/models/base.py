@@ -589,46 +589,113 @@ class SingleCellModel:
     return fn
 
   @staticmethod
-  def _pad_to_batches(mat, k: int, B: int, n: int, dtype=np.float32):
+  def _pad_to_batches(mat, k: int, B: int, n: int, dtype=np.float32,
+                      rows: Optional[np.ndarray] = None):
     """Pad an (n, d) matrix (dense/sparse/gatherable) to k·B rows and
-    reshape to (k, B, d) device batches."""
+    reshape to (k, B, d) device batches. ``rows`` restricts to a row
+    subset (the out-of-core serving chunks); ``n`` is then the real
+    (untrimmed) count within that subset."""
     from scipy import sparse as _sp
+    take = (np.arange(n, dtype=np.int64) if rows is None
+            else np.ascontiguousarray(rows[:n], np.int64))
     if hasattr(mat, "gather"):
       buf = np.zeros((k * B, mat.shape[1]), np.float32)
-      mat.gather(np.arange(n, dtype=np.int64), out=buf[:n])
+      mat.gather(take, out=buf[:n])
     else:
-      a = np.asarray(mat.todense() if _sp.issparse(mat) else mat,
-                     np.float32)
+      a = mat
+      if _sp.issparse(a):
+        a = np.asarray(a[take].todense(), np.float32)
+      else:
+        a = np.asarray(a, np.float32)[take]
       buf = np.zeros((k * B, a.shape[1]), np.float32)
       buf[:n] = a
     if dtype != np.float32:
       buf = buf.astype(dtype)
     return jnp.asarray(buf).reshape(k, B, -1)
 
-  def _sparse_or_dense_batches(self, src, k: int, B: int, n: int, dtype):
+  def _sparse_or_dense_batches(self, src, k: int, B: int, n: int, dtype,
+                               rows: Optional[np.ndarray] = None):
     """(k, B, d) device batches for one feeder source. CSR sources whose
     triplets are clearly smaller than the dense block upload sparse —
     (vals, cols, rowlen) over the wire, one scatter-add densify in HBM —
     which cuts the transfer-bound serving upload ~3-7× at scRNA sparsity
-    (~90% zeros). Everything else takes the dense pad path."""
+    (~90% zeros). Everything else takes the dense pad path. ``rows``
+    restricts to an out-of-core serving chunk."""
     from ..ops.sparse import (col_dtype_for, csr_row_triplets,
                               make_densify, worthwhile)
     indptr = getattr(src, "indptr", None)
     d = src.shape[1]
     itemsize = np.dtype(dtype).itemsize
-    if indptr is None or not worthwhile(int(indptr[-1]), k * B, d,
-                                        itemsize, itemsize):
-      return self._pad_to_batches(src, k, B, n, dtype=dtype)
-    cap = max(8, -(-int(indptr[-1]) // 8) * 8)
+    if indptr is None:
+      return self._pad_to_batches(src, k, B, n, dtype=dtype, rows=rows)
+    take = None if rows is None else np.ascontiguousarray(rows[:n],
+                                                          np.int64)
+    nnz = (int(indptr[-1]) if take is None
+           else int((indptr[take + 1] - indptr[take]).sum()))
+    if not worthwhile(nnz, k * B, d, itemsize, itemsize):
+      return self._pad_to_batches(src, k, B, n, dtype=dtype, rows=rows)
+    # bucket the padded-nnz cap (≤12.5% slack) so same-shaped serving
+    # chunks with slightly different nnz reuse one densify executable
+    step = max(8, 1 << (max(int(nnz).bit_length(), 4) - 4))
+    cap = -(-max(8, nnz) // step) * step
     vals, cols, rowlen = csr_row_triplets(
-        indptr, src.indices, src.data, rows=None, cap=cap, n_rows=k * B,
+        indptr, src.indices, src.data, rows=take, cap=cap, n_rows=k * B,
         val_dtype=dtype, col_dtype=col_dtype_for(d))
     densify = make_densify(k * B, d, cap, dtype)
     return densify(jnp.asarray(vals), jnp.asarray(cols),
                    jnp.asarray(rowlen)).reshape(k, B, d)
 
+  def _serving_chunks(self, feeder, mesh=None,
+                      budget_fraction: float = 0.35):
+    """Row chunks for out-of-core serving: None when the dense (k, B, d)
+    upload fits the device budget, else a list of equal-size row-index
+    arrays (last one padded by wrapping — consumers trim with each
+    chunk's real count). Chunks share one static shape so every chunk
+    reuses the same cached executable."""
+    n = feeder.n_obs
+    B = feeder.batch_size
+    bytes_per_row = 4 * sum(src.shape[1] for src in feeder.sources)
+    try:
+      stats = jax.devices()[0].memory_stats() or {}
+      limit = int(stats.get("bytes_limit", 16 * 1024 ** 3))
+    except Exception:
+      limit = 16 * 1024 ** 3
+    budget = int(budget_fraction * limit)
+    if mesh is not None:
+      from ..parallel.mesh import DATA_AXIS
+      nd = max(1, mesh.shape.get(DATA_AXIS, 1))
+      budget *= nd
+      B = -(-B // nd) * nd  # match _device_batches' mesh rounding
+    env = os.environ.get("SISUA_TPU_SERVING_BUDGET")
+    if env:  # explicit aggregate cap (tests force chunking on tiny data)
+      budget = int(env)
+    if n * bytes_per_row <= budget:
+      return None
+    rows_per = max(B, (budget // 2 // bytes_per_row) // B * B)
+    idx = np.arange(n, dtype=np.int64)
+    chunks = []
+    for lo in range(0, n, rows_per):
+      rows = idx[lo:lo + rows_per]
+      if len(rows) < rows_per:  # wrap-pad to the shared static shape
+        rows = np.concatenate([rows, idx[:rows_per - len(rows)]])
+      chunks.append(rows)
+    return chunks
+
+  def _iter_serving_chunks(self, feeder, mesh=None):
+    """Yield (rows, n_valid) serving chunks — a single (None, None) when
+    the whole dataset fits the device budget."""
+    chunks = self._serving_chunks(feeder, mesh=mesh)
+    if chunks is None:
+      yield None, None
+      return
+    rows_per = len(chunks[0])
+    n = feeder.n_obs
+    for ci, rows in enumerate(chunks):
+      yield rows, min(rows_per, n - ci * rows_per)
+
   def _device_batches(self, feeder, input_dtype: Optional[str] = None,
-                      mesh=None):
+                      mesh=None, rows: Optional[np.ndarray] = None,
+                      n_valid: Optional[int] = None):
     """Densify the feeder's sources into full (k, B, d) device batches:
     returns ``(xb, lib_b, k, B, n)`` (last batch zero-padded; trim to n
     after the fetch). Shared by every device-cached inference path.
@@ -640,14 +707,17 @@ class SingleCellModel:
 
     With ``mesh``: the within-batch cell axis is sharded over the mesh's
     'data' axis (batch size rounds up to a multiple of it), so every
-    downstream executable runs data-parallel across the mesh."""
-    n = feeder.n_obs
+    downstream executable runs data-parallel across the mesh.
+
+    ``rows``/``n_valid``: an out-of-core serving chunk (row subset padded
+    to a shared static size; ``n_valid`` is the real count to trim to)."""
+    n = feeder.n_obs if n_valid is None else int(n_valid)
     B = feeder.batch_size
     if mesh is not None:
       from ..parallel.mesh import DATA_AXIS
       nd = mesh.shape[DATA_AXIS]
       B = -(-B // nd) * nd
-    k = -(-n // B)
+    k = -(-n // B) if rows is None else len(rows) // B
     dtype = np.float32
     if input_dtype in ("auto", "int16"):
       probe = feeder.sources[0]
@@ -665,11 +735,11 @@ class SingleCellModel:
       elif input_dtype == "int16":
         raise ValueError("input_dtype='int16' requires integral counts "
                          "< 32768")
-    xs = [self._sparse_or_dense_batches(src, k, B, n, dtype)
+    xs = [self._sparse_or_dense_batches(src, k, B, n, dtype, rows=rows)
           for src in feeder.sources]
     x_full = self._module_input([x.reshape(k * B, -1) for x in xs])
     xb = x_full.reshape(k, B, x_full.shape[-1])
-    lib_b = (self._pad_to_batches(feeder.library, k, B, n)
+    lib_b = (self._pad_to_batches(feeder.library, k, B, n, rows=rows)
              if feeder.library is not None else None)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
@@ -768,9 +838,10 @@ class SingleCellModel:
 
   def _predict_device_cached(self, feeder, sample_shape: Tuple[int, ...],
                              mesh=None):
-    """All-batches-in-one-executable inference (see predict)."""
-    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
-    keys = jax.random.split(self._next_key(), k)
+    """All-batches-in-one-executable inference (see predict). Datasets
+    whose dense upload exceeds the device budget run in fixed-size row
+    chunks through the same cached executable (results concatenate on
+    host — full distributions, so host RAM is the only bound)."""
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
 
@@ -794,19 +865,34 @@ class SingleCellModel:
 
     run = self._cached_jit(("predict_dc", sample_shape), _build_run)
     params, batch_stats = self._infer_state(mesh)
-    outputs, latents = jax.device_get(
-        run(params, batch_stats, xb, lib_b, keys))  # ONE fetch
     ax_out = len(sample_shape)
 
-    def merge(leaf, ax):
+    def merge(leaf, ax, n):
       # (k, S..., B, ...) → (S..., k·B, ...) → trim padding to n rows
       leaf = np.moveaxis(leaf, 0, ax)
       s = leaf.shape
       leaf = leaf.reshape(s[:ax] + (s[ax] * s[ax + 1],) + s[ax + 2:])
       return leaf[(slice(None),) * ax + (slice(0, n),)]
 
-    pX = jax.tree_util.tree_map(lambda x: merge(x, ax_out), outputs)
-    qZ = jax.tree_util.tree_map(lambda x: merge(x, 0), latents)
+    parts = []
+    for rows, nv in self._iter_serving_chunks(feeder, mesh):
+      xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh,
+                                                rows=rows, n_valid=nv)
+      keys = jax.random.split(self._next_key(), k)
+      outputs, latents = jax.device_get(
+          run(params, batch_stats, xb, lib_b, keys))  # one fetch/chunk
+      parts.append((
+          jax.tree_util.tree_map(lambda x: merge(x, ax_out, n), outputs),
+          jax.tree_util.tree_map(lambda x: merge(x, 0, n), latents)))
+    if len(parts) == 1:
+      pX, qZ = parts[0]
+    else:
+      pX = jax.tree_util.tree_map(
+          lambda *xs: np.concatenate(xs, axis=ax_out),
+          *[p[0] for p in parts])
+      qZ = jax.tree_util.tree_map(
+          lambda *xs: np.concatenate(xs, axis=0),
+          *[p[1] for p in parts])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
@@ -835,10 +921,6 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder,
-                                              input_dtype=input_dtype,
-                                              mesh=mesh)
-    keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     n_latents = self.n_latents
     mc_axes = tuple(range(len(sample_shape)))
@@ -867,16 +949,30 @@ class SingleCellModel:
         return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
       return run
 
-    run = self._cached_jit(
-        ("predict_mean", sample_shape, str(xb.dtype), str(out_dt)),
-        _build_run)
     params, batch_stats = self._infer_state(mesh)
-    x_means, z_means = jax.device_get(
-        run(params, batch_stats, xb, lib_b, keys))
-    def unstack(leaf):  # (k, B, d) → (n, d), widened back to float32
-      return np.asarray(
-          leaf.reshape(k * B, *leaf.shape[2:])[:n], np.float32)
-    return ([unstack(m) for m in x_means], [unstack(m) for m in z_means])
+    parts_x, parts_z = [], []
+    # datasets whose dense upload exceeds the device budget score in
+    # fixed-size row chunks through the SAME cached executable
+    for rows, nv in self._iter_serving_chunks(feeder, mesh):
+      xb, lib_b, k, B, n = self._device_batches(
+          feeder, input_dtype=input_dtype, mesh=mesh, rows=rows,
+          n_valid=nv)
+      keys = jax.random.split(self._next_key(), k)
+      run = self._cached_jit(
+          ("predict_mean", sample_shape, str(xb.dtype), str(out_dt)),
+          _build_run)
+      x_means, z_means = jax.device_get(
+          run(params, batch_stats, xb, lib_b, keys))
+      def unstack(leaf, kk=k, bb=B, nn=n):  # (k, B, d) → (n, d), f32
+        return np.asarray(
+            leaf.reshape(kk * bb, *leaf.shape[2:])[:nn], np.float32)
+      parts_x.append([unstack(m) for m in x_means])
+      parts_z.append([unstack(m) for m in z_means])
+    if len(parts_x) == 1:
+      return parts_x[0], parts_z[0]
+    cat = lambda parts: [np.concatenate([p[i] for p in parts], axis=0)
+                         for i in range(len(parts[0]))]
+    return cat(parts_x), cat(parts_z)
 
   def get_normalized_expression(self, inputs,
                                 sample_shape: Tuple[int, ...] = (),
@@ -895,8 +991,6 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
-    keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     mc_axes = tuple(range(len(sample_shape)))
     idx = int(output_index)
@@ -922,8 +1016,14 @@ class SingleCellModel:
 
     run = self._cached_jit(("norm_expr", sample_shape, idx), _build_run)
     params, batch_stats = self._infer_state(mesh)
-    scale = jax.device_get(run(params, batch_stats, xb, lib_b, keys))
-    return scale.reshape(k * B, -1)[:n]
+    parts = []
+    for rows, nv in self._iter_serving_chunks(feeder, mesh):
+      xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh,
+                                                rows=rows, n_valid=nv)
+      keys = jax.random.split(self._next_key(), k)
+      scale = jax.device_get(run(params, batch_stats, xb, lib_b, keys))
+      parts.append(scale.reshape(k * B, -1)[:n])
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
 
   def compute_llk(self, inputs, targets: Dict[str, Sequence],
                   sample_shape: Tuple[int, ...] = (),
@@ -939,19 +1039,6 @@ class SingleCellModel:
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
         sample_shape, int) else (sample_shape,)
-    xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh)
-    tgt_b = {t: [self._pad_to_batches(m, k, B, n) for m in targets[t]]
-             for t in targets}
-    row_mask = np.zeros((k * B,), np.float32)
-    row_mask[:n] = 1.0
-    mask_b = jnp.asarray(row_mask).reshape(k, B)
-    if mesh is not None:
-      from jax.sharding import NamedSharding, PartitionSpec as P
-      from ..parallel.mesh import DATA_AXIS
-      sh = NamedSharding(mesh, P(None, DATA_AXIS))
-      tgt_b = jax.tree_util.tree_map(lambda m: jax.device_put(m, sh), tgt_b)
-      mask_b = jax.device_put(mask_b, sh)
-    keys = jax.random.split(self._next_key(), k)
     module, apply_kwargs = self.module, self._apply_kwargs
     S = int(np.prod(sample_shape)) if sample_shape else 1
 
@@ -985,9 +1072,28 @@ class SingleCellModel:
 
     run = self._cached_jit(("compute_llk", sample_shape), _build_run)
     params, batch_stats = self._infer_state(mesh)
-    sums = jax.device_get(run(params, batch_stats,
-                              xb, lib_b, tgt_b, mask_b, keys))
-    return {kk: float(v) / n for kk, v in sums.items()}
+    totals: Dict[str, float] = {}
+    for rows, nv in self._iter_serving_chunks(feeder, mesh):
+      xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh,
+                                                rows=rows, n_valid=nv)
+      tgt_b = {t: [self._pad_to_batches(m, k, B, n, rows=rows)
+                   for m in targets[t]] for t in targets}
+      row_mask = np.zeros((k * B,), np.float32)
+      row_mask[:n] = 1.0
+      mask_b = jnp.asarray(row_mask).reshape(k, B)
+      if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        tgt_b = jax.tree_util.tree_map(lambda m: jax.device_put(m, sh),
+                                       tgt_b)
+        mask_b = jax.device_put(mask_b, sh)
+      keys = jax.random.split(self._next_key(), k)
+      sums = jax.device_get(run(params, batch_stats,
+                                xb, lib_b, tgt_b, mask_b, keys))
+      for kk, v in sums.items():
+        totals[kk] = totals.get(kk, 0.0) + float(v)
+    return {kk: v / feeder.n_obs for kk, v in totals.items()}
 
   def marginal_log_prob(self, inputs, sample_shape: int = 100,
                         batch_size: int = 32) -> np.ndarray:
