@@ -352,6 +352,13 @@ class Trainer:
       else:
         print("[trainer] device_cache requested but even one data chunk "
               "exceeds the device-memory budget — streaming instead")
+    if not self.device_cache and (
+        self._bytes_per_row(train_feeder) * train_feeder.n_obs
+        > 64 * 1024 * 1024):
+      print("[trainer] hint: streaming a large dataset per step — "
+            "fit(device_cache=True) trains device-resident (out-of-core "
+            "with pinned chunks when larger than HBM), typically 10-50x "
+            "faster on TPU")
     k = self.scan_steps
     use_scan = k > 1 and train_feeder.n_chunks(k) >= 1
     step1, stepk = self._build_steps()
