@@ -74,8 +74,8 @@ def main():
   state = model.state.replace(opt_state=tx.init(model.state.params))
   trainer = Trainer(step_core=model.make_train_step_core(tx),
                     valid_freq=0, patience=0)
-  epoch_fn, epoch_body = trainer._build_epoch_fn(BATCH, 0.0,
-                                                 has_library=True)
+  epoch_fn, epoch_body = trainer._build_epoch_fn(
+      BATCH, 0.0, has_library=True, unroll=trainer._unroll_for(BATCH, G))
   window = int(os.environ.get("WINDOW", 2))  # epochs per executable
   win_fn = (trainer._build_window_fn(epoch_body, window) if window > 1
             else epoch_fn)
