@@ -174,6 +174,39 @@ def test_out_of_core_int16_and_validation():
   assert np.isfinite(m.history["val_loss"]).all()
 
 
+def test_out_of_core_semi_supervised_and_checkpoint(tmp_path):
+  """labels_percent masking, callbacks, and checkpoint-on-best all ride
+  the out-of-core path."""
+  from sisua_tpu.data.synthetic import generate_synthetic
+  from sisua_tpu.models import SISUA
+  from sisua_tpu.train.trainer import TrainingCallback
+
+  sco = generate_synthetic(n_cells=N, n_genes=D, n_proteins=4, seed=3)
+  m = SISUA([RVmeta(D, "zinb", name="rna"),
+             RVmeta(4, "nb", name="adt")], seed=21,
+            encoder=NetConf((16,)), decoder=NetConf((16,)))
+  seen = []
+  class Spy(TrainingCallback):
+    def on_epoch_end(self, epoch, logs):
+      seen.append(dict(logs))
+  m.fit(sco, epochs=5, batch_size=B, labels_percent=0.5,
+        device_cache=True, hbm_budget_bytes=BUDGET,
+        callbacks=[Spy()], checkpoint_path=str(tmp_path / "ck"),
+        verbose=False)
+  assert len(seen) == 5 and all("loss" in s for s in seen)
+  l = m.history["loss"]
+  assert np.isfinite(np.asarray(l)).all() and l[-1] < l[0]
+  assert (tmp_path / "ck").exists()
+  # reload the checkpoint and predict
+  m2 = SISUA([RVmeta(D, "zinb", name="rna"),
+              RVmeta(4, "nb", name="adt")], seed=21,
+             encoder=NetConf((16,)), decoder=NetConf((16,)))
+  m2.load_weights(str(tmp_path / "ck"), raise_notfound=True)
+  outs, qZ = m2.predict(sco[np.arange(32)])
+  qz0 = qZ[0] if isinstance(qZ, (list, tuple)) else qZ
+  assert qz0.batch_shape == (32,)
+
+
 @pytest.mark.slow
 def test_out_of_core_on_data_mesh():
   """Out-of-core + data-parallel mesh: chunks shard over the 'data' axis,
