@@ -663,6 +663,11 @@ class Trainer:
       # be skipped just because the window's last epoch didn't improve
       if window_improved and checkpoint_fn is not None:
         checkpoint_fn(best_state)
+      # max_iter semantics on the windowed path: stop at the first window
+      # boundary past the step budget (steps run inside the executable,
+      # so the granularity is one window)
+      if self.max_iter and int(jax.device_get(state.step)) >= self.max_iter:
+        stop = True
     for cb in callbacks:
       cb.on_train_end(dict(self.history))
     if model is not None:
@@ -919,6 +924,9 @@ class Trainer:
             if self.allow_rollback:
               state = best_state
             break
+        if self.max_iter and int(
+            jax.device_get(state.step)) >= self.max_iter:
+          break  # epoch-granular: steps run inside the chunk executables
     finally:
       executor.shutdown(wait=True)
     for cb in callbacks:

@@ -36,6 +36,31 @@ def _feeder(n=64, d=4, batch=16):
                     labels_percent=0.0, shuffle=False)
 
 
+def test_max_iter_stops_device_cached_path():
+  """max_iter stops the windowed device-resident loop at the first window
+  boundary past the step budget (4 steps/epoch here)."""
+  trainer = Trainer(step_core=_mock_core(), valid_freq=0,
+                    device_cache=True, metrics_interval=2, max_iter=9)
+  state = trainer.fit(_state0(), _feeder(), epochs=20,
+                      key=jax.random.PRNGKey(0))
+  # 2-epoch windows of 8 steps: budget of 9 → stop after window 2 (16 steps)
+  assert int(state.step) == 16, int(state.step)
+  assert len(trainer.history["loss"]) == 4
+
+
+def test_max_iter_stops_out_of_core_path():
+  # 512 cells × 4 dims f32 (8 KB) against a 2 KB budget → 16-row chunks,
+  # 6 pinned; 32 steps/epoch; max_iter=5 stops at the first epoch boundary
+  trainer = Trainer(step_core=_mock_core(), valid_freq=0,
+                    device_cache=True, max_iter=5,
+                    hbm_budget_bytes=2048)
+  assert trainer._plan_out_of_core(_feeder(n=512)) is not None
+  state = trainer.fit(_state0(), _feeder(n=512), epochs=20,
+                      key=jax.random.PRNGKey(0))
+  assert int(state.step) == 32, int(state.step)  # epoch-granular stop
+  assert len(trainer.history["loss"]) == 1
+
+
 def test_nan_window_does_not_poison_best_state():
   """A NaN inside a window must not let an earlier epoch of the SAME
   window snapshot the (already-contaminated) post-window state."""
