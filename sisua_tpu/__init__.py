@@ -54,16 +54,26 @@ def __getattr__(name):
   raise AttributeError(f"module 'sisua_tpu' has no attribute {name!r}")
 
 
+# the reference's top-level vocabulary (sisua/__init__.py:1-9) plus the
+# most-used additions — a static list so dir()/tab-completion stays lazy
+# (importing models/data here would pull jax/flax as an introspection
+# side effect, defeating __getattr__'s whole point)
+_TOP_LEVEL_NAMES = (
+    "Posterior", "ResultsSheet", "Criticizer",
+    "MARKER_ADT_GENE", "MARKER_ADTS", "MARKER_ATAC", "MARKER_GENES",
+    "OMIC", "PROTEIN_PAIR_NEGATIVE", "PROTEIN_PAIR_POSITIVE",
+    "get_dataset", "get_dataset_meta", "get_dataset_availability",
+    "SingleCellOMIC", "standardize_protein_name",
+    "MISA", "SCALE", "SCALAR", "SCVI", "SISUA", "VAE", "TotalVI",
+    "DeepCountAutoencoder", "SCScope", "FVAE", "SemiFVAE",
+    "NetConf", "RVmeta", "SingleCellModel", "get_model", "load_model",
+    "SisuaExperimenter", "Trainer", "VmapEnsemble",
+)
+
+
 def __dir__():
-  """Advertise the lazy surface (reference ``sisua/__init__.py`` parity:
-  `dir(sisua_tpu)` lists models, data entry points, Posterior, …)."""
-  import importlib
-  names = set(_SUBMODULES) | {"__version__"}
-  for module in ("models", "data", "analysis", "train"):
-    try:
-      mod = importlib.import_module(f".{module}", __name__)
-      names.update(getattr(mod, "__all__", ()) or
-                   (n for n in dir(mod) if not n.startswith("_")))
-    except Exception:
-      pass
-  return sorted(names)
+  """Advertise the lazy surface without importing it (reference
+  ``sisua/__init__.py`` parity: `dir(sisua_tpu)` lists models, data entry
+  points, Posterior, …)."""
+  return sorted(set(_SUBMODULES) | set(_TOP_LEVEL_NAMES) |
+                {"__version__"})

@@ -420,8 +420,13 @@ class ResultsSheet(Visualizer):
     semantics: ``rs['SISUA']`` finds the 'sisua_…' posterior); callables
     filter; ints/slices index."""
     if isinstance(key, str):
+      # exact name wins over token matches (a posterior literally named
+      # 'vae' must shadow 'sisua_vae' whose token also matches)
       for p in self.posteriors:
-        if p.name == key or key.lower() in p.name.lower().split("_"):
+        if p.name == key:
+          return p
+      for p in self.posteriors:
+        if key.lower() in p.name.lower().split("_"):
           return p
       raise KeyError(key)
     if callable(key):

@@ -604,11 +604,16 @@ class SingleCellModel:
     else:
       a = mat
       if _sp.issparse(a):
-        a = np.asarray(a[take].todense(), np.float32)
+        a = np.asarray((a[take] if rows is not None else a).todense(),
+                       np.float32)
       else:
-        a = np.asarray(a, np.float32)[take]
+        # slice only on the chunked path — rows=None would otherwise
+        # fancy-index-copy the whole matrix a second time
+        a = np.asarray(a, np.float32)
+        if rows is not None:
+          a = a[take]
       buf = np.zeros((k * B, a.shape[1]), np.float32)
-      buf[:n] = a
+      buf[:n] = a[:n]
     if dtype != np.float32:
       buf = buf.astype(dtype)
     return jnp.asarray(buf).reshape(k, B, -1)
@@ -652,15 +657,11 @@ class SingleCellModel:
     arrays (last one padded by wrapping — consumers trim with each
     chunk's real count). Chunks share one static shape so every chunk
     reuses the same cached executable."""
+    from ..parallel.mesh import device_memory_limit
     n = feeder.n_obs
     B = feeder.batch_size
     bytes_per_row = 4 * sum(src.shape[1] for src in feeder.sources)
-    try:
-      stats = jax.devices()[0].memory_stats() or {}
-      limit = int(stats.get("bytes_limit", 16 * 1024 ** 3))
-    except Exception:
-      limit = 16 * 1024 ** 3
-    budget = int(budget_fraction * limit)
+    budget = int(budget_fraction * device_memory_limit())
     if mesh is not None:
       from ..parallel.mesh import DATA_AXIS
       nd = max(1, mesh.shape.get(DATA_AXIS, 1))
@@ -672,13 +673,14 @@ class SingleCellModel:
     if n * bytes_per_row <= budget:
       return None
     rows_per = max(B, (budget // 2 // bytes_per_row) // B * B)
+    if rows_per >= n:
+      return None  # cannot chunk below one batch — single upload
     idx = np.arange(n, dtype=np.int64)
     chunks = []
     for lo in range(0, n, rows_per):
-      rows = idx[lo:lo + rows_per]
-      if len(rows) < rows_per:  # wrap-pad to the shared static shape
-        rows = np.concatenate([rows, idx[:rows_per - len(rows)]])
-      chunks.append(rows)
+      # np.resize wraps cyclically, so even a final chunk shorter than
+      # half rows_per pads to the shared static shape
+      chunks.append(np.resize(idx[lo:lo + rows_per], rows_per))
     return chunks
 
   def _iter_serving_chunks(self, feeder, mesh=None):

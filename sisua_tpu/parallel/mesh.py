@@ -21,7 +21,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "shard_params", "DATA_AXIS", "MODEL_AXIS"]
+           "shard_batch", "shard_params", "device_memory_limit",
+           "DATA_AXIS", "MODEL_AXIS"]
+
+
+def device_memory_limit(default: int = 16 * 1024 ** 3) -> int:
+  """Per-device memory limit in bytes; `default` when the runtime doesn't
+  report one (CPU backends). Shared by the trainer's residency budget and
+  the serving chunker."""
+  try:
+    stats = jax.devices()[0].memory_stats() or {}
+    return int(stats.get("bytes_limit", default))
+  except Exception:
+    return default
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

@@ -108,6 +108,7 @@ _snapshot_fused = jax.jit(
 
 
 _snapshot_jittable = True
+_HINTED_DEVICE_CACHE = False
 
 
 def _snapshot(state):
@@ -352,9 +353,11 @@ class Trainer:
       else:
         print("[trainer] device_cache requested but even one data chunk "
               "exceeds the device-memory budget — streaming instead")
-    if not self.device_cache and (
+    global _HINTED_DEVICE_CACHE
+    if not self.device_cache and not _HINTED_DEVICE_CACHE and (
         self._bytes_per_row(train_feeder) * train_feeder.n_obs
         > 64 * 1024 * 1024):
+      _HINTED_DEVICE_CACHE = True  # once per process — a hint, not a nag
       print("[trainer] hint: streaming a large dataset per step — "
             "fit(device_cache=True) trains device-resident (out-of-core "
             "with pinned chunks when larger than HBM), typically 10-50x "
@@ -481,12 +484,8 @@ class Trainer:
     the out-of-core path on tiny data with it)."""
     if self.hbm_budget_bytes is not None:
       return int(self.hbm_budget_bytes)
-    try:
-      stats = jax.devices()[0].memory_stats() or {}
-      limit = int(stats.get("bytes_limit", 16 * 1024 ** 3))
-    except Exception:
-      limit = 16 * 1024 ** 3
-    return int(budget_fraction * limit)
+    from ..parallel.mesh import device_memory_limit
+    return int(budget_fraction * device_memory_limit())
 
   def _bytes_per_row(self, feeder) -> int:
     itemsize = 4 if self.device_dtype == "float32" else 2
@@ -567,6 +566,8 @@ class Trainer:
     best_loss = np.inf
     best_state = _snapshot(state)
     wait = 0
+    if self.max_iter and int(jax.device_get(state.step)) >= self.max_iter:
+      epochs = 0  # warm-started past the step budget: train nothing
     interval = self.metrics_interval
     # Each window of `metrics_interval` epochs is ONE executable (epoch scan
     # wrapping the step scan) and ends in ONE metric fetch: on remote-attached
@@ -853,6 +854,8 @@ class Trainer:
     best_loss = np.inf
     best_state = _snapshot(state)
     wait = 0
+    if self.max_iter and int(jax.device_get(state.step)) >= self.max_iter:
+      epochs = 0  # warm-started past the step budget: train nothing
     order_rng = np.random.default_rng(_host_seed(key) ^ 0x5CA1AB1E)
     executor = ThreadPoolExecutor(max_workers=1)
     try:

@@ -25,3 +25,11 @@ def test_dir_advertises_lazy_surface():
   d = dir(sisua_tpu)
   for n in ("SISUA", "get_dataset", "Posterior", "models", "data"):
     assert n in d, n
+
+
+def test_every_advertised_name_resolves():
+  """dir() is a static list (kept lazy); it must not advertise dead
+  names."""
+  from sisua_tpu import _TOP_LEVEL_NAMES
+  dead = [n for n in _TOP_LEVEL_NAMES if not hasattr(sisua_tpu, n)]
+  assert not dead, dead

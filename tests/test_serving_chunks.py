@@ -73,6 +73,21 @@ def test_compute_llk_chunked_matches(dca):
     np.testing.assert_allclose(r2[k], r1[k], rtol=1e-6)
 
 
+def test_tiny_dataset_never_chunks_below_one_batch(dca):
+  """batch_size > n_obs with a forced tiny budget must NOT produce a
+  zero-batch chunk (regression: wrap-pad shorter than rows_per → k=0 →
+  ZeroDivisionError)."""
+  m, X = dca
+  os.environ["SISUA_TPU_SERVING_BUDGET"] = "100"
+  try:
+    x2, z2 = m.predict_mean(X[:20], batch_size=64)
+  finally:
+    del os.environ["SISUA_TPU_SERVING_BUDGET"]
+  assert x2[0].shape == (20, D)
+  x1, _ = m.predict_mean(X[:20], batch_size=64)
+  np.testing.assert_array_equal(x2[0], x1[0])
+
+
 def test_norm_expr_chunked_matches(dca):
   m, X = dca
   e1 = m.get_normalized_expression(X)
