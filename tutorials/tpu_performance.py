@@ -1,8 +1,8 @@
 """TPU-performance walkthrough: the features that make sisua_tpu fast.
 
 Runs anywhere (CPU-JAX included) with small sizes; on a real TPU the same
-code is what produced RESULTS.md's numbers (970k cells/s scVI protocol,
-1.42M cells/s at 100k cells, 1.13M cells/s at 1M cells).
+code is what produced RESULTS.md's numbers (1.23M cells/s scVI headline
+protocol, 1.20M cells/s at 100k cells, 1.39M cells/s at 1M cells).
 
   JAX_PLATFORMS=cpu PYTHONPATH=. python tutorials/tpu_performance.py
 """
@@ -10,7 +10,7 @@ code is what produced RESULTS.md's numbers (970k cells/s scVI protocol,
 import numpy as np
 
 from sisua_tpu.data import generate_synthetic
-from sisua_tpu.models import SCVI, VAE, RVmeta
+from sisua_tpu.models import SCVI, VAE, NetConf, RVmeta
 
 # --- data: synthetic multi-omic counts (no network needed) -----------------
 sco = generate_synthetic(n_cells=2048, n_genes=100, n_proteins=8, seed=0)
@@ -69,3 +69,26 @@ ckpt = tempfile.mkdtemp()
 model.save_weights(ckpt)                      # or backend="orbax"
 # CLI equivalent:  sisua-predict <ckpt> counts.npz -o scored/
 print("checkpoint at", ckpt)
+
+# --- 7. datasets larger than HBM (out-of-core) -------------------------------
+# When the dense dataset exceeds the device budget, device_cache=True
+# switches automatically to the out-of-core path: rows partition into
+# HBM-sized random chunks, as many as fit stay pinned on device, the rest
+# stream per epoch (upload overlapped with compute), and sparse (CSR)
+# inputs ship as triplets + one on-device scatter — 3-6x the streaming
+# fallback (see benchmarks/atlas_scale.py for a 13 GB / one-chip run).
+# Demonstrated here by forcing a tiny budget on small data:
+import scipy.sparse as sp
+
+Xs = sp.csr_matrix(np.asarray(train.X.todense()
+                              if sp.issparse(train.X) else train.X))
+oc = VAE(RVmeta(train.n_vars, "zinb", name="rna"),
+         encoder=NetConf((64,)), decoder=NetConf((64,)))
+oc.fit(Xs, epochs=4, batch_size=128, device_cache=True,
+       device_dtype="int16",                      # exact for counts
+       # force a budget of 8 batch-sized chunks (< the int16 dataset) so
+       # the out-of-core machinery engages on this tiny demo
+       hbm_budget_bytes=8 * 128 * 2 * Xs.shape[1],
+       verbose=True)
+# Serving is size-unbounded too: predict/predict_mean/compute_llk chunk
+# automatically when the dataset exceeds the device budget.
