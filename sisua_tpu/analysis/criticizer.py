@@ -157,20 +157,26 @@ class Criticizer:
       if h[j] <= 0:
         continue
       top2 = np.sort(mi[:, j])[-2:]
-      gaps.append((top2[1] - top2[0]) / h[j])
+      gap = top2[-1] - (top2[0] if len(top2) > 1 else 0.0)
+      gaps.append(gap / h[j])
     return {"mig": float(np.mean(gaps)) if gaps else 0.0}
 
   def cal_dci_scores(self) -> Dict[str, float]:
     imp, acc = self.create_importance_matrix()
     eps = 1e-11
+    # normalized entropy; a 1-outcome distribution has entropy 0 (dividing
+    # by log(1)≈0 would blow the score outside [0,1])
+    def _norm_entropy(p, axis, n):
+      ent = -np.sum(p * np.log(p + eps), axis)
+      return ent / np.log(n) if n > 1 else np.zeros_like(ent)
     # disentanglement: 1 − entropy of each latent's importance profile
     p_d = imp / (imp.sum(1, keepdims=True) + eps)
-    ent_d = -np.sum(p_d * np.log(p_d + eps), 1) / np.log(imp.shape[1] + eps)
+    ent_d = _norm_entropy(p_d, 1, imp.shape[1])
     rel = imp.sum(1) / (imp.sum() + eps)
     disent = float(np.sum(rel * (1.0 - ent_d)))
     # completeness: per factor over latents
     p_c = imp / (imp.sum(0, keepdims=True) + eps)
-    ent_c = -np.sum(p_c * np.log(p_c + eps), 0) / np.log(imp.shape[0] + eps)
+    ent_c = _norm_entropy(p_c, 0, imp.shape[0])
     complete = float(np.mean(1.0 - ent_c))
     return {"disentanglement": disent, "completeness": complete,
             "informativeness": float(np.mean(acc)), "dci": float(
@@ -187,17 +193,13 @@ class Criticizer:
   def cal_separated_attr_predictability(self) -> Dict[str, float]:
     """SAP: mean over factors of (best − second-best) single-latent
     predictability."""
-    from sklearn.metrics import mutual_info_score
-    d, k = self.latents.shape[1], self.factor_codes.shape[1]
-    score = np.zeros((d, k))
-    for i in range(d):
-      for j in range(k):
-        score[i, j] = mutual_info_score(self.latent_codes[:, i],
-                                        self.factor_codes[:, j])
+    # same discrete-MI matrix as MIG — reuse the cached computation
+    score = self.create_mutualinfo_matrix()
+    k = score.shape[1]
     gaps = []
     for j in range(k):
       top2 = np.sort(score[:, j])[-2:]
-      gaps.append(top2[1] - top2[0])
+      gaps.append(top2[-1] - (top2[0] if len(top2) > 1 else 0.0))
   # (SAP on discrete MI — continuous-factor R² variant collapses here
   #  because factors are count/one-hot omics)
     return {"sap": float(np.mean(gaps))}
@@ -215,11 +217,22 @@ class Criticizer:
     rng = np.random.RandomState(self.seed + 1)
     X, y = self._interventional_features(n_samples, batch_size,
                                          use_argmin=False, rng=rng)
-    from sklearn.linear_model import LogisticRegression
-    clf = LogisticRegression(max_iter=500, random_state=self.seed)
     cut = int(0.8 * len(X))
-    clf.fit(X[:cut], y[:cut])
-    out = {"betavae": float(clf.score(X[cut:], y[cut:]))}
+    if len(X) == 0 or cut == 0:
+      out = {"betavae": 0.0}
+    elif len(np.unique(y[:cut])) < 2:
+      # degenerate (single factor column / single attainable class): a
+      # majority-vote classifier is exact, which is what LogisticRegression
+      # would converge to if sklearn allowed single-class fits
+      maj = np.bincount(y[:cut].astype(int)).argmax()
+      te = y[cut:] if len(y) > cut else y[:cut]
+      out = {"betavae": float(np.mean(te == maj))}
+    else:
+      from sklearn.linear_model import LogisticRegression
+      clf = LogisticRegression(max_iter=500, random_state=self.seed)
+      clf.fit(X[:cut], y[:cut])
+      Xte, yte = (X[cut:], y[cut:]) if len(X) > cut else (X[:cut], y[:cut])
+      out = {"betavae": float(clf.score(Xte, yte))}
     self._cache[cache_key] = out
     return out
 
@@ -270,16 +283,20 @@ class Criticizer:
     vals = []
     for j in range(m.shape[1]):
       top2 = np.sort(m[:, j])[-2:]
-      if top2[1] > 0:
-        vals.append((top2[1] - top2[0]) / top2[1])
+      second = top2[0] if len(top2) > 1 else 0.0
+      if top2[-1] > 0:
+        vals.append((top2[-1] - second) / top2[-1])
     return float(np.mean(vals)) if vals else 0.0
 
   def cal_clustering_scores(self) -> Dict[str, float]:
-    from .latent import clustering_scores
-    # dominant factor id as the label
-    labels = np.argmax(self.factors, 1) if self.factors.shape[1] > 1 else \
-        self.factor_codes[:, 0]
-    return clustering_scores(self.latents, labels, seed=self.seed)
+    if "clustering" not in self._cache:
+      from .latent import clustering_scores
+      # dominant factor id as the label
+      labels = np.argmax(self.factors, 1) if self.factors.shape[1] > 1 else \
+          self.factor_codes[:, 0]
+      self._cache["clustering"] = clustering_scores(self.latents, labels,
+                                                    seed=self.seed)
+    return self._cache["clustering"]
 
   def cal_all_scores(self) -> Dict[str, float]:
     out: Dict[str, float] = {}

@@ -125,8 +125,13 @@ def plot_imputation_series(original: np.ndarray, imputed: np.ndarray,
   grid = np.linspace(0, max_val, 50)
   for ax, (a, b) in ((axes[0][1], (x, y)), (axes[1][0], (y, x))):
     ax.scatter(a, b, s=2, alpha=0.6, color="g", linewidths=0)
-    fit = slope * grid + intercept if ax is axes[0][1] \
-        else (grid - intercept) / max(slope, 1e-8)
+    if ax is axes[0][1]:
+      fit = slope * grid + intercept
+    elif abs(slope) > 1e-8:
+      fit = (grid - intercept) / slope  # keep the sign: an anti-correlated
+      # imputation must show its (negative-slope) regression line
+    else:
+      fit = np.full_like(grid, np.nan)  # vertical line — nothing to draw
     ax.plot(grid, fit, color="red", alpha=0.8, lw=1.2)
     ax.plot(grid, grid, linestyle="--", linewidth=1, color="black")
     ax.set_xlim((0, max_val))

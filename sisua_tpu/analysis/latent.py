@@ -107,6 +107,13 @@ def streamline_classifier(Z_train: np.ndarray,
   # drop degenerate columns (all one class in train)
   valid = [i for i in range(y_train.shape[1])
            if len(np.unique(y_train[:, i])) == 2]
+  if not valid:
+    # every column degenerate (tiny split / saturated binarization):
+    # nothing to classify — degrade gracefully instead of crashing callers
+    empty: Dict[str, float] = {}
+    if return_figure:
+      return (empty, empty), None
+    return empty, empty
   names = [str(labels_name[i]) for i in valid]
   clf = OneVsRestClassifier(
       LinearSVC(random_state=seed), n_jobs=1)
@@ -167,8 +174,16 @@ def plot_latents_protein_pairs(Z: np.ndarray, y: np.ndarray,
   matplotlib.use("Agg")
   import matplotlib.pyplot as plt
   from ..data.const import PROTEIN_PAIR_NEGATIVE, PROTEIN_PAIR_POSITIVE
+  from ..data.utils import standardize_protein_name
   emb = _embed2d(Z, algo)
-  name_idx = {str(n): i for i, n in enumerate(labels_name)}
+  # match knowledge-base pair names against standardized protein names
+  # (reference latent_benchmarks.py:152,379) while keeping raw names valid
+  # for explicitly passed pairs
+  name_idx = {}
+  for i, n in enumerate(labels_name):
+    name_idx.setdefault(standardize_protein_name(str(n)), i)
+  for i, n in enumerate(labels_name):
+    name_idx.setdefault(str(n), i)
   if pairs is None:
     pairs = [p for p in PROTEIN_PAIR_NEGATIVE
              if p[0] in name_idx and p[1] in name_idx][:6]
@@ -211,7 +226,9 @@ def plot_latents_binary(Z: np.ndarray, y_bin: np.ndarray,
 
 
 def _embed2d(Z: np.ndarray, algo: str) -> np.ndarray:
-  if Z.shape[1] <= 2:
+  if Z.shape[1] == 1:  # callers index emb[:, 1] — pad a zero column
+    return np.concatenate([Z, np.zeros_like(Z)], axis=1)
+  if Z.shape[1] == 2:
     return Z
   if algo == "tsne" and Z.shape[0] <= 8000:
     from sklearn.manifold import TSNE

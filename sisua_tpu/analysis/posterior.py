@@ -139,7 +139,14 @@ class Posterior(Visualizer):
   # -------------------------------------------------------------- properties
   @property
   def name(self) -> str:
-    return f"{self.scm.id}_{self.sco_original.name}"
+    return getattr(self, "_name", None) or \
+        f"{self.scm.id}_{self.sco_original.name}"
+
+  @name.setter
+  def name(self, value: str):
+    # ResultsSheet dedupes colliding posterior names (two runs of the same
+    # architecture on the same dataset would otherwise collapse to one row)
+    self._name = str(value)
 
   @property
   def dataset(self):
@@ -446,7 +453,8 @@ class Posterior(Visualizer):
     for fn in (self.cal_llk, self.cal_imputation_scores, self.cal_spearman,
                self.cal_pearson, self.cal_protein_prediction,
                self.cal_mutual_information,
-               self.cal_protein_classification, self.cal_mig, self.cal_dci):
+               self.cal_protein_classification, self.cal_mig, self.cal_dci,
+               self.cal_clustering_scores):
       try:
         scores.update(fn())
       except Exception as e:  # metric families degrade independently
@@ -665,11 +673,20 @@ class Posterior(Visualizer):
       return self
     import matplotlib.pyplot as plt
     from ..data.const import PROTEIN_PAIR_NEGATIVE
-    names = list(map(str, self.sco_original.get_var_names(factor_omic)))
+    from ..data.utils import standardize_protein_name
+    raw_names = list(map(str, self.sco_original.get_var_names(factor_omic)))
+    # knowledge-base pairs use standardized protein names; raw names stay
+    # valid for explicitly passed pairs
+    name_idx = {}
+    for i, n in enumerate(raw_names):
+      name_idx.setdefault(standardize_protein_name(n), i)
+    for i, n in enumerate(raw_names):
+      name_idx.setdefault(n, i)
     if pairs is None:
       pairs = [(a, b) for a, b in PROTEIN_PAIR_NEGATIVE
-               if a in names and b in names]
-    pairs = [p for p in pairs if p[0] in names and p[1] in names][:n_pairs]
+               if a in name_idx and b in name_idx]
+    pairs = [p for p in pairs
+             if p[0] in name_idx and p[1] in name_idx][:n_pairs]
     if not pairs:
       return self
     emb = self.sco_analysis.dimension_reduce(OMIC.latent, n_components=2,
@@ -681,7 +698,7 @@ class Posterior(Visualizer):
                              squeeze=False)
     for k, (a, b) in enumerate(pairs):
       ax = axes[k // ncol][k % ncol]
-      contrast = y[:, names.index(a)] - y[:, names.index(b)]
+      contrast = y[:, name_idx[a]] - y[:, name_idx[b]]
       sc = ax.scatter(emb[:, 0], emb[:, 1], c=contrast, s=4, cmap="coolwarm",
                       linewidths=0)
       ax.set_title(f"{a} − {b}", fontsize=8)

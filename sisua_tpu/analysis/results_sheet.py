@@ -29,6 +29,17 @@ class ResultsSheet(Visualizer):
     for p in posteriors:
       flat.extend(p if isinstance(p, (list, tuple)) else [p])
     assert flat and all(isinstance(p, Posterior) for p in flat)
+    # dedupe display names: two runs of the same architecture on the same
+    # dataset share `scm.id`, and identical names would collapse to a single
+    # score-table row / overwrite each other's figures
+    seen: Dict[str, int] = {}
+    for p in flat:
+      n = p.name
+      if n in seen:
+        seen[n] += 1
+        p.name = f"{n}_{seen[n]}"
+      else:
+        seen[n] = 0
     self.posteriors = flat
     self.verbose = bool(verbose)
     self._scores: Optional[pd.DataFrame] = None

@@ -127,3 +127,36 @@ def test_mig_monotone_in_noise():
     Z[m] = rng.integers(0, 5, size=int(m.sum()))
     migs.append(Criticizer(Z, F, seed=1).cal_mutual_info_gap()["mig"])
   assert migs[0] > migs[1] > migs[2]
+
+
+def test_degenerate_single_factor_column():
+  """A single factor column must not crash any metric and must keep DCI
+  scores inside [0, 1] (log(n_factors) normalizer is 0 when n_factors=1)."""
+  rng = np.random.default_rng(4)
+  F = rng.integers(0, 4, size=(400, 1)).astype(np.float64)
+  Z = np.concatenate([F + rng.normal(0, 0.01, F.shape),
+                      rng.normal(size=(400, 2))], axis=1)
+  crit = Criticizer(Z, F, seed=1)
+  scores = crit.cal_all_scores()
+  assert 0.0 <= scores["disentanglement"] <= 1.0
+  assert 0.0 <= scores["completeness"] <= 1.0
+  assert 0.0 <= scores["betavae"] <= 1.0  # majority-vote fallback
+  assert np.isfinite(scores["sap"]) and np.isfinite(scores["mig"])
+
+
+def test_single_latent_dimension():
+  """d=1 latents: top-2 gaps degrade to top-1 instead of IndexError."""
+  rng = np.random.default_rng(5)
+  F = rng.integers(0, 4, size=(400, 2)).astype(np.float64)
+  Z = (F[:, :1] + rng.normal(0, 0.01, (400, 1)))
+  crit = Criticizer(Z, F, seed=1)
+  scores = crit.cal_all_scores()
+  assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_clustering_scores_cached():
+  rng = np.random.default_rng(6)
+  F = rng.integers(0, 3, size=(300, 2)).astype(np.float64)
+  crit = Criticizer(rng.normal(size=(300, 4)), F, seed=1)
+  first = crit.cal_clustering_scores()
+  assert crit.cal_clustering_scores() is first  # cached, not recomputed
