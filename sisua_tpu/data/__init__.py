@@ -115,7 +115,7 @@ def _registry() -> Dict[str, Callable]:
     meta[cat] = partial(L.read_dataset10x, cat)
     meta[f"{cat}all"] = partial(L.read_dataset10x, cat, filtered_genes=False)
   meta["4k"] = partial(L.read_dataset10x, "pbmc4k")
-  meta["5k"] = partial(L.read_dataset10x, "pbmc_10k_protein_v3")
+  meta["5k"] = partial(L.read_dataset10x, "5k_pbmc_protein_v3")
   meta["10k"] = partial(L.read_dataset10x, "pbmc_10k_protein_v3")
   meta["18k"] = partial(L.read_dataset10x, "18k")
   meta["neuron10k"] = partial(L.read_dataset10x, "neuron_10k_v3")
@@ -187,14 +187,13 @@ def get_dataset_summary(return_html: bool = False, names=None,
     except Exception as e:  # uncached download-gated name: record the gap
       rows.append({"Keyword": name, "Error": type(e).__name__})
       continue
-    X = ds.numpy()
     has_y = "proteomic" in ds.omics or "celltype" in ds.omics
     y_omic = "proteomic" if "proteomic" in ds.omics else (
         "celltype" if "celltype" in ds.omics else None)
     rows.append({
         "Keyword": name,
-        "#Cells": X.shape[0],
-        "#Genes": X.shape[1],
+        "#Cells": ds.shape[0],  # shape only — never densify for a summary
+        "#Genes": ds.shape[1],
         "#Labels": ds.get_dim(y_omic) if has_y else 0,
         "Binary": bool(ds.is_binary(y_omic)) if has_y else False,
         "Labels": ", ".join(standardize_protein_name(str(i))

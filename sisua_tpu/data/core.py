@@ -139,6 +139,9 @@ class _OMICbase:
     value = _as_matrix(value)
     assert value.shape == self.X.shape, "Cannot change shape via .X"
     self._omics[self._current_omic.name] = value
+    # keep the per-omic obs statistics (totals, library-size prior) in sync —
+    # set_omic refreshes them, so the shorthand assignment must too
+    self._calculate_statistics(self._current_omic)
 
   @property
   def var(self) -> pd.DataFrame:
@@ -516,7 +519,10 @@ class _OMICbase:
       # one-hot for covariate conditioning) ride as additional sources
       for m in extra_matrices:
         assert m.shape[0] == self.n_obs, "extra matrix must align on cells"
-      mats = mats + [np.asarray(m, np.float32) for m in extra_matrices]
+      # sparse side inputs stay CSR (the feeder gathers CSR natively);
+      # np.asarray on a scipy matrix would raise an opaque ValueError
+      mats = mats + [m.tocsr().astype(np.float32) if sparse.issparse(m)
+                     else np.asarray(m, np.float32) for m in extra_matrices]
     library = self.get_library_size(omics[0])
     self._record("create_dataset",
                  dict(omics=tuple(o.name for o in omics),

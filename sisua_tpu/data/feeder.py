@@ -93,10 +93,16 @@ class DataFeeder:
     ok = True
     for src in self.sources:
       vals = src.data if hasattr(src, "indptr") else src.m
-      sample = np.asarray(vals).ravel()[:1_000_000]
-      if sample.size and (np.abs(sample).max() >= 32767
-                          or not np.all(sample == np.round(sample))):
-        ok = False
+      # validate EVERY stored value (chunked to bound peak memory): a single
+      # out-of-range count anywhere would silently wrap under int16
+      flat = np.asarray(vals).reshape(-1)
+      for lo in range(0, flat.size, 16_777_216):
+        chunk = flat[lo:lo + 16_777_216]
+        if np.abs(chunk).max() >= 32767 or \
+            not np.all(chunk == np.round(chunk)):
+          ok = False
+          break
+      if not ok:
         break
     if not ok:
       if dtype == "int16":

@@ -112,6 +112,10 @@ def read_h5ad(path: str, name: Optional[str] = None,
                        name=name or path.split("/")[-1].replace(
                            ".h5ad", ""))
   for col, vals in obs.items():
+    # never clobber container-managed columns (row provenance / omic stats):
+    # an external file's 'indices' column would break split()/slicing tracing
+    if col in sco.obs.columns:
+      col = f"file_{col}"
     sco.obs[col] = vals
   # well-known obsm conventions → omics
   for key, m in obsm.items():

@@ -18,7 +18,7 @@ from ..const import OMIC
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR, DOWNLOAD_DIR
 from ..utils import (download_file, load_from_dataset, save_to_dataset,
-                     standardize_protein_name)
+                     standardize_protein_name, validate_data_dir)
 
 __all__ = ["read_CITEseq_PBMC", "read_CITEseq_CBMC"]
 
@@ -45,7 +45,7 @@ def _load_citeseq(which: str, filtered_genes: bool, override: bool,
   cache = os.path.join(
       DATA_DIR,
       f"{which}_citeseq{'' if filtered_genes else 'all'}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     files = {}
     for kind, fname in _FILES[which].items():
       out = os.path.join(DOWNLOAD_DIR, f"{which}_{kind}.csv.gz")

@@ -34,7 +34,7 @@ def _cohort_loaders() -> Dict[str, Callable[[], SingleCellOMIC]]:
       "cbmc": read_CITEseq_CBMC,
       "call": read_leukemia_BMMC,
       "mpal": lambda: read_leukemia_MixedPhenotypes(omic="rna"),
-      "5k": lambda: read_dataset10x("pbmc_10k_protein_v3"),
+      "5k": lambda: read_dataset10x("5k_pbmc_protein_v3"),
       "vdj1": lambda: read_dataset10x("vdj_v1_hs_aggregated_donor1"),
       "vdj4": lambda: read_dataset10x("vdj_v1_hs_aggregated_donor4"),
   }

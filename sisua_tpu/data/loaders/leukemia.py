@@ -16,7 +16,8 @@ import numpy as np
 from ..const import OMIC
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR, DOWNLOAD_DIR
-from ..utils import download_file, load_from_dataset, save_to_dataset
+from ..utils import (download_file, load_from_dataset, save_to_dataset,
+                     validate_data_dir)
 
 __all__ = ["read_leukemia_MixedPhenotypes", "read_leukemia_BMMC"]
 
@@ -38,7 +39,7 @@ def read_leukemia_MixedPhenotypes(filtered_genes: bool = True,
   assert omic in ("rna", "atac")
   cache = os.path.join(
       DATA_DIR, f"mpal_{omic}{'' if filtered_genes else 'all'}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     # The upstream supplement ships R .rds SummarizedExperiment objects;
     # converting requires rpy2+R (not in this image). Accept a pre-placed
     # cache or pre-converted npz folder.
@@ -68,7 +69,7 @@ def read_leukemia_BMMC(filtered_genes: bool = True,
   labels from the sample sheet."""
   cache = os.path.join(
       DATA_DIR, f"call{'' if filtered_genes else 'all'}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     tar_path = os.path.join(DOWNLOAD_DIR, "GSE132509_RAW.tar")
     download_file(_CALL_GEO, tar_path)
     import tarfile

@@ -15,7 +15,7 @@ import numpy as np
 from ..const import OMIC, MARKER_ADT_GENE
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR
-from ..utils import load_from_dataset, save_to_dataset
+from ..utils import load_from_dataset, save_to_dataset, validate_data_dir
 from .pbmc8k import _LYMPHOID_MARKERS, _MYELOID_MARKERS
 from .tenx import read_dataset10x
 
@@ -31,7 +31,7 @@ def read_PBMCeec(subset: str = "ly",
   cache = os.path.join(
       DATA_DIR,
       f"pbmcecc_{subset}{'' if filtered_genes else 'all'}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     base = read_dataset10x("pbmc4k", filtered_genes=filtered_genes,
                            override=override, verbose=verbose)
     X = base.numpy(OMIC.transcriptomic)

@@ -18,7 +18,8 @@ from scipy import sparse
 from ..const import OMIC
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR, DOWNLOAD_DIR
-from ..utils import download_file, load_from_dataset, save_to_dataset
+from ..utils import (download_file, load_from_dataset, save_to_dataset,
+                     validate_data_dir)
 
 __all__ = ["read_Cortex", "read_PBMC", "read_Retina", "read_Hemato"]
 
@@ -31,7 +32,7 @@ def read_Cortex(override: bool = False, verbose: bool = True,
   """Mouse cortex (Zeisel 2015): 3005 cells, top-558 HVGs, 7 cell types —
   the reference's CPU-runnable baseline config (BASELINE.json #1)."""
   cache = os.path.join(DATA_DIR, f"cortex_{n_top_genes or 'all'}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     raw = os.path.join(DOWNLOAD_DIR, "cortex_expression_mRNA.txt")
     download_file(_CORTEX_URL, raw)
     # parse the Linnarsson tab file: 10 header rows; row 8 = 'group #'
@@ -79,7 +80,7 @@ def read_Cortex(override: bool = False, verbose: bool = True,
 def _from_scvi(name: str, loader: str, override: bool,
                verbose: bool) -> SingleCellOMIC:
   cache = os.path.join(DATA_DIR, f"{name}_preprocessed")
-  if not os.path.isdir(cache) or override:
+  if not validate_data_dir(cache) or override:
     try:
       import scvi  # optional dependency (not in this image)
     except ImportError as e:

@@ -23,7 +23,8 @@ from scipy import sparse
 from ..const import OMIC
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR, DOWNLOAD_DIR
-from ..utils import download_file, save_to_dataset, load_from_dataset
+from ..utils import (download_file, save_to_dataset, load_from_dataset,
+                     validate_data_dir)
 
 __all__ = ["read_dataset10x", "TENX_CATALOG"]
 
@@ -35,6 +36,7 @@ TENX_CATALOG = {
     "pbmc4k": ("cell-exp", "2.1.0", "pbmc4k"),
     "pbmc8k": ("cell-exp", "2.1.0", "pbmc8k"),
     "pbmc_10k_protein_v3": ("cell-exp", "3.0.0", "pbmc_10k_protein_v3"),
+    "5k_pbmc_protein_v3": ("cell-exp", "3.0.0", "5k_pbmc_protein_v3"),
     "pbmc_1k_protein_v3": ("cell-exp", "3.0.0", "pbmc_1k_protein_v3"),
     "malt_10k_protein_v3": ("cell-exp", "3.0.0", "malt_10k_protein_v3"),
     "neuron_10k_v3": ("cell-exp", "3.0.0", "neuron_10k_v3"),
@@ -46,7 +48,9 @@ TENX_CATALOG = {
     "pbmc68k": ("cell-exp", "1.1.0", "fresh_68k_pbmc_donor_a"),
     "t_3k": ("cell-exp", "2.1.0", "t_3k"),
     "t_4k": ("cell-exp", "2.1.0", "t_4k"),
-    "18k": ("cell-exp", "2.1.0", "t_3k"),  # reference alias
+    # reference registry alias: '18k' resolves to the pbmc8k run
+    # (/root/reference/sisua/data/__init__.py:210)
+    "18k": ("cell-exp", "2.1.0", "pbmc8k"),
     # cell-vdj (5' + feature barcode)
     "vdj_v1_hs_aggregated_donor1": ("cell-vdj", "3.1.0",
                                     "vdj_v1_hs_aggregated_donor1"),
@@ -103,7 +107,7 @@ def read_dataset10x(name: str,
   cache = os.path.join(
       DATA_DIR, f"10x_{name}_{'filtered' if filtered_cells else 'raw'}"
       f"{'' if filtered_genes else 'all'}_preprocessed")
-  if os.path.isdir(cache) and not override:
+  if validate_data_dir(cache) and not override:
     return _from_cache(cache, name, kind)
 
   url = _matrix_url(kind, version, sample, filtered_cells)

@@ -482,11 +482,17 @@ def standardize_protein_name(name):
 # dtype helpers
 # ---------------------------------------------------------------------------
 def is_binary_dtype(x) -> bool:
+  # check EVERY stored value (chunked): sampling a prefix misclassifies
+  # count data whose early rows happen to be all 0/1, silently switching
+  # the default likelihood from zinb to bernoulli downstream
   if sparse.issparse(x):
     x = x.data
-  x = np.asarray(x)
-  sample = x if x.size <= 100000 else x.ravel()[:100000]
-  return bool(np.all(np.isin(np.unique(sample), (0, 1))))
+  flat = np.asarray(x).reshape(-1)
+  for lo in range(0, flat.size, 16_777_216):
+    chunk = flat[lo:lo + 16_777_216]
+    if not np.all((chunk == 0) | (chunk == 1)):
+      return False
+  return True
 
 
 def is_categorical_dtype(x) -> bool:

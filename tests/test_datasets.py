@@ -329,3 +329,29 @@ def test_set_omic_replaces_matrix():
   # the no-matrix form still switches the current omic
   sco.set_omic("proteomic")
   assert sco.current_omic.name == "proteomic"
+
+
+def test_x_setter_refreshes_statistics(sco):
+  """sco.X = new_matrix must refresh obs totals / library prior like
+  set_omic does (review finding: stale scVI library prior)."""
+  before = sco.obs["transcriptomic_local_mean"].to_numpy().copy()
+  sco2 = sco.copy()
+  sco2.X = sco2.numpy() * 4.0
+  after = sco2.obs["transcriptomic_local_mean"].to_numpy()
+  assert not np.allclose(before, after)
+  # totals track the new matrix exactly
+  assert np.allclose(sco2.obs["transcriptomic_total"].to_numpy(),
+                     np.asarray(sco2.numpy().sum(1)).ravel())
+
+
+def test_is_binary_scans_all_values():
+  """Count data whose first rows are all 0/1 must not be typed binary
+  (review finding: prefix sampling flipped zinb -> bernoulli)."""
+  from sisua_tpu.data.utils import is_binary_dtype
+  from scipy import sparse as sp
+  x = np.zeros((300000, 4), np.float32)
+  x[:200000] = (np.arange(800000).reshape(200000, 4) % 2).astype(np.float32)
+  x[-1, -1] = 7.0  # a real count far beyond any 100k prefix
+  assert not is_binary_dtype(x)
+  assert not is_binary_dtype(sp.csr_matrix(x))
+  assert is_binary_dtype((x > 0).astype(np.float32))

@@ -112,3 +112,30 @@ def test_transfer_dtype_compressed_streaming(splits, small_nets):
   m2.fit(bad, epochs=1, batch_size=128, valid_freq=0, patience=0,
          transfer_dtype="auto")
   assert np.isfinite(m2.history["loss"]).all()
+
+
+def test_transfer_dtype_validates_beyond_sample_prefix():
+  """Out-of-range counts past the first 1M stored values must be caught —
+  int16 would silently wrap them (review finding, feeder.py)."""
+  rng = np.random.default_rng(0)
+  data = np.ones(1_100_000, np.float32)
+  data[-1] = 40_000.0  # beyond any sampling prefix
+  m = sparse.random(1100, 1000, density=1.0, format="csr", dtype=np.float32)
+  m.data = data[:m.nnz] if m.nnz <= data.size else np.ones(m.nnz, np.float32)
+  m.data[-1] = 40_000.0
+  feeder = DataFeeder([m], batch_size=64)
+  import pytest
+  with pytest.raises(ValueError):
+    feeder.set_transfer_dtype("int16")
+  feeder.set_transfer_dtype("auto")
+  assert feeder.transfer_dtype is None  # auto degrades instead of wrapping
+
+
+def test_sparse_extra_matrices(sco):
+  """create_dataset must accept sparse side inputs (batch one-hots)."""
+  onehot = sparse.csr_matrix(
+      np.eye(3, dtype=np.float32)[np.arange(sco.n_obs) % 3])
+  ds = sco.create_dataset(extra_matrices=[onehot], batch_size=64)
+  b = next(iter(ds))
+  assert b["inputs"][-1].shape == (64, 3)
+  assert set(np.unique(b["inputs"][-1])) <= {0.0, 1.0}

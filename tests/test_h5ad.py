@@ -72,3 +72,28 @@ def test_read_scvi_convention_file(tmp_path):
           decoder={"units": [16]})
   m.fit(sco, epochs=1, batch_size=32, valid_freq=0, patience=0)
   assert np.isfinite(m.history["loss"]).all()
+
+
+def test_obs_indices_column_not_clobbered(tmp_path):
+  """A file obs column named 'indices' must not overwrite the container's
+  row-provenance column (review finding)."""
+  h5py = pytest.importorskip("h5py")
+  path = str(tmp_path / "collide.h5ad")
+  with h5py.File(path, "w") as f:
+    f.create_dataset("X", data=np.ones((10, 5), np.float32))
+    obs = f.create_group("obs")
+    obs.attrs["_index"] = "_index"
+    obs.create_dataset("_index",
+                       data=np.asarray([f"c{i}" for i in range(10)],
+                                       dtype="S"))
+    obs.create_dataset("indices", data=np.arange(100, 110))  # foreign ints
+    var = f.create_group("var")
+    var.attrs["_index"] = "_index"
+    var.create_dataset("_index",
+                       data=np.asarray([f"g{i}" for i in range(5)],
+                                       dtype="S"))
+  sco = read_h5ad(path)
+  np.testing.assert_array_equal(sco.obs["indices"].to_numpy(),
+                                np.arange(10))  # provenance intact
+  np.testing.assert_array_equal(sco.obs["file_indices"].to_numpy(),
+                                np.arange(100, 110))

@@ -530,3 +530,32 @@ def test_crossdataset_harmonization(monkeypatch):
   # unknown target raises with the failure list
   with pytest.raises(RuntimeError, match="unavailable"):
     cross.read_PBMC_crossdataset("broken", verbose=False)
+
+
+def test_registry_aliases_match_reference_cohorts():
+  """'5k'/'18k' must resolve to the reference's cohorts
+  (reference data/__init__.py:208-210), not stand-in datasets."""
+  from functools import partial
+  from sisua_tpu.data import get_dataset_meta
+  from sisua_tpu.data.loaders.tenx import TENX_CATALOG
+  meta = get_dataset_meta()
+  assert meta["5k"].args[0] == "5k_pbmc_protein_v3"
+  assert "5k_pbmc_protein_v3" in TENX_CATALOG
+  assert TENX_CATALOG["18k"][2] == "pbmc8k"
+  assert meta["10k"].args[0] == "pbmc_10k_protein_v3"
+
+
+def test_incomplete_cache_is_not_a_cache_hit(tmp_path, monkeypatch):
+  """A cache dir left behind by an interrupted save must trigger a rebuild,
+  not an eternal FileNotFoundError (review finding: isdir-only checks)."""
+  import numpy as np
+  from sisua_tpu.data.utils import save_to_dataset, validate_data_dir
+  d = tmp_path / "broken_cache"
+  d.mkdir()
+  (d / "X.npz").write_bytes(b"truncated")  # partial write, no manifest
+  assert not validate_data_dir(str(d))
+  # a complete save validates
+  ok = tmp_path / "good_cache"
+  save_to_dataset(str(ok), np.ones((4, 3), np.float32), ["a", "b", "c"],
+                  print_log=False)
+  assert validate_data_dir(str(ok))
