@@ -90,20 +90,9 @@ class DataFeeder:
       self.transfer_dtype = None
       return self
     assert dtype in ("auto", "int16"), dtype
-    ok = True
-    for src in self.sources:
-      vals = src.data if hasattr(src, "indptr") else src.m
-      # validate EVERY stored value (chunked to bound peak memory): a single
-      # out-of-range count anywhere would silently wrap under int16
-      flat = np.asarray(vals).reshape(-1)
-      for lo in range(0, flat.size, 16_777_216):
-        chunk = flat[lo:lo + 16_777_216]
-        if np.abs(chunk).max() >= 32767 or \
-            not np.all(chunk == np.round(chunk)):
-          ok = False
-          break
-      if not ok:
-        break
+    from ..ops.sparse import int16_exact
+    ok = all(int16_exact(src.data if hasattr(src, "indptr") else src.m)
+             for src in self.sources)
     if not ok:
       if dtype == "int16":
         raise ValueError("transfer_dtype='int16' requires integral counts "

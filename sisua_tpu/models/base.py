@@ -512,7 +512,7 @@ class SingleCellModel:
     self._ensure_initialized()
     trainer = Trainer(step_core=None, eval_fn=None, optimizer=optimizer,
                       learning_rate=learning_rate, clipnorm=clipnorm,
-                      beta=self.beta, valid_freq=valid_freq,
+                      valid_freq=valid_freq,
                       patience=patience, min_delta=min_delta,
                       terminate_on_nan=terminate_on_nan,
                       allow_rollback=allow_rollback, max_iter=max_iter,

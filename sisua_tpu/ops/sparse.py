@@ -21,7 +21,20 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["col_dtype_for", "worthwhile", "csr_row_triplets",
-           "make_densify"]
+           "make_densify", "int16_exact"]
+
+
+def int16_exact(values) -> bool:
+  """True when EVERY value is an integer with |v| < 32767 — the exactness
+  precondition for int16 transport/storage. Full chunked scan, never a
+  sampled prefix (one out-of-range value anywhere would silently wrap),
+  and |·| so large NEGATIVE integers are rejected too."""
+  flat = np.asarray(values).reshape(-1)
+  for lo in range(0, flat.size, 16_777_216):
+    chunk = flat[lo:lo + 16_777_216]
+    if np.abs(chunk).max() >= 32767 or np.any(chunk != np.round(chunk)):
+      return False
+  return True
 
 
 def col_dtype_for(n_cols: int):

@@ -52,6 +52,34 @@ def _parse_value(s: str):
     return s
 
 
+def _split_grid(v: str) -> List[str]:
+  """Split a grid value on commas at bracket depth 0 only: 'a,b' is a
+  two-point grid, but '[64,64]' is ONE JSON list value (base.yaml shapes
+  like encoder.units are lists). Brackets and commas inside quoted JSON
+  strings are literal text, not structure."""
+  parts: List[str] = []
+  depth = 0
+  quote: Optional[str] = None
+  cur: List[str] = []
+  for ch in v:
+    if quote is not None:
+      if ch == quote:
+        quote = None
+    elif ch in "\"'":
+      quote = ch
+    elif ch in "[{(":
+      depth += 1
+    elif ch in "]})":
+      depth -= 1
+    elif ch == "," and depth == 0:
+      parts.append("".join(cur))
+      cur = []
+      continue
+    cur.append(ch)
+  parts.append("".join(cur))
+  return parts
+
+
 def parse_overrides(args: Sequence[str]) -> List[Dict[str, Any]]:
   """['a.b=1,2', 'c=x'] → list of {dotted: value} combinations (grid)."""
   keyed: List[List[tuple]] = []
@@ -59,8 +87,7 @@ def parse_overrides(args: Sequence[str]) -> List[Dict[str, Any]]:
     if "=" not in a:
       raise ValueError(f"Override must be key=value, got {a!r}")
     k, v = a.split("=", 1)
-    vals = [_parse_value(x) for x in v.split(",")] if "," in v \
-        else [_parse_value(v)]
+    vals = [_parse_value(x) for x in _split_grid(v)]
     keyed.append([(k, x) for x in vals])
   return [dict(combo) for combo in itertools.product(*keyed)] if keyed \
       else [{}]
@@ -188,10 +215,13 @@ class Experimenter:
     ctx = mp.get_context("spawn")
     results = []
     cls = type(self)
+    state = {"save_path": self.save_path, "config_path": self.config_path,
+             "exclude_keys": list(self.exclude_keys),
+             "hash_length": self.hash_length}
     with ctx.Pool(processes=ncpu) as pool:
-      for r in pool.imap_unordered(_run_config_in_subprocess,
-                                   [(cls.__module__, cls.__qualname__, c)
-                                    for c in configs]):
+      for r in pool.imap_unordered(
+          _run_config_in_subprocess,
+          [(cls.__module__, cls.__qualname__, c, state) for c in configs]):
         results.append(r)
     return results
 
@@ -208,13 +238,40 @@ def _mc_from_sample_shape(x) -> int:
 
 
 def _run_config_in_subprocess(payload):
-  module_name, qualname, cfg = payload
+  module_name, qualname, cfg, state = payload
   import importlib
+  import inspect
   mod = importlib.import_module(module_name)
   cls = mod
   for part in qualname.split("."):
     cls = getattr(cls, part)
-  exp = cls()
+  # rebuild with the PARENT's paths — a bare cls() would silently write
+  # experiment dirs and scoreboard rows to the default EXP_DIR, and break
+  # subclasses whose __init__ requires arguments
+  sig = inspect.signature(cls)
+  has_varkw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                  for p in sig.parameters.values())
+  kw = {k: state[k] for k in ("save_path", "config_path")
+        if k in sig.parameters or has_varkw}
+  try:  # decide callability by BINDING only — a TypeError raised inside
+    # the subclass body must propagate, not be masked by a skeleton object
+    sig.bind(**kw)
+    callable_with_kw = True
+  except TypeError:  # ctor needs args we don't know: base init on skeleton
+    callable_with_kw = False
+  if callable_with_kw:
+    exp = cls(**kw)
+  else:
+    exp = cls.__new__(cls)
+    Experimenter.__init__(exp, save_path=state["save_path"],
+                          config_path=state["config_path"])
+  for k in ("save_path", "config_path", "hash_length"):
+    setattr(exp, k, state[k])
+  exp.exclude_keys = tuple(state["exclude_keys"])
+  sb_path = os.path.join(state["save_path"], "scoreboard.db")
+  if getattr(exp.scoreboard, "path", None) != sb_path:
+    exp.scoreboard.close()
+    exp.scoreboard = ScoreBoard(sb_path)
   try:
     return exp.run_config(cfg)
   except Exception as e:  # noqa: BLE001 — error already on the scoreboard
@@ -333,8 +390,11 @@ class SisuaExperimenter(Experimenter):
       try:
         for k, v in crt.cal_all_scores().items():
           scores[f"{k}_{f}"] = v
-      except Exception:
-        pass
+      except Exception:  # one factor's failure must not sink the rest —
+        # but it must leave a trace, not vanish from the results table
+        msg = f"criticizer[{f}] failed:\n{traceback.format_exc()}"
+        print(f"[experimenter] {msg.splitlines()[0]} (see scoreboard errors)")
+        self.scoreboard.write_error(os.path.basename(exp_dir), msg)
     return scores
 
   # ------------------------------------------------------------- retrieval

@@ -56,7 +56,9 @@ class ScoreBoard:
     self._conn.commit()
 
   def read_scores(self, table: Optional[str] = None) -> pd.DataFrame:
-    """Wide (uid × metric) DataFrame of one table (or all)."""
+    """Wide (uid × metric) DataFrame of one table; with ``table=None`` the
+    index is (tab, uid) so same-named metrics from different dataset tables
+    stay separate rows instead of being silently mean-aggregated."""
     q = "SELECT tab, uid, metric, value FROM scores"
     params: tuple = ()
     if table is not None:
@@ -65,7 +67,8 @@ class ScoreBoard:
     df = pd.read_sql_query(q, self._conn, params=params)
     if df.empty:
       return df
-    return df.pivot_table(index="uid", columns="metric", values="value")
+    index = "uid" if table is not None else ["tab", "uid"]
+    return df.pivot_table(index=index, columns="metric", values="value")
 
   def read_errors(self) -> pd.DataFrame:
     return pd.read_sql_query("SELECT * FROM errors", self._conn)

@@ -34,7 +34,6 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..interpolation import Interpolation, get_interpolation
 from ..parallel import DATA_AXIS
 
 __all__ = ["TrainState", "Trainer", "TrainingCallback"]
@@ -79,22 +78,45 @@ def _prefetch_iter(iterator, depth: int = 2):
   q: "queue.Queue" = queue.Queue(maxsize=depth)
   _END = object()
 
+  stop = threading.Event()
+
+  def _offer(item) -> bool:
+    # bounded put that gives up once the consumer is gone — an abandoned
+    # generator (max_iter break, callback exception) must not leave this
+    # thread parked on q.put holding pinned batch buffers forever
+    while not stop.is_set():
+      try:
+        q.put(item, timeout=0.1)
+        return True
+      except queue.Full:
+        continue
+    return False
+
   def worker():
     try:
       for item in iterator:
-        q.put(item)
-      q.put(_END)
+        if not _offer(item):
+          return
+      _offer(_END)
     except BaseException as e:  # propagate into the training loop
-      q.put(e)
+      _offer(e)
 
   threading.Thread(target=worker, daemon=True).start()
-  while True:
-    item = q.get()
-    if item is _END:
-      return
-    if isinstance(item, BaseException):
-      raise item
-    yield item
+  try:
+    while True:
+      item = q.get()
+      if item is _END:
+        return
+      if isinstance(item, BaseException):
+        raise item
+      yield item
+  finally:
+    stop.set()
+    try:  # drop any buffered batches promptly
+      while True:
+        q.get_nowait()
+    except queue.Empty:
+      pass
 
 
 def _copy_leaf(x):
@@ -134,7 +156,6 @@ class Trainer:
                optimizer: str = "adam",
                learning_rate: float = 1e-3,
                clipnorm: float = 100.0,
-               beta: Any = 1.0,
                valid_freq: int = 500,
                patience: int = 20,
                min_delta: float = 1e-4,
@@ -153,7 +174,9 @@ class Trainer:
     self.optimizer_name = optimizer
     self.learning_rate = learning_rate
     self.clipnorm = clipnorm
-    self.beta = get_interpolation(beta)
+    # NOTE: the KL weight (beta) is NOT a trainer concern — each model's
+    # step core schedules its own beta from state.step; a trainer-level
+    # copy would be dead state masquerading as a control
     self.valid_freq = int(valid_freq)
     self.patience = int(patience)
     self.min_delta = float(min_delta)
@@ -180,7 +203,6 @@ class Trainer:
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
     self._timings: List[float] = []
-    self._compiled = None
 
   # ----------------------------------------------------------------- optax
   def make_optimizer(self) -> optax.GradientTransformation:
@@ -240,9 +262,12 @@ class Trainer:
     return 8 if batch_size * max(1, total_dim) <= 262144 else 1
 
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
-                      has_library: bool, unroll: int = 1):
+                      has_library: bool, unroll: int = 1,
+                      n_rows: Optional[int] = None):
     """Whole-epoch executable for device-resident data: shuffle + mask +
-    batch + all train steps inside one lax.scan (zero per-step host work)."""
+    batch + all train steps inside one lax.scan (zero per-step host work).
+    ``n_rows`` overrides the row count when the uploaded matrices carry
+    sharding padding — the permutation must never sample pad rows."""
     core = self.step_core
     B = int(batch_size)
     lp = float(labels_percent)
@@ -259,7 +284,7 @@ class Trainer:
       return jax.lax.with_sharding_constraint(x, sh) if sh is not None else x
 
     def epoch_body(state, acc, xs, library, key):
-      n = xs[0].shape[0]
+      n = n_rows if n_rows is not None else xs[0].shape[0]
       steps = n // B
       kperm, kmask, kstep = jax.random.split(key, 3)
       perm = jax.random.permutation(kperm, n)
@@ -339,10 +364,9 @@ class Trainer:
       # silently train nothing (tiny test splits)
       train_feeder.batch_size = int(train_feeder.n_obs)
     if self.device_cache:
-      if train_feeder.n_obs < train_feeder.batch_size:
-        print("[trainer] device_cache requested but the dataset has fewer "
-              "cells than one batch — streaming instead")
-      elif self._fits_device(train_feeder):
+      # (tiny datasets were handled above: batch_size is clamped to n_obs,
+      # so the device-cached path serves them with one batch per epoch)
+      if self._fits_device(train_feeder):
         return self._fit_device_cached(state, train_feeder, valid_feeder,
                                        epochs, key, callbacks,
                                        checkpoint_fn, model)
@@ -501,15 +525,20 @@ class Trainer:
       n_data = max(1, self.mesh.shape.get(DATA_AXIS, 1))
     return dense_bytes / n_data <= self._device_budget()
 
-  def _densify_rows(self, src, rows: np.ndarray) -> np.ndarray:
+  def _densify_rows(self, src, rows: np.ndarray,
+                    validate: bool = True) -> np.ndarray:
     """Gather feeder-source rows into a dense host buffer, compressed per
-    ``device_dtype`` (int16 exact for integer counts, bf16 lossy)."""
+    ``device_dtype`` (int16 exact for integer counts, bf16 lossy).
+    ``validate=False`` skips the int16 range scan — callers that validated
+    the whole source once up front (out-of-core streams the same chunks
+    every epoch) must not re-pay an O(rows × genes) scan per upload."""
     dense = src.gather(np.ascontiguousarray(rows, np.int64),
                        out=np.empty((len(rows), src.shape[1]), np.float32))
     if self.device_dtype == "int16":
-      # exact for integer counts < 32768 (the usual scRNA-seq regime);
-      # refuse silent corruption otherwise
-      if dense.max() >= 32768 or np.any(dense != np.round(dense)):
+      # exact for integer counts with |v| < 32767 (the usual scRNA-seq
+      # regime); refuse silent corruption otherwise
+      from ..ops.sparse import int16_exact
+      if validate and not int16_exact(dense):
         raise ValueError(
             "device_dtype='int16' needs integer counts < 32768; use "
             "'bfloat16' (lossy) or 'float32' for this dataset")
@@ -536,13 +565,20 @@ class Trainer:
           "mesh axis")
     row_sh = (NamedSharding(self.mesh, P(DATA_AXIS, None)) if multichip
               else None)
+    # a P('data', None) upload needs dim 0 divisible by the data axis —
+    # pad with zero rows the permutation (built over the true n) never
+    # samples, instead of crashing on any non-divisible dataset size
+    pad = (-n) % self.mesh.shape[DATA_AXIS] if multichip else 0
+    def _pad_rows(a):
+      return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad \
+          else a
     def _put(a):
       return jax.device_put(a, row_sh) if row_sh is not None \
           else jnp.asarray(a)
     all_rows = np.arange(n, dtype=np.int64)
-    xs = [_put(self._densify_rows(src, all_rows))
+    xs = [_put(_pad_rows(self._densify_rows(src, all_rows)))
           for src in train_feeder.sources]
-    library = (_put(train_feeder.library)
+    library = (_put(_pad_rows(train_feeder.library))
                if train_feeder.library is not None else None)
     if multichip:
       # replicate params/opt state (wide kernels column-shard over 'model')
@@ -555,7 +591,8 @@ class Trainer:
     epoch_fn, epoch_body = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=library is not None,
         unroll=self._unroll_for(B, sum(s.shape[1]
-                                       for s in train_feeder.sources)))
+                                       for s in train_feeder.sources)),
+        n_rows=n if pad else None)
     steps_per_epoch = n // B
     probe_batch = {"inputs": [x[:B].astype(jnp.float32) for x in xs],
                    "mask": jnp.ones((B,), jnp.float32)}
@@ -606,11 +643,6 @@ class Trainer:
       if valid_feeder is not None:
         key, ekey = jax.random.split(key)
         val = self.evaluate(state, valid_feeder, ekey)
-      # every epoch in the window monitors the SAME post-window state, so
-      # at most one snapshot is ever needed per window (each _snapshot is
-      # a dispatch RPC on remote-attached chips — 1 beats `window`)
-      window_snapshot = None
-      window_improved = False
       # the post-window state is only trustworthy as a best-state if EVERY
       # epoch in the window stayed finite — an early epoch's "improvement"
       # must not snapshot a state a later epoch of the same window NaN'd
@@ -640,30 +672,29 @@ class Trainer:
             state = best_state
           stop = True
           break
-        # when validating, monitor val_loss only (computed once per window
-        # — intermediate epochs must not compare train loss against a
-        # val-loss best); without validation, every epoch's train loss
-        if valid_feeder is not None and "val_loss" not in logs:
+        # only the window's FINAL epoch may update the best: the snapshot
+        # is the post-window state, so pairing it with a (lower) mid-window
+        # loss would record a best_loss no stored state ever achieved —
+        # rollback would restore weights worse than their recorded loss
+        if w != window - 1:
           continue
         monitored = logs.get("val_loss", logs.get("loss", np.inf))
         if window_finite and monitored < best_loss - self.min_delta:
           best_loss = monitored
-          if window_snapshot is None:
-            window_snapshot = _snapshot(state)  # post-window (finest grain)
-          best_state = window_snapshot
-          window_improved = True
+          best_state = _snapshot(state)  # one snapshot RPC per window, max
+          if checkpoint_fn is not None:
+            checkpoint_fn(best_state)
           wait = 0
         else:
-          wait += 1
+          # patience stays in EPOCH units: improvement is only observable
+          # at window boundaries, so a non-improving window charges all of
+          # its epochs at once (metrics_interval must not inflate patience)
+          wait += window
           if self.patience > 0 and wait >= self.patience:
             if self.allow_rollback:
               state = best_state
             stop = True
             break
-      # checkpoint once per improving window — a mid-window best must not
-      # be skipped just because the window's last epoch didn't improve
-      if window_improved and checkpoint_fn is not None:
-        checkpoint_fn(best_state)
       # max_iter semantics on the windowed path: stop at the first window
       # boundary past the step budget (steps run inside the executable,
       # so the granularity is one window)
@@ -728,7 +759,8 @@ class Trainer:
         plans.append(None)
         continue
       if self.device_dtype == "int16":
-        if src.data.max() >= 32768 or np.any(src.data != np.round(src.data)):
+        from ..ops.sparse import int16_exact
+        if not int16_exact(src.data):
           raise ValueError(
               "device_dtype='int16' needs integer counts < 32768; use "
               "'bfloat16' (lossy) or 'float32' for this dataset")
@@ -802,13 +834,24 @@ class Trainer:
         None if p is None else
         make_densify(R, src.shape[1], p["cap"], store_dtype)
         for src, p in zip(train_feeder.sources, splans)]
+    if self.device_dtype == "int16":
+      # validate each dense-planned source ONCE here (sparse plans already
+      # validated src.data in _sparse_chunk_plans) — the per-epoch uploads
+      # then skip the O(rows × genes) rescan of unchanged data
+      from ..ops.sparse import int16_exact
+      for src, p in zip(train_feeder.sources, splans):
+        if p is None and not int16_exact(
+            src.data if hasattr(src, "indptr") else src.m):
+          raise ValueError(
+              "device_dtype='int16' needs integer counts < 32768; use "
+              "'bfloat16' (lossy) or 'float32' for this dataset")
 
     def prepare(c: int):
       xs = []
       rows = chunk_rows_list[c]
       for src, p, dfn in zip(train_feeder.sources, splans, densify_fns):
         if p is None:
-          xs.append(_put(self._densify_rows(src, rows)))
+          xs.append(_put(self._densify_rows(src, rows, validate=False)))
         else:  # sparse upload: triplets over the wire, scatter on device
           vals, cols, rowlen = csr_row_triplets(
               src.indptr, src.indices, src.data, rows, p["cap"], R,

@@ -235,3 +235,41 @@ def test_evaluate_cli_end_to_end(tmp_path, monkeypatch):
   df = exp.scoreboard.read_scores("eval_synthetic")
   assert len(df) == 1
   assert any(c.startswith("llk") for c in df.columns)
+
+
+def test_parse_overrides_json_list_values():
+  """'[64,64]' is ONE list value, not a 2-point grid (review finding)."""
+  from sisua_tpu.train.experimenter import parse_overrides
+  grids = parse_overrides(["encoder.units=[64,64]"])
+  assert grids == [{"encoder.units": [64, 64]}]
+  # grids of lists still fan out on top-level commas
+  grids = parse_overrides(["encoder.units=[64,64],[32]"])
+  assert grids == [{"encoder.units": [64, 64]},
+                   {"encoder.units": [32]}]
+  grids = parse_overrides(["a=1,2", "b=x"])
+  assert len(grids) == 2 and all(g["b"] == "x" for g in grids)
+
+
+def test_read_scores_all_tables_not_averaged(tmp_path):
+  """read_scores(table=None) must keep same-named metrics from different
+  dataset tables on separate rows (review finding: silent mean)."""
+  from sisua_tpu.train.scoreboard import ScoreBoard
+  sb = ScoreBoard(str(tmp_path / "sb.db"))
+  sb.write_scores("scores_a", "uid1", {"llk": 1.0})
+  sb.write_scores("scores_b", "uid1", {"llk": 3.0})
+  df_all = sb.read_scores()
+  assert len(df_all) == 2
+  vals = sorted(df_all["llk"].tolist())
+  assert vals == [1.0, 3.0]  # not a single averaged 2.0
+  df_one = sb.read_scores("scores_a")
+  assert df_one.loc["uid1", "llk"] == 1.0
+  sb.close()
+
+
+def test_parse_overrides_quoted_strings():
+  """Brackets/commas inside quoted JSON strings are literal text."""
+  from sisua_tpu.train.experimenter import parse_overrides
+  grids = parse_overrides(['x=["a]b",1]'])
+  assert grids == [{"x": ["a]b", 1]}]
+  grids = parse_overrides(['note="hello, world"'])
+  assert grids == [{"note": "hello, world"}]

@@ -139,3 +139,12 @@ def test_sparse_extra_matrices(sco):
   b = next(iter(ds))
   assert b["inputs"][-1].shape == (64, 3)
   assert set(np.unique(b["inputs"][-1])) <= {0.0, 1.0}
+
+
+def test_int16_exact_rejects_large_negatives():
+  """|v| >= 32767 must fail even for negatives — int16 wrap is silent."""
+  from sisua_tpu.ops.sparse import int16_exact
+  assert int16_exact(np.array([0.0, 5.0, 32766.0]))
+  assert not int16_exact(np.array([1.0, -40000.0]))
+  assert not int16_exact(np.array([1.5]))
+  assert not int16_exact(np.array([32767.0]))

@@ -212,3 +212,16 @@ def test_mesh_inference_scvi_library_path(mesh, splits):
                              rtol=2e-4, atol=2e-4)
   np.testing.assert_allclose(np.asarray(z2[0]), np.asarray(z1[0]),
                              rtol=2e-4, atol=2e-4)
+
+
+def test_device_cached_mesh_odd_n_obs(small_nets):
+  """n_obs not divisible by the data axis must train via zero-row padding
+  the permutation never samples — not crash at upload (review finding)."""
+  from sisua_tpu.data import generate_synthetic
+  sco = generate_synthetic(n_cells=1001, n_genes=60, n_proteins=4, seed=3)
+  mesh = create_mesh(n_data=4, n_model=2)
+  m = VAE(RVmeta(sco.n_vars, "zinb", name="rna"), seed=7, **small_nets)
+  m.fit(sco, epochs=3, batch_size=64, device_cache=True, mesh=mesh,
+        valid_freq=0, patience=0)
+  losses = m.history["loss"]
+  assert np.isfinite(losses).all() and losses[-1] < losses[0]

@@ -135,3 +135,30 @@ def test_second_fit_merges_history():
   m.fit(x, epochs=2, batch_size=32)
   m.fit(x, epochs=3, batch_size=32)
   assert len(m.history["loss"]) == 5
+
+
+def test_prefetch_iter_releases_worker_on_early_break():
+  """Abandoning the prefetch generator (max_iter break) must unblock and
+  retire the worker thread (review finding: leaked thread on q.put)."""
+  import threading
+  import time as _time
+  from sisua_tpu.train.trainer import _prefetch_iter
+
+  started = threading.Event()
+  before = set(threading.enumerate())
+
+  def slow_producer():
+    started.set()
+    for i in range(1000):
+      yield i
+
+  it = _prefetch_iter(slow_producer(), depth=2)
+  assert next(it) == 0
+  started.wait(5)
+  # identify THE worker thread (global counts are flaky: unrelated daemons
+  # start/stop); exactly one new thread belongs to the prefetcher
+  workers = [t for t in threading.enumerate() if t not in before]
+  assert len(workers) == 1, workers
+  it.close()  # what an abandoned for-loop does via GC
+  workers[0].join(timeout=5)
+  assert not workers[0].is_alive()
