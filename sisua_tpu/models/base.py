@@ -128,9 +128,15 @@ class SingleCellModel:
     self.trainer: Optional[Trainer] = None
     self._rng = jax.random.PRNGKey(self.seed)
     self._jit_cache: Dict = {}
+    import dataclasses as _dc
+    # a constant beta round-trips as its value; a warm-up SCHEDULE must
+    # round-trip whole (kind/vmin/vmax/norm/delay/cyclical) — collapsing
+    # it to vmax would silently drop KL annealing on the resume path
+    beta_spec = (self.beta.vmax if self.beta.kind == "const"
+                 and not self.beta.cyclical else _dc.asdict(self.beta))
     self._init_kwargs_for_save = dict(
         outputs=outputs, latents=latents, encoder=encoder, decoder=decoder,
-        log_norm=log_norm, beta=getattr(self.beta, "vmax", 1.0), alpha=alpha,
+        log_norm=log_norm, beta=beta_spec, alpha=alpha,
         gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
         compute_dtype=compute_dtype, seed=seed, name=self._name,
         batch_key=batch_key,
@@ -183,6 +189,17 @@ class SingleCellModel:
         x = jnp.concatenate([x, b.astype(x.dtype)], axis=-1)
     return x
 
+  def _serving_source_indices(self, n_sources: int) -> List[int]:
+    """Feeder-source indices ``_module_input`` actually consumes. The
+    serving path must not gather/upload label omics it will drop (SISUA's
+    protein source on a 33k-gene serving call is pure wasted transfer,
+    and counting it in the device budget forces needless chunking).
+    Order is preserved so the trailing batch one-hot stays trailing."""
+    idx = [0]
+    if self.n_batch and n_sources >= 2:
+      idx.append(n_sources - 1)
+    return idx
+
   # ---------------------------------------------------------------- naming
   @property
   def name(self) -> str:
@@ -231,18 +248,29 @@ class SingleCellModel:
 
   # ------------------------------------------------------------------ init
   def _batch_onehot(self, sco) -> np.ndarray:
-    """Per-cell batch one-hot from ``sco.obs[self.batch_key]`` (codes by
-    sorted unique value; missing column → all cells in batch 0)."""
+    """Per-cell batch one-hot from ``sco.obs[self.batch_key]``. The
+    level→code mapping is DEFINED by the first data seen (fit) and
+    persisted in ``metadata['batch_categories']`` (→ the checkpoint
+    metamodel): inference data carrying a subset of the training levels
+    must condition on the SAME codes, not a remapping of its own sorted
+    uniques. Later data may only append unseen levels while ``n_batch``
+    capacity remains — existing codes never move."""
     nb = self.n_batch
     if self.batch_key not in sco.obs.columns:
       warnings.warn(f"batch conditioning is on (n_batch={nb}) but "
                     f"obs['{self.batch_key}'] is absent; assuming one batch")
       return np.eye(nb, dtype=np.float32)[np.zeros(sco.n_obs, np.int64)]
-    col = np.asarray(sco.obs[self.batch_key])
-    uniq = sorted(set(map(str, col)))
-    assert len(uniq) <= nb, (
-        f"obs['{self.batch_key}'] has {len(uniq)} levels > n_batch={nb}")
-    codes = np.array([uniq.index(str(v)) for v in col], np.int64)
+    col = [str(v) for v in np.asarray(sco.obs[self.batch_key])]
+    uniq = [str(v) for v in self.metadata.get("batch_categories", [])]
+    unseen = sorted(set(col) - set(uniq))
+    if unseen:
+      assert len(uniq) + len(unseen) <= nb, (
+          f"obs['{self.batch_key}'] carries {len(unseen)} level(s) beyond "
+          f"the {len(uniq)} known ones; total exceeds n_batch={nb}")
+      uniq = uniq + unseen
+      self.metadata["batch_categories"] = list(uniq)
+    idx = {v: i for i, v in enumerate(uniq)}
+    codes = np.array([idx[v] for v in col], np.int64)
     return np.eye(nb, dtype=np.float32)[codes]
 
   def _dummy_batch(self, batch_size: int = 2):
@@ -317,6 +345,11 @@ class SingleCellModel:
       variables["batch_stats"] = self._state.batch_stats
     zs = z if isinstance(z, (tuple, list)) else (z,)
     if self.uses_library:
+      if len(zs) < 2:
+        raise ValueError(
+            f"{type(self).__name__}.decode needs BOTH latent samples "
+            "(z, library) — pass encode()'s full tuple output, or use "
+            "get_normalized_expression for the library-free scale")
       pX = self.module.apply(variables, tuple(jnp.asarray(zi) for zi in zs),
                              method=self.module_cls.decode, training=training)
     else:
@@ -651,16 +684,21 @@ class SingleCellModel:
                    jnp.asarray(rowlen)).reshape(k, B, d)
 
   def _serving_chunks(self, feeder, mesh=None,
-                      budget_fraction: float = 0.35):
+                      budget_fraction: float = 0.35,
+                      extra_bytes_per_row: int = 0):
     """Row chunks for out-of-core serving: None when the dense (k, B, d)
     upload fits the device budget, else a list of equal-size row-index
     arrays (last one padded by wrapping — consumers trim with each
     chunk's real count). Chunks share one static shape so every chunk
-    reuses the same cached executable."""
+    reuses the same cached executable. ``extra_bytes_per_row`` budgets
+    per-row side uploads beyond the input sources (compute_llk's target
+    matrices ride along and must not blow the estimate)."""
     from ..parallel.mesh import device_memory_limit
     n = feeder.n_obs
     B = feeder.batch_size
-    bytes_per_row = 4 * sum(src.shape[1] for src in feeder.sources)
+    sel = self._serving_source_indices(len(feeder.sources))
+    bytes_per_row = 4 * sum(feeder.sources[i].shape[1] for i in sel) \
+        + int(extra_bytes_per_row)
     budget = int(budget_fraction * device_memory_limit())
     if mesh is not None:
       from ..parallel.mesh import DATA_AXIS
@@ -683,10 +721,12 @@ class SingleCellModel:
       chunks.append(np.resize(idx[lo:lo + rows_per], rows_per))
     return chunks
 
-  def _iter_serving_chunks(self, feeder, mesh=None):
+  def _iter_serving_chunks(self, feeder, mesh=None,
+                           extra_bytes_per_row: int = 0):
     """Yield (rows, n_valid) serving chunks — a single (None, None) when
     the whole dataset fits the device budget."""
-    chunks = self._serving_chunks(feeder, mesh=mesh)
+    chunks = self._serving_chunks(feeder, mesh=mesh,
+                                  extra_bytes_per_row=extra_bytes_per_row)
     if chunks is None:
       yield None, None
       return
@@ -720,25 +760,27 @@ class SingleCellModel:
       nd = mesh.shape[DATA_AXIS]
       B = -(-B // nd) * nd
     k = -(-n // B) if rows is None else len(rows) // B
+    sel = self._serving_source_indices(len(feeder.sources))
     dtype = np.float32
     if input_dtype in ("auto", "int16"):
-      probe = feeder.sources[0]
+      # validate EVERY consumed source in full via the shared helper — a
+      # sampled prefix (or probing only sources[0]) silently wraps
+      # out-of-range counts after the int16 cast
       from scipy import sparse as _sp
-      if _sp.issparse(probe) or hasattr(probe, "indptr"):
-        vals = np.asarray(probe.data)        # sparse / _CSRSource values
-      elif hasattr(probe, "m"):
-        vals = np.asarray(probe.m)           # _DenseSource
-      else:
-        vals = np.asarray(probe)
-      sample = vals.ravel()[:1_000_000]
-      if (sample.size == 0 or (np.all(sample == np.round(sample))
-                               and np.abs(sample).max(initial=0) < 32767)):
+      from ..ops.sparse import int16_exact
+
+      def _values(src):
+        if _sp.issparse(src) or hasattr(src, "indptr"):
+          return src.data                    # sparse / _CSRSource values
+        return src.m if hasattr(src, "m") else np.asarray(src)
+
+      if all(int16_exact(_values(feeder.sources[i])) for i in sel):
         dtype = np.int16
       elif input_dtype == "int16":
         raise ValueError("input_dtype='int16' requires integral counts "
-                         "< 32768")
-    xs = [self._sparse_or_dense_batches(src, k, B, n, dtype, rows=rows)
-          for src in feeder.sources]
+                         "< 32768 in every consumed source")
+    xs = [self._sparse_or_dense_batches(feeder.sources[i], k, B, n, dtype,
+                                        rows=rows) for i in sel]
     x_full = self._module_input([x.reshape(k * B, -1) for x in xs])
     xb = x_full.reshape(k, B, x_full.shape[-1])
     lib_b = (self._pad_to_batches(feeder.library, k, B, n, rows=rows)
@@ -755,21 +797,24 @@ class SingleCellModel:
   def _mesh_state(self, mesh):
     """(params, batch_stats) placed on the mesh — wide kernels column-
     sharded over 'model' when present, everything else replicated. Cached
-    per (mesh, state) so repeated inference calls pay placement once."""
-    key = (id(mesh), id(self._state))
-    cached = self._jit_cache.get(("mesh_state", key))
-    if cached is None:
-      from ..parallel.mesh import replicated_sharding, shard_params
-      params = shard_params(self._state.params, mesh)
-      batch_stats = self._state.batch_stats
-      if batch_stats is not None:
-        batch_stats = jax.device_put(batch_stats, replicated_sharding(mesh))
-      # single-entry cache: drop placements of superseded states
-      stale = [c for c in self._jit_cache if isinstance(c, tuple)
-               and c[0] == "mesh_state"]
-      for c in stale:
-        del self._jit_cache[c]
-      cached = self._jit_cache[("mesh_state", key)] = (params, batch_stats)
+    per (mesh, state); identity is checked through a weakref, NOT id():
+    a freed TrainState's address can be reused by its successor, and an
+    id-keyed hit would silently serve the OLD weights."""
+    entry = self._jit_cache.get("mesh_state")
+    if entry is not None:
+      mesh_ref, state_ref, cached = entry
+      if mesh_ref() is mesh and state_ref() is self._state:
+        return cached
+    import weakref
+    from ..parallel.mesh import replicated_sharding, shard_params
+    params = shard_params(self._state.params, mesh)
+    batch_stats = self._state.batch_stats
+    if batch_stats is not None:
+      batch_stats = jax.device_put(batch_stats, replicated_sharding(mesh))
+    cached = (params, batch_stats)
+    # single-entry cache: a superseded state's placement is dropped
+    self._jit_cache["mesh_state"] = (weakref.ref(mesh),
+                                     weakref.ref(self._state), cached)
     return cached
 
   def _infer_state(self, mesh):
@@ -1075,7 +1120,13 @@ class SingleCellModel:
     run = self._cached_jit(("compute_llk", sample_shape), _build_run)
     params, batch_stats = self._infer_state(mesh)
     totals: Dict[str, float] = {}
-    for rows, nv in self._iter_serving_chunks(feeder, mesh):
+    # the per-row TARGET uploads (one full-size float32 block per tag per
+    # output) ride alongside the inputs — they must count in the device
+    # budget or the 'fits on device' decision undercounts by 2-3×
+    tgt_bytes = 4 * sum(int(np.shape(m)[1]) for mats in targets.values()
+                        for m in mats)
+    for rows, nv in self._iter_serving_chunks(feeder, mesh,
+                                              extra_bytes_per_row=tgt_bytes):
       xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh,
                                                 rows=rows, n_valid=nv)
       tgt_b = {t: [self._pad_to_batches(m, k, B, n, rows=rows)

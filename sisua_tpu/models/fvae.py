@@ -100,8 +100,12 @@ class FVAE(SingleCellModel):
     variables = {"params": state.params}
     if state.batch_stats is not None:
       variables["batch_stats"] = state.batch_stats
-    k1, k2, k3 = jax.random.split(key, 3)
-    out = self.module.apply(variables, x, rngs={"sample": k1, "dropout": k1},
+    # decorrelate from the generator step first: split(key, 3)[0] equals
+    # split(key, 2)[0], so without fold_in the discriminator would score
+    # latents drawn with the SAME reparameterization noise the generator
+    # gradient just used — FactorVAE prescribes an independent draw
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 0xD15C), 3)
+    out = self.module.apply(variables, x, rngs={"sample": k1, "dropout": k3},
                             training=False, **self._apply_kwargs(lib))
     z = jax.lax.stop_gradient(self._reduced_z(out))
     z_perm = _permute_dims(z, k2)

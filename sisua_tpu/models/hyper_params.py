@@ -114,14 +114,22 @@ def fit_hyper(model: str,
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
     with ctx.Pool(n_processes) as pool:
-      pending = [(model, dataset, propose(), epochs, batch_size, seed + i)
-                 for i in range(max_evals)]
-      for cfg, loss, err in pool.imap_unordered(_trial_worker, pending):
-        trials.append((cfg, loss))
-        if err:
-          errors.append(err)
-        if verbose:
-          print(f"[hyper] {cfg} → {loss:.4f}" + (f" ({err})" if err else ""))
+      # propose lazily in WAVES of n_processes: materializing all
+      # max_evals proposals before any result arrives would freeze
+      # trials=[] and silently degrade 'tpe' into pure random search
+      done = 0
+      while done < max_evals:
+        wave = min(n_processes, max_evals - done)
+        pending = [(model, dataset, propose(), epochs, batch_size,
+                    seed + done + i) for i in range(wave)]
+        for cfg, loss, err in pool.imap_unordered(_trial_worker, pending):
+          trials.append((cfg, loss))
+          if err:
+            errors.append(err)
+          if verbose:
+            print(f"[hyper] {cfg} → {loss:.4f}"
+                  + (f" ({err})" if err else ""))
+        done += wave
   else:
     for i in range(max_evals):
       cfg, loss, err = _trial_worker(

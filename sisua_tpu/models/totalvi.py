@@ -214,6 +214,12 @@ class TotalVI(SingleCellModel):
                          sample_shape=sample_shape)
     return res[:self.n_latents] if isinstance(res, tuple) else res
 
+  def _serving_source_indices(self, n_sources: int):
+    idx = [0, 1]  # joint RNA+protein input
+    if self.n_batch and n_sources >= 3:
+      idx.append(n_sources - 1)
+    return idx
+
   def _module_input(self, inputs):
     assert len(inputs) >= 2, "TotalVI batches need (rna, protein) inputs"
     parts = [jnp.asarray(inputs[0]), jnp.asarray(inputs[1])]

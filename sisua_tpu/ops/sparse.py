@@ -100,8 +100,17 @@ def _make_densify_cached(n_rows: int, n_cols: int, cap: int, out_dtype):
   def densify(vals, cols, rowlen):
     row_ids = jnp.repeat(jnp.arange(n_rows, dtype=jnp.int32), rowlen,
                          total_repeat_length=cap)
-    flat = row_ids * np.int32(n_cols) + cols.astype(jnp.int32)
-    dense = jnp.zeros((n_rows * n_cols,), out_dtype).at[flat].add(
-        vals.astype(out_dtype))
+    if n_rows * n_cols < 2 ** 31:
+      flat = row_ids * np.int32(n_cols) + cols.astype(jnp.int32)
+      dense = jnp.zeros((n_rows * n_cols,), out_dtype).at[flat].add(
+          vals.astype(out_dtype))
+    else:
+      # flattened positions would overflow int32 past 2^31 elements
+      # (reachable within a 0.35×HBM budget on ≥24 GB devices) and XLA
+      # silently drops the wrapped adds under jit — scatter per-dimension
+      # instead, where each index stays well inside int32
+      dense = jnp.zeros((n_rows, n_cols), out_dtype).at[
+          row_ids, cols.astype(jnp.int32)].add(vals.astype(out_dtype))
+      return dense
     return dense.reshape(n_rows, n_cols)
   return densify

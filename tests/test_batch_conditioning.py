@@ -84,3 +84,29 @@ def test_totalvi_batch_conditioning(batchy):
   assert np.isfinite(losses).all() and losses[-1] < losses[0]
   (imp, *_), _ = m.predict_mean(batchy, sample_shape=(2,))
   assert imp.shape == (batchy.n_obs, batchy.n_vars)
+
+
+def test_batch_codes_stable_across_subsets(batchy):
+  """Inference data carrying a SUBSET of training batch levels must get the
+  training codes, not a remapping of its own sorted uniques (review
+  finding: wrong one-hots silently corrupt batch-corrected outputs)."""
+  m = VAE(RVmeta(batchy.n_vars, "zinb", name="rna"), n_batch=3, seed=1)
+  full = m._batch_onehot(batchy)                  # defines the mapping
+  cats = list(m.metadata["batch_categories"])
+  assert len(cats) == 3
+  # a split holding only the LAST level must one-hot to that level's code
+  col = np.asarray(batchy.obs["batch"]).astype(str)
+  last = cats[-1]
+  sub = batchy[col == last]
+  oh = m._batch_onehot(sub)
+  assert oh.shape[1] == 3
+  assert np.all(oh[:, cats.index(last)] == 1.0)
+  np.testing.assert_array_equal(oh.sum(0)[:2], [0.0, 0.0])
+  # and the mapping round-trips through save/load metadata
+  assert m.metadata["batch_categories"] == cats
+
+
+def test_batch_codes_reject_overflow(batchy):
+  m = VAE(RVmeta(batchy.n_vars, "zinb", name="rna"), n_batch=2, seed=1)
+  with pytest.raises(AssertionError):
+    m._batch_onehot(batchy)  # 3 levels > n_batch=2

@@ -225,3 +225,21 @@ def test_device_cached_mesh_odd_n_obs(small_nets):
         valid_freq=0, patience=0)
   losses = m.history["loss"]
   assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_mesh_state_cache_tracks_state_identity(mesh, splits, small_nets):
+  """Placement cache must invalidate when the state object changes — an
+  id()-keyed cache could serve OLD weights after address reuse (review
+  finding)."""
+  import jax.numpy as jnp
+  train, _ = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=3, **small_nets)
+  m.fit(train, epochs=1, batch_size=128, valid_freq=0, patience=0)
+  p1, _ = m._mesh_state(mesh)
+  l1 = float(jnp.sum(jax.tree_util.tree_leaves(p1)[0]))
+  m.fit(train, epochs=1, batch_size=128, valid_freq=0, patience=0)
+  p2, _ = m._mesh_state(mesh)
+  l2 = float(jnp.sum(jax.tree_util.tree_leaves(p2)[0]))
+  cur = float(jnp.sum(jax.tree_util.tree_leaves(m.params)[0]))
+  assert l2 == cur           # placed params track the CURRENT state
+  assert l1 != l2            # and are not the stale first placement

@@ -140,3 +140,31 @@ def test_fit_records_metadata_and_persists(splits, small_nets, tmp_path):
   loaded = load_model(path)
   assert loaded.dataset == m.dataset
   assert loaded.metadata[rna_omic] == m.metadata[rna_omic]
+
+
+def test_beta_schedule_roundtrips(splits, small_nets, tmp_path):
+  """A KL warm-up schedule must survive save/load whole — collapsing it to
+  vmax would silently drop annealing on resume (review finding)."""
+  from sisua_tpu import interpolation as I
+  from sisua_tpu.models import VAE, RVmeta, load_model
+  train, _ = splits
+  sched = I.linear(vmin=0.0, vmax=1.0, norm=500, delay_in=50)
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), beta=sched, **small_nets)
+  m.fit(train, epochs=1, batch_size=128, valid_freq=0, patience=0)
+  p = str(tmp_path / "sched")
+  m.save_weights(p)
+  m2 = load_model(p)
+  assert m2.beta == sched, (m2.beta, sched)
+  # constants still round-trip as plain floats
+  m3 = VAE(RVmeta(train.n_vars, "zinb", name="rna"), beta=0.5, **small_nets)
+  assert m3._init_kwargs_for_save["beta"] == 0.5
+
+
+def test_scvi_decode_single_latent_raises_clearly(splits):
+  from sisua_tpu.models import SCVI, RVmeta
+  import jax.numpy as jnp
+  import pytest as _pt
+  train, _ = splits
+  m = SCVI(RVmeta(train.n_vars, "zinbd", name="rna"))
+  with _pt.raises(ValueError, match="library"):
+    m.decode(jnp.zeros((4, 10)))
