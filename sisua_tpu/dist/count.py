@@ -54,8 +54,8 @@ def _lgamma_diff(r, x):
   return jnp.where(r > 1e6, asym, direct)
 
 
-def log_sigmoid(x):
-  return -jax.nn.softplus(-x)
+# the numerically stable -softplus(-x) form, provided by jax itself
+log_sigmoid = jax.nn.log_sigmoid
 
 
 class Poisson(Distribution):
@@ -66,7 +66,10 @@ class Poisson(Distribution):
     return jnp.shape(self.rate)
 
   def log_prob(self, x):
-    return x * jnp.log(self.rate) - self.rate - _lgamma(x + 1.0)
+    # xlogy: rate==0 with x==0 is log(1)=0, not 0*log(0)=NaN (a float32-
+    # underflowed rate at an observed zero must not NaN the whole ELBO)
+    return jax.scipy.special.xlogy(x, self.rate) - self.rate \
+        - _lgamma(x + 1.0)
 
   def mean(self):
     return self.rate
@@ -255,7 +258,15 @@ class NegativeBinomialMixture(Distribution):
 
   def sample(self, key, sample_shape=()):
     kb, kf, km = jax.random.split(key, 3)
-    back, fore = self._components()
+    # components must be drawn at the MIXTURE's batch shape: with shared
+    # per-gene params (1, D) and per-cell mixing (B, D), sampling the
+    # components at their own (narrower) shape can't broadcast back up —
+    # and would reuse one draw across cells even if it could
+    bs = tuple(self.batch_shape)
+    back = NegativeBinomialDisp(loc=jnp.broadcast_to(self.loc_back, bs),
+                                disp=jnp.broadcast_to(self.disp, bs))
+    fore = NegativeBinomialDisp(loc=jnp.broadcast_to(self.loc_fore, bs),
+                                disp=jnp.broadcast_to(self.disp, bs))
     b = back.sample(kb, sample_shape)
     f = fore.sample(kf, sample_shape)
     use_back = jax.random.bernoulli(
@@ -306,6 +317,14 @@ class ZeroInflated(Distribution):
 
   def sample(self, key, sample_shape=()):
     kz, kc = jax.random.split(key)
-    counts = self.count_distribution.sample(kc, sample_shape)
+    # draw counts at the WRAPPER's batch shape: a gate broader than the
+    # count distribution (per-cell gate over shared per-gene counts) must
+    # produce independent count draws per batch element, and broadcast_to
+    # cannot shrink the gate down to the count shape anyway
+    bs = tuple(self.batch_shape)
+    cd = self.count_distribution
+    if tuple(cd.batch_shape) != bs:
+      cd = jax.tree_util.tree_map(lambda p: jnp.broadcast_to(p, bs), cd)
+    counts = cd.sample(kc, sample_shape)
     zero = jax.random.bernoulli(kz, jnp.broadcast_to(self.gate, counts.shape))
     return jnp.where(zero, jnp.zeros_like(counts), counts)

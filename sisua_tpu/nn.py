@@ -118,12 +118,21 @@ class MLP(nn.Module):
       x = nn.Dropout(rate=c.input_dropout, deterministic=not training,
                      name="input_dropout")(x)
     if c.use_conv:
-      # rare path kept for NetConf parity: treat features as a 1-D sequence
+      # rare path kept for NetConf parity: treat features as a 1-D sequence.
+      # batchnorm/dropout settings apply here exactly as on the dense stack
+      # — a config that requests regularization must not silently train
+      # unregularized just because use_conv flipped the layer type
       h = x[..., None]
       for i, u in enumerate(c.units):
         h = nn.Conv(features=u, kernel_size=(c.kernel_size,), strides=(2,),
                     dtype=dtype, name=f"conv{i}")(h)
+        if c.batchnorm:
+          h = nn.BatchNorm(use_running_average=not training,
+                           momentum=0.9, dtype=dtype, name=f"bn{i}")(h)
         h = act(h)
+        if c.dropout > 0:
+          h = nn.Dropout(rate=c.dropout, deterministic=not training,
+                         name=f"dropout{i}")(h)
       x = h.reshape(h.shape[:-2] + (-1,))
       return x
     for i, u in enumerate(c.units):

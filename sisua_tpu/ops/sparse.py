@@ -32,7 +32,10 @@ def int16_exact(values) -> bool:
   flat = np.asarray(values).reshape(-1)
   for lo in range(0, flat.size, 16_777_216):
     chunk = flat[lo:lo + 16_777_216]
-    if np.abs(chunk).max() >= 32767 or np.any(chunk != np.round(chunk)):
+    # two-sided compare, NOT np.abs: abs(INT_MIN) overflows back to
+    # INT_MIN (< 32767) and would sneak the most-negative value through
+    if chunk.max() >= 32767 or chunk.min() <= -32767 \
+        or np.any(chunk != np.round(chunk)):
       return False
   return True
 

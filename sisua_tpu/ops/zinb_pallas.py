@@ -70,8 +70,8 @@ def _lgamma_ref(x):
   return jax.lax.lgamma(x)
 
 
-def _log_sigmoid(x):
-  return -jax.nn.softplus(-x)
+# stock stable form; works inside pallas kernels (plain jnp ops)
+_log_sigmoid = jax.nn.log_sigmoid
 
 
 def _zinb_elem(x, count_raw, logits, gate, constrained: bool,
@@ -294,7 +294,15 @@ def _make_bwd_kernel(d: int, block_b: int, constrained: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _zinb_rowsum(x, count_raw, logits, gate, constrained):
-  if not pallas_available() or x.ndim != 2:
+  # the fused kernel needs FULL-shape parameters (its BlockSpecs tile
+  # (B, D) operands); broadcast shapes like per-gene dispersion (D,) fall
+  # back to the XLA path, which handles broadcasting — mirroring the
+  # backward path's 'full' guard
+  full = (x.ndim == 2
+          and jnp.shape(count_raw) == x.shape
+          and jnp.shape(logits) == x.shape
+          and jnp.shape(gate) == x.shape)
+  if not pallas_available() or not full:
     return _rowsum_ref(x, count_raw, logits, gate, constrained)
   b, d = x.shape
   block_b = 8

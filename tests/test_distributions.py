@@ -153,3 +153,42 @@ def test_poisson_bernoulli():
   np.testing.assert_allclose(
       float(be.log_prob(jnp.float32(1.0))),
       np.log(1 / (1 + np.exp(-0.3))), atol=1e-6)
+
+
+def test_poisson_log_prob_zero_rate_zero_count():
+  """rate==0 at x==0 is log(1)=0, not 0*log(0)=NaN (review finding)."""
+  from sisua_tpu.dist import Poisson
+  lp = np.asarray(Poisson(rate=jnp.array([0.0, 2.0]))
+                  .log_prob(jnp.array([0.0, 0.0])))
+  # exactly log(1)=0 up to the Lanczos lgamma(1) approximation error
+  np.testing.assert_allclose(lp[0], 0.0, atol=1e-5)
+  np.testing.assert_allclose(lp[1], -2.0, rtol=1e-5, atol=1e-5)
+
+
+def test_zero_inflated_sample_broad_gate():
+  """Per-cell gate over shared per-gene counts must sample at the wrapper's
+  batch shape (review finding: broadcast_to cannot shrink)."""
+  from sisua_tpu.dist import NegativeBinomialDisp, ZeroInflated
+  d = ZeroInflated(
+      count_distribution=NegativeBinomialDisp(loc=jnp.ones((1, 4)) * 5,
+                                              disp=jnp.ones((1, 4))),
+      gate_logits=jnp.zeros((3, 4)))
+  assert tuple(d.batch_shape) == (3, 4)
+  s = d.sample(jax.random.PRNGKey(0))
+  assert s.shape == (3, 4)
+  # rows are independent draws, not one row broadcast
+  s2 = d.sample(jax.random.PRNGKey(1), (64,))
+  assert s2.shape == (64, 3, 4)
+  assert not np.allclose(np.asarray(s2)[:, 0], np.asarray(s2)[:, 1])
+
+
+def test_nb_mixture_sample_broad_mixing():
+  from sisua_tpu.dist import NegativeBinomialMixture
+  d = NegativeBinomialMixture(loc_back=jnp.ones((1, 4)),
+                              loc_fore=jnp.ones((1, 4)) * 30,
+                              disp=jnp.ones((1, 4)),
+                              mixing_logits=jnp.zeros((5, 4)))
+  assert tuple(d.batch_shape) == (5, 4)
+  s = d.sample(jax.random.PRNGKey(0), (32,))
+  assert s.shape == (32, 5, 4)
+  assert not np.allclose(np.asarray(s)[:, 0], np.asarray(s)[:, 1])

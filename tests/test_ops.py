@@ -246,3 +246,23 @@ def test_disp_parameterization_remap_exact():
                          jnp.full_like(gate, -40.0), constrained=True)
   np.testing.assert_allclose(np.asarray(remap_nb), np.asarray(ref_nb),
                              rtol=2e-5, atol=2e-4)
+
+
+def test_rowsum_broadcast_params_fall_back():
+  """Per-gene dispersion (theta shape (D,)) must route to the XLA fallback,
+  not crash the pallas kernel path (review finding)."""
+  from sisua_tpu.ops import zinb_pallas as zp
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.poisson(3.0, (16, 12)).astype(np.float32))
+  mu = jnp.asarray(rng.uniform(1, 5, (16, 12)).astype(np.float32))
+  theta = jnp.asarray(rng.uniform(0.5, 2, (12,)).astype(np.float32))
+  out = zp.nbd_log_prob_rowsum(x, mu, theta)
+  full = zp.nbd_log_prob_rowsum(x, mu, jnp.broadcast_to(theta, x.shape))
+  np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_int16_exact_int_min():
+  from sisua_tpu.ops.sparse import int16_exact
+  assert not int16_exact(np.array([0, -2**31], dtype=np.int32))
+  assert not int16_exact(np.array([-2**63], dtype=np.int64))

@@ -120,3 +120,17 @@ def test_mlp_shapes_and_dropout():
   o1 = mlp.apply(vs, x, training=False)
   o2 = mlp.apply(vs, x, training=False)
   np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_netconf_conv_applies_regularization():
+  """use_conv must honor batchnorm/dropout (review finding)."""
+  import jax
+  from sisua_tpu.nn import MLP, NetConf
+  conf = NetConf(units=(8,), batchnorm=True, dropout=0.3, use_conv=True)
+  m = MLP(conf)
+  x = jnp.ones((4, 32))
+  variables = m.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, x, training=True)
+  names = set(variables["params"].keys())
+  assert any("bn" in n for n in names), names
+  assert "batch_stats" in variables
