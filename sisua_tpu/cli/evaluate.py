@@ -98,13 +98,25 @@ def main(argv=None):
   posteriors = []
   for cfg, model in found:
     ds_name = args.ds2 or cfg["dataset"]["name"]
-    sco = get_dataset(ds_name)
-    _, test = sco.split(float(cfg["dataset"].get("train_percent", 0.8)))
-    post = model.create_posterior(
-        test, dropout_rate=float(cfg["dataset"].get("dropout_rate", 0.2)),
-        retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)),
-        mesh=mesh)
     uid = f"{model.id}_{ds_name}"
+
+    def _make_posterior(cfg=cfg, model=model, ds_name=ds_name):
+      sco = get_dataset(ds_name)
+      _, test = sco.split(float(cfg["dataset"].get("train_percent", 0.8)))
+      # a cross-dataset sweep (-ds2) can hit gene-dim mismatches: skip the
+      # incompatible model instead of killing every other model's eval
+      if test.n_vars != model.outputs[0].dim:
+        raise ValueError(f"gene dim {test.n_vars} != model "
+                         f"{model.outputs[0].dim} — skipped")
+      return model.create_posterior(
+          test, dropout_rate=float(cfg["dataset"].get("dropout_rate", 0.2)),
+          retain_rate=float(cfg["dataset"].get("retain_rate", 0.2)),
+          mesh=mesh)
+
+    post = robust_run("posterior", uid, _make_posterior,
+                      scoreboard=exp.scoreboard)
+    if post is None:
+      continue  # one incompatible model must not sink the sweep
     scores = robust_run("scoring", uid, scoring, post, exp.scoreboard,
                         table=f"eval_{ds_name}", uid=uid,
                         scoreboard=exp.scoreboard)
@@ -113,6 +125,9 @@ def main(argv=None):
           f"{k}={v:.4f}" for k, v in list(scores.items())[:5]))
     posteriors.append(post)
 
+  if not posteriors:
+    print("no evaluable models (see scoreboard errors)")
+    return []
   rs = ResultsSheet(*posteriors)
   rs.save_scores(os.path.join(args.path, "scores"))
   if not args.no_plots:
@@ -122,7 +137,10 @@ def main(argv=None):
                      full=not args.summary_plots,
                      scoreboard=exp.scoreboard)
       n_figs += n or 0
-    rs.plot_all()
+    # the comparison grid degrades like per-posterior plotting: one NaN row
+    # (a model whose scoring failed) must not abort the aggregation stage
+    robust_run("comparison-plots", "results_sheet", rs.plot_all,
+               scoreboard=exp.scoreboard)
     n_figs += len(rs.figures)
     rs.save_figures(args.path)
     print(f"{n_figs} figures →", args.path)

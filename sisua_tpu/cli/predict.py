@@ -25,12 +25,21 @@ def _load_counts(path: str):
     return read_h5ad(path)
   if path.endswith(".npz"):
     f = np.load(path)
-    key = "X" if "X" in f else list(f.keys())[0]
-    return np.asarray(f[key], np.float32)
+    keys = set(f.keys())
+    if {"format", "data", "indices", "indptr"} <= keys:
+      # scipy.sparse.save_npz layout — the standard sparse-counts format
+      from scipy import sparse
+      return sparse.load_npz(path).tocsr()
+    if "X" in keys:
+      return np.asarray(f["X"], np.float32)
+    if len(keys) == 1:
+      return np.asarray(f[next(iter(keys))], np.float32)
+    raise ValueError(
+        f"{path} carries arrays {sorted(keys)}; expected an 'X' array, a "
+        "single array, or a scipy.sparse.save_npz file")
   if path.endswith(".csv") or path.endswith(".csv.gz"):
-    import pandas as pd
-    df = pd.read_csv(path, index_col=0)
-    return df.to_numpy(np.float32)
+    from ..utils.io_utils import load_data_from_csv
+    return load_data_from_csv(path).to_numpy(np.float32)
   raise ValueError(f"unsupported input file: {path}")
 
 

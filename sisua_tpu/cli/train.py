@@ -16,6 +16,8 @@ def main(argv=None):
   kwargs = {}
   if "--config" in argv:  # e.g. --config configs/presets/cortex_vae.yaml
     i = argv.index("--config")
+    if i + 1 >= len(argv):
+      raise SystemExit("--config requires a path argument")
     kwargs["config_path"] = argv[i + 1]
     del argv[i:i + 2]
   exp = SisuaExperimenter(**kwargs)

@@ -279,7 +279,8 @@ def main(argv=None):
 
   if os.path.isfile(args.input):
     import pandas as pd
-    df = pd.read_csv(args.input, index_col=0)
+    from .utils.io_utils import load_data_from_csv
+    df = load_data_from_csv(args.input)
     X, names = df.values, list(df.columns)
   else:
     from .data import get_dataset

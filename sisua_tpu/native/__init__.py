@@ -113,6 +113,10 @@ def dense_gather(src: np.ndarray, rows: np.ndarray,
   n_rows, n_cols = len(rows), src.shape[1]
   if out is None:
     out = np.empty((n_rows, n_cols), np.float32)
+  # same guard as csr_gather: the C kernel memcpys through the raw pointer,
+  # so a wrong-dtype/short/non-contiguous out is silent memory corruption
+  assert out.dtype == np.float32 and out.flags.c_contiguous \
+      and out.shape == (n_rows, n_cols), "out must be C-contiguous f32"
   if (lib is None or not src.flags.c_contiguous
       or src.dtype != np.float32):
     np.take(src.astype(np.float32, copy=False), rows, axis=0, out=out)

@@ -179,8 +179,12 @@ def test_cross_analyze_end_to_end(tmp_path, monkeypatch):
   out = tmp_path / "cross"
   scores = ca.cross_analyze(["dca"], ["synthetic1k"], outpath=str(out),
                             verbose=False)
-  assert ("dca", "synthetic1k") in scores
-  s = scores[("dca", "synthetic1k")]
+  # keys carry the checkpoint identity (name:train_ds:hash) so same-named
+  # models trained on different cohorts never collide
+  keys = [k for k in scores if k[0].startswith("dca:")
+          and k[1] == "synthetic1k"]
+  assert len(keys) == 1, list(scores)
+  s = scores[keys[0]]
   assert any(k.startswith("llk") for k in s)
   assert (out / "cross_scores.csv").exists()
 
@@ -273,3 +277,28 @@ def test_parse_overrides_quoted_strings():
   assert grids == [{"x": ["a]b", 1]}]
   grids = parse_overrides(['note="hello, world"'])
   assert grids == [{"note": "hello, world"}]
+
+
+def test_predict_cli_loads_scipy_sparse_npz(tmp_path):
+  """scipy.sparse.save_npz files are the standard sparse-counts format and
+  must load as CSR, not be misread via their first array key."""
+  from scipy import sparse
+  from sisua_tpu.cli.predict import _load_counts
+  m = sparse.random(30, 12, density=0.3, format="csr", dtype=np.float32,
+                    random_state=0)
+  p = str(tmp_path / "counts.npz")
+  sparse.save_npz(p, m)
+  back = _load_counts(p)
+  assert sparse.issparse(back)
+  np.testing.assert_allclose(back.toarray(), m.toarray())
+  # plain npz with X still works
+  p2 = str(tmp_path / "dense.npz")
+  np.savez(p2, X=m.toarray())
+  np.testing.assert_allclose(_load_counts(p2), m.toarray())
+
+
+def test_train_cli_config_flag_requires_value():
+  from sisua_tpu.cli.train import main as train_main
+  import pytest as _pt
+  with _pt.raises(SystemExit, match="requires a path"):
+    train_main(["model.name=vae", "--config"])
