@@ -984,6 +984,14 @@ class Trainer:
   # ------------------------------------------------------------------ eval
   def evaluate(self, state: TrainState, feeder, key) -> Dict[str, float]:
     assert self.eval_fn is not None, "no eval_fn provided"
+    if (self.device_cache
+        and (self.mesh is None or self.mesh.shape.get(DATA_AXIS, 1) == 1)
+        and feeder.n_obs >= feeder.batch_size
+        # the TRAIN set already occupies the resident budget — cache the
+        # validation set only when it costs a small slice of it
+        and self._bytes_per_row(feeder) * feeder.n_obs
+            <= self._device_budget() // 8):
+      return self._evaluate_device_cached(state, feeder, key)
     agg: Dict[str, list] = {}
     n = 0
     for batch in feeder.full_batches():
@@ -994,6 +1002,76 @@ class Trainer:
         agg.setdefault(k, []).append(np.asarray(v) * b)
       n += b
     return {k: float(np.sum(v) / n) for k, v in agg.items()}
+
+  def _evaluate_device_cached(self, state: TrainState, feeder, key
+                              ) -> Dict[str, float]:
+    """Validation in ≤2 dispatches instead of one per batch: every FULL
+    batch runs inside one jitted lax.map over stacked device-resident
+    batches (uploaded once per feeder and reused every window — on
+    remote-attached chips the per-batch dispatch RPCs dominate streaming
+    evaluation), and the ragged remainder reuses the per-batch eval_fn.
+    Exact: full batches carry no padding, the remainder is unchanged, and
+    the per-row weighting matches the streaming aggregation."""
+    import weakref
+    B = int(feeder.batch_size)
+    n = int(feeder.n_obs)
+    k = n // B
+    entry = getattr(self, "_eval_cache", None)
+    payload = None
+    if entry is not None and entry[0]() is feeder:
+      payload = entry[1]
+    if payload is None:
+      rows_full = np.arange(k * B, dtype=np.int64)
+      xs = [jnp.asarray(
+          src.gather(rows_full,
+                     out=np.empty((k * B, src.shape[1]), np.float32))
+          .reshape(k, B, src.shape[1])) for src in feeder.sources]
+      lib = (jnp.asarray(np.ascontiguousarray(
+                 feeder.library[:k * B]).reshape(k, B, -1))
+             if feeder.library is not None else None)
+      rem = None
+      if k * B < n:
+        rows = np.arange(k * B, n, dtype=np.int64)
+        rem = {"inputs": [src.gather(
+                   rows, out=np.empty((len(rows), src.shape[1]), np.float32))
+                          for src in feeder.sources],
+               "mask": np.ones((len(rows),), np.float32)}
+        if feeder.library is not None:
+          rem["library"] = feeder.library[rows]
+      payload = (xs, lib, rem)
+      self._eval_cache = (weakref.ref(feeder), payload)
+    xs, lib, rem = payload
+    eval_fn = self.eval_fn
+    has_library = lib is not None
+
+    def _build():
+      @jax.jit
+      def eval_all(st, xs_b, lib_b, keys):
+        def one(args):
+          xs_i, lib_i, kk = args
+          batch = {"inputs": list(xs_i),
+                   "mask": jnp.ones((xs_i[0].shape[0],), jnp.float32)}
+          if has_library:
+            batch["library"] = lib_i
+          return eval_fn(st, batch, kk)
+        dummy_lib = lib_b if has_library else jnp.zeros((len(keys), 1, 0))
+        ms = jax.lax.map(one, (tuple(xs_b), dummy_lib, keys))
+        # per-batch means over equal-size full batches → plain mean
+        return {mk: jnp.mean(v) for mk, v in ms.items()}
+      return eval_all
+    if getattr(self, "_eval_all_jit", None) is None \
+        or self._eval_all_fn is not eval_fn:
+      self._eval_all_jit = _build()
+      self._eval_all_fn = eval_fn
+    key, kmap, krem = jax.random.split(key, 3)
+    sums = jax.device_get(
+        self._eval_all_jit(state, xs, lib, jax.random.split(kmap, k)))
+    out = {mk: float(v) * (k * B) for mk, v in sums.items()}
+    if rem is not None:
+      r = rem["inputs"][0].shape[0]
+      for mk, v in self.eval_fn(state, rem, krem).items():
+        out[mk] = out.get(mk, 0.0) + float(np.asarray(v)) * r
+    return {mk: v / n for mk, v in out.items()}
 
   @property
   def average_epoch_time(self) -> float:

@@ -162,3 +162,41 @@ def test_prefetch_iter_releases_worker_on_early_break():
   it.close()  # what an abandoned for-loop does via GC
   workers[0].join(timeout=5)
   assert not workers[0].is_alive()
+
+
+def test_device_cached_evaluate_matches_streaming(splits, small_nets):
+  """Device-cached validation (one lax.map executable + remainder batch)
+  must agree with the streaming per-batch evaluation."""
+  import jax
+  from sisua_tpu.models import VAE, RVmeta
+
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=2, **small_nets)
+  m.fit(train, epochs=1, batch_size=64, valid_freq=0, patience=0)
+  tr = m.trainer
+  feeder = test.create_dataset(batch_size=64, shuffle=False,
+                               labels_percent=1.0)
+  assert feeder.n_obs % 64 != 0  # exercise the ragged remainder
+  key = jax.random.PRNGKey(7)
+  stream = tr.evaluate(m.state, feeder, key)          # device_cache=False
+  cached = tr._evaluate_device_cached(m.state, feeder, key)
+  assert set(stream) == set(cached)
+  for k in stream:
+    # same math, different MC z-draw keys per batch → statistical agreement
+    assert abs(stream[k] - cached[k]) / (abs(stream[k]) + 1e-6) < 0.05, \
+        (k, stream[k], cached[k])
+  # second call reuses the uploaded payload (cache hit on the same feeder)
+  again = tr._evaluate_device_cached(m.state, feeder, key)
+  for k in cached:
+    np.testing.assert_allclose(again[k], cached[k], rtol=1e-6)
+
+
+def test_fit_with_validation_uses_cached_eval(splits, small_nets):
+  from sisua_tpu.models import VAE, RVmeta
+  train, test = splits
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=2, **small_nets)
+  m.fit(train, valid=test, epochs=4, batch_size=64, device_cache=True,
+        metrics_interval=2, patience=10)
+  assert "val_loss" in m.history
+  vals = [v for v in m.history["val_loss"] if np.isfinite(v)]
+  assert vals, m.history["val_loss"]
