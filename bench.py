@@ -67,7 +67,11 @@ def main():
   # (it includes compilation). The headline is the MEDIAN of the steady
   # windows — no cherry-picking — with the min..max spread reported.
   rates = model.history["cells_per_sec"]
-  window_rates = [float(r) for r in rates[::METRICS_INTERVAL]]
+  # one rate per FULL window only: a trailing partial window (EPOCHS not a
+  # multiple of METRICS_INTERVAL) runs a freshly-compiled single-epoch
+  # executable whose compile-tainted rate must not enter the steady set
+  n_full = max(1, EPOCHS // METRICS_INTERVAL)
+  window_rates = [float(rates[i * METRICS_INTERVAL]) for i in range(n_full)]
   steady = window_rates[1:] if len(window_rates) > 1 else window_rates
   cells_per_sec = float(np.median(steady))
   result = {

@@ -46,8 +46,15 @@ def mine_pairs(dataset_names, top: int = 100, verbose: bool = True):
       corr_sum[(a, b)].append(spear)
   ranked = sorted(((np.mean(v), k) for k, v in corr_sum.items()),
                   key=lambda t: t[0])
-  negative = [k for _, k in ranked[:top]]
-  positive = [k for _, k in ranked[::-1][:top]]
+  # the two lists must be disjoint: with 2*top > len(ranked) the naive
+  # head/tail slices overlap and every pair scores as BOTH positively and
+  # negatively co-expressed downstream
+  eff = min(top, len(ranked) // 2)
+  if eff < top:
+    print(f"# note: only {len(ranked)} observed pairs — emitting "
+          f"{eff} per list (requested {top}) to keep the lists disjoint")
+  negative = [k for _, k in ranked[:eff]]
+  positive = [k for _, k in ranked[::-1][:eff]]
   return positive, negative
 
 

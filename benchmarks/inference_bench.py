@@ -73,7 +73,9 @@ def main(argv=None):
       ("predict_device_cache", args.cells, 2, lambda: model.predict(
           sco, sample_shape=(args.mc,), batch_size=args.batch,
           device_cache=True)),
-      ("predict_streaming", args.stream_cells, 1, lambda: model.predict(
+      # ≥2 repeats like every other path: the tunnel's transient stalls
+      # (±30% documented) make any single-run number untrustworthy
+      ("predict_streaming", args.stream_cells, 2, lambda: model.predict(
           sco_small, sample_shape=(args.mc,), batch_size=args.batch)),
   ]
   for name, n, reps, fn in paths:

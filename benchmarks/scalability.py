@@ -21,8 +21,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-SIZES = {"200": 200, "500": 500, "1k": 1000, "2k": 2000, "5k": 5000,
-         "10k": 10000, "40k": 40000, "100k": 100000, "1m": 1000000}
+# single source of truth for the protocol sizes: the synthetic registry
+from sisua_tpu.data.synthetic import SYNTHETIC_SIZES as SIZES  # noqa: E402
 
 
 def main(argv=None):
@@ -59,14 +59,22 @@ def main(argv=None):
                 labels_percent=0.5, valid_freq=0, patience=0,
                 device_cache=True, metrics_interval=args.metrics_interval)
       fit_s = time.perf_counter() - t0
-      rates = model.history["cells_per_sec"][1:] or \
-          model.history["cells_per_sec"]
+      # history is per-EPOCH but epochs share their window's rate: collapse
+      # to one rate per FULL window, drop window 0 (compile) and any
+      # trailing partial window (it compiles its own single-epoch
+      # executable) — bench.py's protocol; a flat rates[1:] mean would be
+      # dominated by compile-tainted epochs
+      mi = args.metrics_interval
+      all_rates = model.history["cells_per_sec"]
+      n_full = max(1, args.epochs // mi)
+      window_rates = [float(all_rates[i * mi]) for i in range(n_full)]
+      rates = window_rates[1:] or window_rates
       t0 = time.perf_counter()
       model.predict(sco[np.arange(min(n, 10000))], batch_size=1024)
       predict_s = time.perf_counter() - t0
       row = dict(model=model_name, n_cells=n, epochs=args.epochs,
                  batch=args.batch, fit_seconds=round(fit_s, 3),
-                 steady_cells_per_sec=round(float(np.mean(rates)), 1),
+                 steady_cells_per_sec=round(float(np.median(rates)), 1),
                  predict_seconds=round(predict_s, 3))
       rows.append(row)
       print(row)

@@ -47,13 +47,14 @@ def main():
   # --- on-device clustered ZINB synthesis (chunked to bound HBM temps)
   @jax.jit
   def make_chunk(key, arch):
-    k2, k3, k4, k5 = jax.random.split(key, 4)
+    # split ALL streams up front — deriving k6/k7 from an already-consumed
+    # k5 would correlate the Poisson/zero-inflation draws with the gamma
+    k2, k3, k4, k5, k6, k7 = jax.random.split(key, 6)
     ct = jax.random.randint(k2, (CHUNK,), 0, 7)
     logits = arch[ct] + 0.3 * jax.random.normal(k3, (CHUNK, G))
     props = jax.nn.softmax(logits, -1)
     lib = jnp.exp(7.0 + 0.4 * jax.random.normal(k4, (CHUNK, 1)))
     g = jax.random.gamma(k5, 2.0 * jnp.ones((CHUNK, G))) * (props * lib / 2.0)
-    k6, k7 = jax.random.split(k5)
     x = jax.random.poisson(k6, g).astype(jnp.float32)
     return x * (jax.random.uniform(k7, (CHUNK, G)) > 0.3)
 

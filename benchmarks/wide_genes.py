@@ -34,6 +34,15 @@ def main():
   from sisua_tpu.models import SCVI, RVmeta
   from sisua_tpu.train.trainer import Trainer
 
+  assert EPOCHS >= 2 * WINDOW, (
+      f"need at least 2 windows (first is compile): EPOCHS={EPOCHS} "
+      f"< 2*WINDOW={2 * WINDOW}")
+  global N
+  if N % 1024:
+    # the dataset materializes in 1024-row chunks; truncate N so the
+    # reported cells/s and per-step loss normalize over the rows that
+    # actually exist (a phantom remainder inflated both before)
+    N = (N // 1024) * 1024
   t0 = time.perf_counter()
   def log(m):
     print(f"[{time.perf_counter() - t0:7.1f}s] {m}", flush=True)
@@ -91,8 +100,7 @@ def main():
         rates.append(rate)
       log(f"dtype={dtype or 'float32'} window {w}: loss={loss:.1f} "
           f"{dt:.2f}s → {rate:,.0f} cells/s")
-    results[dtype or "float32"] = (float(np.mean(rates)) if rates
-                                   else rate, losses[-1])
+    results[dtype or "float32"] = (float(np.mean(rates)), losses[-1])
   f32_rate, f32_loss = results["float32"]
   bf_rate, bf_loss = results["bfloat16"]
   print(f"\nfloat32:  {f32_rate:,.0f} cells/s (loss {f32_loss:.1f})")

@@ -243,11 +243,17 @@ def generate_citeseq(n_cells: int = 5000,
   return sco
 
 
+# scalability-protocol sizes (reference tests/test_scalability.py) — the
+# single source of truth for registry names AND the benchmark grid
+SYNTHETIC_SIZES = {"200": 200, "500": 500, "1k": 1000, "2k": 2000,
+                   "5k": 5000, "10k": 10000, "40k": 40000,
+                   "100k": 100000, "1m": 1000000}
+
+
 def read_synthetic(spec: str = "", **kwargs) -> SingleCellOMIC:
   """Registry entry: 'synthetic' or 'synthetic<k>' with k cells in
   {200, 500, 1k, 2k, 5k, 10k, 40k, 100k, 1m} (scalability protocol)."""
-  sizes = {"200": 200, "500": 500, "1k": 1000, "2k": 2000, "5k": 5000,
-           "10k": 10000, "40k": 40000, "100k": 100000, "1m": 1000000}
+  sizes = SYNTHETIC_SIZES
   spec = spec.lower().replace("synthetic", "").strip("_")
   if spec in sizes:
     return generate_synthetic(n_cells=sizes[spec], n_genes=500,

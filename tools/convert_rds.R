@@ -8,24 +8,43 @@
 #   [out_dir/y.mtx, out_dir/y_col.txt]  when a label .rds is given
 #
 # Usage:
-#   Rscript tools/convert_rds.R counts.rds out_dir [labels.rds]
+#   Rscript tools/convert_rds.R counts.rds out_dir [labels.rds] [orient]
+#     orient: auto (default) | cells-rows | features-rows
+#       auto assumes the larger axis is cells (true for the named use
+#       cases: MPAL ~35k cells x ~20k genes, cisTopic cells >> topics);
+#       pass features-rows / cells-rows explicitly when your matrix has
+#       fewer cells than features.
 # then finalize on the python side (writes npz + MD5 manifest):
 #   python -m sisua_tpu.data.loaders.finalize_cache out_dir
 suppressMessages(library(Matrix))
 
 args <- commandArgs(trailingOnly = TRUE)
-if (length(args) < 2) stop("usage: convert_rds.R counts.rds out_dir [labels.rds]")
+if (length(args) < 2) stop(
+  "usage: convert_rds.R counts.rds out_dir [labels.rds] [orient]")
+orient <- if (length(args) >= 4) args[4] else "auto"
 obj <- readRDS(args[1])
 dir.create(args[2], showWarnings = FALSE, recursive = TRUE)
 
-m <- as(obj, "CsparseMatrix")
-# sisua expects cells x features; .rds matrices are typically features x cells
-if (nrow(m) > ncol(m)) m <- t(m)
+orient_cells_rows <- function(m, what) {
+  # sisua expects cells x features
+  flip <- switch(orient,
+    "auto" = nrow(m) < ncol(m),   # larger axis = cells
+    "cells-rows" = FALSE,          # already cells x features
+    "features-rows" = TRUE,        # stored features x cells
+    stop("orient must be auto | cells-rows | features-rows"))
+  if (flip) m <- t(m)
+  cat(sprintf("%s: %d cells x %d features (%s)\n",
+              what, nrow(m), ncol(m),
+              if (flip) "transposed" else "as stored"))
+  m
+}
+
+m <- orient_cells_rows(as(obj, "CsparseMatrix"), "counts")
 writeMM(m, file.path(args[2], "X.mtx"))
 writeLines(colnames(m), file.path(args[2], "X_col.txt"))
 writeLines(rownames(m), file.path(args[2], "X_row.txt"))
 
-if (length(args) >= 3) {
+if (length(args) >= 3 && nzchar(args[3])) {
   y <- readRDS(args[3])
   if (is.factor(y) || is.character(y)) {
     lv <- sort(unique(as.character(y)))
@@ -34,7 +53,12 @@ if (length(args) >= 3) {
     writeMM(as(oh, "CsparseMatrix"), file.path(args[2], "y.mtx"))
     writeLines(lv, file.path(args[2], "y_col.txt"))
   } else {
-    y <- as(y, "CsparseMatrix")
+    # label MATRICES need the same orientation handling as the counts
+    # (ADT panels are stored proteins x cells just as often)
+    y <- orient_cells_rows(as(y, "CsparseMatrix"), "labels")
+    if (nrow(y) != nrow(m)) stop(sprintf(
+      "labels have %d cells but counts have %d — check orient", nrow(y),
+      nrow(m)))
     writeMM(y, file.path(args[2], "y.mtx"))
     writeLines(colnames(y), file.path(args[2], "y_col.txt"))
   }

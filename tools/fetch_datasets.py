@@ -43,8 +43,9 @@ def main(argv=None):
     for name, tag in sorted(avail.items()):
       if tag != "public-download":
         continue
-      if name.endswith("all"):
-        continue  # unfiltered variants share the filtered download
+      if name.endswith("all") and name[:-3] in avail:
+        continue  # '<x>all' unfiltered variant shares '<x>'s download —
+        # but never drop primary names that merely END in 'all' ('call')
       from sisua_tpu.data.loaders.tenx import TENX_CATALOG
       if not args.include_10x_catalog and name in TENX_CATALOG:
         continue
