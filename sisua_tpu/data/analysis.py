@@ -48,6 +48,34 @@ def diagonal_linear_assignment(cm: np.ndarray) -> np.ndarray:
 
 class _OMICanalyzer(_OMICbase):
   # ---------------------------------------------------------------- corrupt
+  def _invalidate_analysis_caches(self, omic: Optional[str] = None,
+                                  rows_only: bool = False):
+    """Drop derived caches that a mutation just made stale — all omics when
+    ``omic`` is None. Value/column mutations (filters, normalize, corrupt)
+    drop everything derived from the omic: embeddings, kNN graphs,
+    correlation / importance / MI tables, fitted models, cluster-id
+    columns — var-indexed caches would otherwise silently index genes a
+    filter just removed. Row selections (``rows_only=True``) keep the
+    per-cell artifacts (sliced embeddings / cluster ids stay valid per
+    cell) and drop only the population-level tables and graphs."""
+    def hit(key: str) -> bool:
+      return omic is None or omic in str(key)
+    population = ("_neighbors", "_correlation", "_importance",
+                  "_mutualinfo", "_rank_")
+    derived = population + ("_pca", "_tsne", "_umap", "_prob", "_bin")
+    tags = population if rows_only else derived
+    for store in (self.uns, self.obsm):
+      for k in [k for k in list(store)
+                if hit(k) and any(t in str(k) for t in tags)]:
+        del store[k]
+    if not rows_only:
+      cluster_tags = ("_kmeans", "_knn", "_agglo", "_spectral", "_gmm",
+                      "_louvain")
+      drop_cols = [c for c in self.obs.columns
+                   if hit(c) and any(t in str(c) for t in cluster_tags)]
+      if drop_cols:
+        self.obs = self.obs.drop(columns=drop_cols)
+
   def corrupt(self,
               omic=None,
               dropout_rate: float = 0.2,
@@ -69,6 +97,7 @@ class _OMICanalyzer(_OMICbase):
                                       copy=False, seed=seed)
       obj._omics[om.name] = x
       obj._calculate_statistics(om)
+      obj._invalidate_analysis_caches(om.name)
     obj._record("corrupt", dict(omic=omic.name, dropout_rate=dropout_rate,
                                 retain_rate=retain_rate,
                                 distribution=distribution, seed=seed))
@@ -98,8 +127,9 @@ class _OMICanalyzer(_OMICbase):
       # expm1 space, dispersions z-scored within mean bins
       Xl = np.log1p(Xn)
       mean = np.expm1(Xl.mean(0))
+      # expm1(Xl) == Xn exactly — no second full-matrix exp pass
       disp = np.where(mean > 0,
-                      np.expm1(Xl).var(0) / np.maximum(mean, 1e-12), 0.0)
+                      Xn.var(0) / np.maximum(mean, 1e-12), 0.0)
       log_disp = np.log(disp + 1e-12)
       # bin by mean, z-score log-dispersion within bins
       bins = np.quantile(mean, np.linspace(0, 1, n_bins + 1))
@@ -228,6 +258,7 @@ class _OMICanalyzer(_OMICbase):
           X = np.clip(X, -max_value, max_value)
       obj._omics[om.name] = X.astype(np.float32)
       obj._calculate_statistics(om)
+      obj._invalidate_analysis_caches(om.name)
     obj._record("normalize", dict(omic=omic.name, total=total, log1p=log1p,
                                   scale=scale, target_sum=target_sum))
     return obj
@@ -238,6 +269,7 @@ class _OMICanalyzer(_OMICbase):
     for om in omic:
       obj._omics[om.name] = np.expm1(_dense(obj._omics[om.name]))
       obj._calculate_statistics(om)
+      obj._invalidate_analysis_caches(om.name)
     obj._record("expm1", dict(omic=omic.name))
     return obj
 
@@ -265,7 +297,19 @@ class _OMICanalyzer(_OMICbase):
     from ..label_threshold import ProbabilisticEmbedding
     omic = self.current_omic if omic is None else OMIC.parse(omic)
     key = f"{omic.name}_prob_embedding"
+    defaults = (2, 1, True, 0.0, True, -0.68)
+    params = (n_components_per_class, positive_component, log_norm,
+              clip_quartile, remove_zeros, ci_threshold)
+    if params != defaults:
+      # non-default GMM hyperparameters must not reuse the default fit
+      key += "_" + "_".join(f"{p:g}" if isinstance(p, float) else str(int(p))
+                            for p in params)
     X = self.numpy(omic)
+    # obsm keys carry the same suffix as the model key: a non-default call
+    # must not return probabilities predicted by the default-parameter fit
+    suffix = key[len(f"{omic.name}_prob_embedding"):]
+    k_prob = f"{omic.name}_prob{suffix}"
+    k_bin = f"{omic.name}_bin{suffix}"
     if key not in self.uns:
       pe = ProbabilisticEmbedding(
           n_components_per_class=n_components_per_class,
@@ -275,11 +319,10 @@ class _OMICanalyzer(_OMICbase):
       # binary data probabilizes trivially
       pe.fit(X)
       self.uns[key] = pe
-      self.obsm[f"{omic.name}_prob"] = pe.predict_proba(X)
-      self.obsm[f"{omic.name}_bin"] = pe.predict(X)
+      self.obsm[k_prob] = pe.predict_proba(X)
+      self.obsm[k_bin] = pe.predict(X)
       self._record("probabilistic_embedding", dict(omic=omic.name, seed=seed))
-    return (self.uns[key], self.obsm[f"{omic.name}_prob"],
-            self.obsm[f"{omic.name}_bin"])
+    return (self.uns[key], self.obsm[k_prob], self.obsm[k_bin])
 
   def dimension_reduce(self,
                        omic=None,
@@ -338,7 +381,9 @@ class _OMICanalyzer(_OMICbase):
                 random_state: int = 8):
     """kNN graph (connectivity + distance) on PCA space (ref :546-630)."""
     omic = self.current_omic if omic is None else OMIC.parse(omic)
-    key = f"{omic.name}_neighbors"
+    # the key must carry the hyperparameters: a cached 5-NN graph must not
+    # satisfy a 30-NN request
+    key = f"{omic.name}_neighbors_k{int(n_neighbors)}_p{int(n_pcs)}"
     if key in self.uns:
       return self.uns[key]
     from sklearn.neighbors import NearestNeighbors
@@ -371,6 +416,11 @@ class _OMICanalyzer(_OMICbase):
       n_clusters = (self.get_dim(lab) if lab is not None else 8)
     algo = str(algo).lower()
     key = f"{omic.name}_{algo}{n_clusters}"
+    if matching_labels is not None:
+      # a cached UNMATCHED run must not satisfy a Hungarian-matched request
+      key += f"_m{OMIC.parse(matching_labels).name}"
+    if random_state != 8:
+      key += f"_r{int(random_state)}"
     if key in self.obs:
       return key if return_key else self.obs[key].values
     X = self.dimension_reduce(omic, n_components=min(100, self.get_dim(omic)),
@@ -416,6 +466,9 @@ class _OMICanalyzer(_OMICbase):
     aggregation passes)."""
     omic = self.current_omic if omic is None else OMIC.parse(omic)
     key = f"{omic.name}_louvain"
+    if resolution != 1.0 or n_neighbors != 12:
+      # non-default graph/partition parameters get their own cache slot
+      key += f"_res{resolution:g}_k{int(n_neighbors)}"
     if key in self.obs:
       return key if return_key else self.obs[key].values
     graph = self.neighbors(omic, n_neighbors=n_neighbors,
@@ -512,6 +565,12 @@ class _OMICanalyzer(_OMICbase):
       return []
     names1 = set(map(str, self.get_var_names(omic1)))
     names2 = set(map(str, self.get_var_names(omic2)))
+    # honor the advertised restriction — silently ignoring var_names1/2
+    # corrupted any per-marker evaluation that assumed the filter applied
+    if var_names1 is not None:
+      names1 &= set(map(str, var_names1))
+    if var_names2 is not None:
+      names2 &= set(map(str, var_names2))
     out = [(a, b) for a, b in pairs if a in names1 and b in names2]
     if remove_duplicated:
       seen = set()

@@ -142,6 +142,9 @@ class _OMICbase:
     # keep the per-omic obs statistics (totals, library-size prior) in sync —
     # set_omic refreshes them, so the shorthand assignment must too
     self._calculate_statistics(self._current_omic)
+    inv = getattr(self, "_invalidate_analysis_caches", None)
+    if inv is not None:  # derived caches reflect the replaced values
+      inv(self._current_omic.name)
 
   @property
   def var(self) -> pd.DataFrame:
@@ -435,15 +438,20 @@ class _OMICbase:
     indices = np.asarray(indices)
     if indices.dtype == bool:
       indices = np.nonzero(indices)[0]
+    inv = getattr(self, "_invalidate_analysis_caches", None)
     if observation:
       self.obs = self.obs.iloc[indices]
       self._omics = {k: v[indices] for k, v in self._omics.items()}
       self.obsm = {k: v[indices] for k, v in self.obsm.items()}
+      if inv is not None:  # population-level tables/graphs are now stale;
+        inv(rows_only=True)  # sliced per-cell artifacts stay valid
     else:
       name = self._current_omic.name
       self._omics[name] = self._omics[name][:, indices]
       self._vars[name] = self._vars[name].iloc[indices]
       self._calculate_statistics(self._current_omic)
+      if inv is not None:  # var-indexed caches now index removed columns
+        inv(name)
     self._record("apply_indices",
                  dict(n=int(len(indices)), observation=observation))
     return self

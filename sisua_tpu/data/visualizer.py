@@ -51,11 +51,9 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
       lab = np.asarray(["+".join(np.asarray(var_names)[row > 0.5]) or "none"
                         for row in x])
       return name, lab
-    if name in ("proteomic", "iproteomic"):
-      # dominant protein per cell (reference resolves protein labels via the
-      # probabilistic embedding; argmax of raw counts is its binary analogue)
-      return name, np.asarray(var_names)[np.argmax(x, -1)]
-    # continuous fallback: argmax variable
+    # continuous fallback (incl. proteomic): dominant variable per cell —
+    # same resolution the reference reaches via probabilistic embedding on
+    # raw protein counts
     return name, np.asarray(var_names)[np.argmax(x, -1)]
 
   # ------------------------------------------------------------ var helpers
@@ -71,6 +69,12 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
     markers = [m for m in (omic.markers or []) if m in name_set]
     if isinstance(var_names, str) and var_names == "auto":
       var_names = markers[:default_n] or list(self.top_vars(omic, default_n))
+    elif isinstance(var_names, str):
+      # a bare string is ONE variable name — iterating it would match (or
+      # silently plot) single-character var names
+      assert var_names in name_set, \
+          f"var name {var_names!r} not in omic {omic.name}"
+      var_names = [var_names]
     elif var_names is None:
       var_names = markers or (names if len(names) <= 50
                               else list(self.top_vars(omic, default_n)))
@@ -137,7 +141,8 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
              "dendro" if dendrogram else None,
              "swap" if swap_axes else None,
              f"scale-{scale}" if scale else None,
-             f"g{len(groups)}" if groups is not None else None]
+             ("g" + "-".join(sorted(map(str, np.atleast_1d(groups)))))
+             if groups is not None else None]
     return "_".join(p for p in parts if p)
 
   @staticmethod
@@ -361,12 +366,26 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
     fig = plt.figure(figsize=((10, 7) if swap_axes else
                               (max(8, nv * 0.3), 7)))
     if link is not None:
-      gs = fig.add_gridspec(1, 2, width_ratios=[5, 1], wspace=0.05)
-      ax = fig.add_subplot(gs[0])
-      ax_d = fig.add_subplot(gs[1])
+      if swap_axes:
+        # groups live on the x axis: the tree goes ON TOP, leaves[0] at the
+        # left matching the first column block
+        gs = fig.add_gridspec(2, 1, height_ratios=[1, 5], hspace=0.05)
+        ax_d = fig.add_subplot(gs[0])
+        ax = fig.add_subplot(gs[1])
+        orientation = "top"
+      else:
+        gs = fig.add_gridspec(1, 2, width_ratios=[5, 1], wspace=0.05)
+        ax = fig.add_subplot(gs[0])
+        ax_d = fig.add_subplot(gs[1])
+        orientation = "right"
       with plt.rc_context({"lines.linewidth": 0.8}):
-        hierarchy.dendrogram(link, ax=ax_d, orientation="right",
+        hierarchy.dendrogram(link, ax=ax_d, orientation=orientation,
                              no_labels=True, link_color_func=lambda _: "k")
+      if not swap_axes:
+        # scipy puts leaves[0] at the BOTTOM for orientation='right' while
+        # imshow draws row 0 at the TOP — invert so the tree follows the
+        # group blocks instead of mirroring them
+        ax_d.invert_yaxis()
       ax_d.axis("off")
     else:
       ax = fig.add_subplot(111)
@@ -591,7 +610,14 @@ class _OMICvisualizer(_OMICanalyzer, Visualizer):
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
     axes[0].hist(x.sum(1), bins=bins)
     axes[0].set_title("library size / cell")
-    axes[1].hist(np.log1p(x).ravel()[:200000], bins=bins)
+    # subsample FIRST (uniformly, not a first-cells prefix), then log1p —
+    # transforming the full matrix to plot 200k values wastes a full-size
+    # temporary and biases the sample toward the leading cells
+    flat = x.reshape(-1)
+    if flat.size > 200000:
+      rng = np.random.default_rng(0)
+      flat = flat[rng.choice(flat.size, 200000, replace=False)]
+    axes[1].hist(np.log1p(flat), bins=bins)
     axes[1].set_title("log1p counts")
     fig.tight_layout()
     self.add_figure(f"{omic.name}_histogram", fig)

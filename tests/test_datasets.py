@@ -355,3 +355,64 @@ def test_is_binary_scans_all_values():
   assert not is_binary_dtype(x)
   assert not is_binary_dtype(sp.csr_matrix(x))
   assert is_binary_dtype((x > 0).astype(np.float32))
+
+
+def test_filter_invalidates_derived_caches(sco):
+  """A gene filter must drop var-indexed caches — stale correlation
+  triplets crashed plot_pearson_matrix after filtering (review finding)."""
+  ds = sco.copy()
+  ds.get_correlation("transcriptomic", "proteomic")
+  assert any("correlation" in str(k) for k in ds.uns)
+  ds.filter_genes(min_counts=int(np.asarray(ds.X.sum(0)).ravel().mean()))
+  # only caches involving the filtered omic are stale; unrelated pairs
+  # (e.g. proteomic↔celltype from earlier analyses) legitimately survive
+  assert not any("correlation" in str(k) and "transcriptomic" in str(k)
+                 for k in ds.uns)
+  ds.plot_pearson_matrix()  # recomputes against the filtered gene set
+  # value mutation invalidates too
+  ds2 = sco.copy()
+  ds2.dimension_reduce("transcriptomic", n_components=5, algo="pca")
+  assert any("_pca" in str(k) for k in ds2.obsm)
+  ds2.normalize(log1p=True)
+  assert not any("_pca" in str(k) for k in ds2.obsm)
+
+
+def test_clustering_cache_respects_matching_labels(sco):
+  ds = sco.copy()
+  ids_raw = ds.clustering("transcriptomic", n_clusters=4)
+  ids_matched = ds.clustering("transcriptomic", n_clusters=4,
+                              matching_labels="celltype")
+  assert not np.array_equal(ids_raw, ids_matched) or \
+      len(set(map(tuple, [ids_raw]))) == 1  # distinct cache slots
+
+
+def test_neighbors_cache_respects_params(sco):
+  ds = sco.copy()
+  g5 = ds.neighbors("transcriptomic", n_neighbors=5)
+  g30 = ds.neighbors("transcriptomic", n_neighbors=12)
+  assert g5["n_neighbors"] == 5 and g30["n_neighbors"] == 12
+
+
+def test_marker_pairs_respects_var_name_restriction(sco):
+  ds = sco.copy()
+  allp = ds.get_marker_pairs("transcriptomic", "proteomic")
+  if allp:
+    only = ds.get_marker_pairs("transcriptomic", "proteomic",
+                               var_names2=[allp[0][1]])
+    assert only and all(b == allp[0][1] for _, b in only)
+    assert len(only) <= len(allp)
+
+
+def test_plot_heatmap_single_string_varname(sco):
+  name = str(sco.var_names[3])
+  sco.copy().plot_heatmap(var_names=name, group_by="celltype")
+
+
+def test_fig_desc_groups_by_content(sco):
+  from sisua_tpu.data.visualizer import _OMICvisualizer
+  from sisua_tpu.data.const import OMIC
+  a = _OMICvisualizer._fig_desc("heatmap", OMIC.transcriptomic, "celltype",
+                                groups=["A"])
+  b = _OMICvisualizer._fig_desc("heatmap", OMIC.transcriptomic, "celltype",
+                                groups=["B"])
+  assert a != b
