@@ -70,7 +70,9 @@ def main():
   # one rate per FULL window only: a trailing partial window (EPOCHS not a
   # multiple of METRICS_INTERVAL) runs a freshly-compiled single-epoch
   # executable whose compile-tainted rate must not enter the steady set
-  n_full = max(1, EPOCHS // METRICS_INTERVAL)
+  # clamp to the recorded history (terminate_on_nan truncates it) so a bad
+  # run degrades to fewer windows instead of an IndexError
+  n_full = max(1, min(EPOCHS, len(rates)) // METRICS_INTERVAL)
   window_rates = [float(rates[i * METRICS_INTERVAL]) for i in range(n_full)]
   steady = window_rates[1:] if len(window_rates) > 1 else window_rates
   cells_per_sec = float(np.median(steady))

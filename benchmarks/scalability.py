@@ -66,7 +66,10 @@ def main(argv=None):
       # dominated by compile-tainted epochs
       mi = args.metrics_interval
       all_rates = model.history["cells_per_sec"]
-      n_full = max(1, args.epochs // mi)
+      # clamp to the history actually recorded: terminate_on_nan / early
+      # exit truncates it, and an out-of-range window index would lose the
+      # whole grid after the completed sizes already ran
+      n_full = max(1, min(args.epochs, len(all_rates)) // mi)
       window_rates = [float(all_rates[i * mi]) for i in range(n_full)]
       rates = window_rates[1:] or window_rates
       t0 = time.perf_counter()

@@ -26,8 +26,10 @@ def _load_counts(path: str):
   if path.endswith(".npz"):
     f = np.load(path)
     keys = set(f.keys())
-    if {"format", "data", "indices", "indptr"} <= keys:
-      # scipy.sparse.save_npz layout — the standard sparse-counts format
+    if "format" in keys:
+      # scipy.sparse.save_npz layout — 'format' is the discriminator for
+      # EVERY sparse layout (csr/csc carry indices/indptr, but coo/bsr/dia
+      # carry row/col/offsets and load_npz handles them all)
       from scipy import sparse
       return sparse.load_npz(path).tocsr()
     if "X" in keys:

@@ -296,18 +296,17 @@ class _OMICanalyzer(_OMICbase):
     ``(pb, prob, bin)``."""
     from ..label_threshold import ProbabilisticEmbedding
     omic = self.current_omic if omic is None else OMIC.parse(omic)
-    key = f"{omic.name}_prob_embedding"
-    defaults = (2, 1, True, 0.0, True, -0.68)
+    # the key ALWAYS embeds every hyperparameter (incl. seed): conditional
+    # "only when non-default" suffixes drift when a signature default
+    # changes, and a different-seed call must not reuse another seed's fit
     params = (n_components_per_class, positive_component, log_norm,
-              clip_quartile, remove_zeros, ci_threshold)
-    if params != defaults:
-      # non-default GMM hyperparameters must not reuse the default fit
-      key += "_" + "_".join(f"{p:g}" if isinstance(p, float) else str(int(p))
+              clip_quartile, remove_zeros, ci_threshold, seed)
+    suffix = "_" + "_".join(f"{p:g}" if isinstance(p, float) else str(int(p))
                             for p in params)
+    key = f"{omic.name}_prob_embedding{suffix}"
     X = self.numpy(omic)
     # obsm keys carry the same suffix as the model key: a non-default call
     # must not return probabilities predicted by the default-parameter fit
-    suffix = key[len(f"{omic.name}_prob_embedding"):]
     k_prob = f"{omic.name}_prob{suffix}"
     k_bin = f"{omic.name}_bin{suffix}"
     if key not in self.uns:
@@ -415,12 +414,13 @@ class _OMICanalyzer(_OMICbase):
       lab = self._label_omic()
       n_clusters = (self.get_dim(lab) if lab is not None else 8)
     algo = str(algo).lower()
-    key = f"{omic.name}_{algo}{n_clusters}"
+    # the key always embeds every parameter that changes the result — a
+    # cached UNMATCHED run must not satisfy a Hungarian-matched request,
+    # nor one seed's partition another's (conditional "non-default only"
+    # suffixes drift when signature defaults change)
+    key = f"{omic.name}_{algo}{n_clusters}_r{int(random_state)}"
     if matching_labels is not None:
-      # a cached UNMATCHED run must not satisfy a Hungarian-matched request
       key += f"_m{OMIC.parse(matching_labels).name}"
-    if random_state != 8:
-      key += f"_r{int(random_state)}"
     if key in self.obs:
       return key if return_key else self.obs[key].values
     X = self.dimension_reduce(omic, n_components=min(100, self.get_dim(omic)),
@@ -465,10 +465,8 @@ class _OMICanalyzer(_OMICbase):
     implemented natively (greedy modularity optimization, one-level +
     aggregation passes)."""
     omic = self.current_omic if omic is None else OMIC.parse(omic)
-    key = f"{omic.name}_louvain"
-    if resolution != 1.0 or n_neighbors != 12:
-      # non-default graph/partition parameters get their own cache slot
-      key += f"_res{resolution:g}_k{int(n_neighbors)}"
+    # key always embeds the graph/partition parameters (see clustering)
+    key = f"{omic.name}_louvain_res{resolution:g}_k{int(n_neighbors)}"
     if key in self.obs:
       return key if return_key else self.obs[key].values
     graph = self.neighbors(omic, n_neighbors=n_neighbors,

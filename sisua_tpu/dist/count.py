@@ -66,10 +66,16 @@ class Poisson(Distribution):
     return jnp.shape(self.rate)
 
   def log_prob(self, x):
-    # xlogy: rate==0 with x==0 is log(1)=0, not 0*log(0)=NaN (a float32-
-    # underflowed rate at an observed zero must not NaN the whole ELBO)
-    return jax.scipy.special.xlogy(x, self.rate) - self.rate \
-        - _lgamma(x + 1.0)
+    # rate==0 with x==0 is log(1)=0, not 0*log(0)=NaN (a float32-
+    # underflowed rate at an observed zero must not NaN the whole ELBO).
+    # The safe-where form keeps the BACKWARD pass finite too — xlogy alone
+    # fixes the value but d/d(rate) xlogy(0, rate) is still NaN at rate=0,
+    # which would NaN the params one step later.
+    safe_rate = jnp.where(self.rate > 0, self.rate, 1.0)
+    ll = x * jnp.log(safe_rate) - self.rate - _lgamma(x + 1.0)
+    # rate==0: impossible for x>0 (-inf), certain for x==0 (the safe ll
+    # already equals 0 - 0 - lgamma(1) = 0 there, with finite gradients)
+    return jnp.where(jnp.logical_and(x > 0, self.rate == 0), -jnp.inf, ll)
 
   def mean(self):
     return self.rate

@@ -128,6 +128,11 @@ class SingleCellModel:
     self.trainer: Optional[Trainer] = None
     self._rng = jax.random.PRNGKey(self.seed)
     self._jit_cache: Dict = {}
+    import threading
+    # one model may serve several evaluation threads (cross_analyze's
+    # thread pool): key splitting and executable-cache population must be
+    # atomic or two threads draw IDENTICAL keys / compile twice
+    self._lock = threading.RLock()
     import dataclasses as _dc
     # a constant beta round-trips as its value; a warm-up SCHEDULE must
     # round-trip whole (kind/vmin/vmax/norm/delay/cyclical) — collapsing
@@ -162,8 +167,9 @@ class SingleCellModel:
                            reduce_latent=self.reduce_latent, **kwargs)
 
   def _next_key(self) -> jax.Array:
-    self._rng, sub = jax.random.split(self._rng)
-    return sub
+    with self._lock:  # read-split-store must be atomic under thread pools
+      self._rng, sub = jax.random.split(self._rng)
+      return sub
 
   @property
   def uses_library(self) -> bool:
@@ -616,10 +622,11 @@ class SingleCellModel:
     function object); cached callables re-specialize only on new input
     shapes. ``cache_key`` must cover every non-array value the closure
     bakes into the trace (sample_shape, output index, …)."""
-    fn = self._jit_cache.get(cache_key)
-    if fn is None:
-      fn = self._jit_cache[cache_key] = builder()
-    return fn
+    with self._lock:  # get-then-set double-compiles under thread pools
+      fn = self._jit_cache.get(cache_key)
+      if fn is None:
+        fn = self._jit_cache[cache_key] = builder()
+      return fn
 
   @staticmethod
   def _pad_to_batches(mat, k: int, B: int, n: int, dtype=np.float32,
@@ -765,16 +772,26 @@ class SingleCellModel:
     if input_dtype in ("auto", "int16"):
       # validate EVERY consumed source in full via the shared helper — a
       # sampled prefix (or probing only sources[0]) silently wraps
-      # out-of-range counts after the int16 cast
-      from scipy import sparse as _sp
-      from ..ops.sparse import int16_exact
+      # out-of-range counts after the int16 cast. The verdict is cached on
+      # the feeder (sources are fixed for its lifetime): out-of-core
+      # serving calls this once per CHUNK, and a full-dataset rescan per
+      # chunk would turn the transfer saving into O(n_chunks · n) host work.
+      cache = getattr(feeder, "_int16_verdicts", None)
+      if cache is None:
+        cache = feeder._int16_verdicts = {}
+      ok = cache.get(tuple(sel))
+      if ok is None:
+        from scipy import sparse as _sp
+        from ..ops.sparse import int16_exact
 
-      def _values(src):
-        if _sp.issparse(src) or hasattr(src, "indptr"):
-          return src.data                    # sparse / _CSRSource values
-        return src.m if hasattr(src, "m") else np.asarray(src)
+        def _values(src):
+          if _sp.issparse(src) or hasattr(src, "indptr"):
+            return src.data                  # sparse / _CSRSource values
+          return src.m if hasattr(src, "m") else np.asarray(src)
 
-      if all(int16_exact(_values(feeder.sources[i])) for i in sel):
+        ok = all(int16_exact(_values(feeder.sources[i])) for i in sel)
+        cache[tuple(sel)] = ok
+      if ok:
         dtype = np.int16
       elif input_dtype == "int16":
         raise ValueError("input_dtype='int16' requires integral counts "
@@ -800,22 +817,24 @@ class SingleCellModel:
     per (mesh, state); identity is checked through a weakref, NOT id():
     a freed TrainState's address can be reused by its successor, and an
     id-keyed hit would silently serve the OLD weights."""
-    entry = self._jit_cache.get("mesh_state")
-    if entry is not None:
-      mesh_ref, state_ref, cached = entry
-      if mesh_ref() is mesh and state_ref() is self._state:
-        return cached
-    import weakref
-    from ..parallel.mesh import replicated_sharding, shard_params
-    params = shard_params(self._state.params, mesh)
-    batch_stats = self._state.batch_stats
-    if batch_stats is not None:
-      batch_stats = jax.device_put(batch_stats, replicated_sharding(mesh))
-    cached = (params, batch_stats)
-    # single-entry cache: a superseded state's placement is dropped
-    self._jit_cache["mesh_state"] = (weakref.ref(mesh),
-                                     weakref.ref(self._state), cached)
-    return cached
+    with self._lock:  # same thread-pool atomicity as _cached_jit
+      entry = self._jit_cache.get("mesh_state")
+      if entry is not None:
+        mesh_ref, state_ref, cached = entry
+        if mesh_ref() is mesh and state_ref() is self._state:
+          return cached
+      import weakref
+      from ..parallel.mesh import replicated_sharding, shard_params
+      params = shard_params(self._state.params, mesh)
+      batch_stats = self._state.batch_stats
+      if batch_stats is not None:
+        batch_stats = jax.device_put(batch_stats,
+                                     replicated_sharding(mesh))
+      cached = (params, batch_stats)
+      # single-entry cache: a superseded state's placement is dropped
+      self._jit_cache["mesh_state"] = (weakref.ref(mesh),
+                                       weakref.ref(self._state), cached)
+      return cached
 
   def _infer_state(self, mesh):
     if mesh is None:

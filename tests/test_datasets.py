@@ -379,11 +379,22 @@ def test_filter_invalidates_derived_caches(sco):
 
 def test_clustering_cache_respects_matching_labels(sco):
   ds = sco.copy()
-  ids_raw = ds.clustering("transcriptomic", n_clusters=4)
-  ids_matched = ds.clustering("transcriptomic", n_clusters=4,
-                              matching_labels="celltype")
-  assert not np.array_equal(ids_raw, ids_matched) or \
-      len(set(map(tuple, [ids_raw]))) == 1  # distinct cache slots
+  key_raw = ds.clustering("transcriptomic", n_clusters=4, return_key=True)
+  key_matched = ds.clustering("transcriptomic", n_clusters=4,
+                              matching_labels="celltype", return_key=True)
+  # distinct cache slots — a cached unmatched run must not be returned for
+  # a Hungarian-matched request (the old assertion here was vacuous)
+  assert key_raw != key_matched
+  assert key_raw in ds.obs and key_matched in ds.obs
+  ids_raw = ds.obs[key_raw].values
+  ids_matched = ds.obs[key_matched].values
+  # same partition up to label permutation
+  from sklearn.metrics import adjusted_rand_score
+  assert adjusted_rand_score(ids_raw, ids_matched) > 0.999
+  # and a different random_state gets its own slot too
+  key_r = ds.clustering("transcriptomic", n_clusters=4, random_state=3,
+                        return_key=True)
+  assert key_r != key_raw
 
 
 def test_neighbors_cache_respects_params(sco):

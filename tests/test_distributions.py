@@ -165,6 +165,21 @@ def test_poisson_log_prob_zero_rate_zero_count():
   np.testing.assert_allclose(lp[1], -2.0, rtol=1e-5, atol=1e-5)
 
 
+def test_poisson_zero_rate_gradient_finite():
+  """The BACKWARD pass must be finite at (x=0, rate=0) too — xlogy alone
+  fixes the value but d/d(rate) xlogy(0, rate) is NaN at 0, which NaNs the
+  params one step after a softmax-underflowed rate (review finding)."""
+  from sisua_tpu.dist import Poisson
+  g = jax.grad(lambda r: Poisson(rate=r).log_prob(0.0))(0.0)
+  np.testing.assert_allclose(g, -1.0, rtol=1e-6)  # d/dr (-r) at the 0-0 edge
+  # positive counts at rate 0 stay impossible
+  lp = Poisson(rate=jnp.float32(0.0)).log_prob(jnp.float32(3.0))
+  assert np.isneginf(np.asarray(lp))
+  # and gradients away from the edge are untouched
+  g2 = jax.grad(lambda r: Poisson(rate=r).log_prob(3.0))(2.0)
+  np.testing.assert_allclose(g2, 3.0 / 2.0 - 1.0, rtol=1e-5)
+
+
 def test_zero_inflated_sample_broad_gate():
   """Per-cell gate over shared per-gene counts must sample at the wrapper's
   batch shape (review finding: broadcast_to cannot shrink)."""

@@ -295,6 +295,13 @@ def test_predict_cli_loads_scipy_sparse_npz(tmp_path):
   p2 = str(tmp_path / "dense.npz")
   np.savez(p2, X=m.toarray())
   np.testing.assert_allclose(_load_counts(p2), m.toarray())
+  # non-CSR sparse formats (COO lacks indices/indptr) must load too —
+  # 'format' alone is the save_npz discriminator (review finding)
+  p3 = str(tmp_path / "coo.npz")
+  sparse.save_npz(p3, m.tocoo())
+  back3 = _load_counts(p3)
+  assert sparse.issparse(back3)
+  np.testing.assert_allclose(back3.toarray(), m.toarray())
 
 
 def test_train_cli_config_flag_requires_value():

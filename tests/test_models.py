@@ -405,3 +405,22 @@ def test_predict_mean_compressed_transfers(splits, small_nets):
   bad.X = bad.X.astype(np.float32) * 0.5
   with _pytest.raises(ValueError, match="integral"):
     m.predict_mean(bad, input_dtype="int16")
+
+
+def test_next_key_thread_safe():
+  """cross_analyze evaluates one model from a thread pool: concurrent
+  _next_key calls must never return identical keys (review finding — the
+  read-split-store was not atomic)."""
+  import threading
+  from sisua_tpu.models import VAE
+  from sisua_tpu.rv import RVmeta
+  m = VAE(RVmeta(8, "nb", name="rna"))
+  keys, barrier = [], threading.Barrier(8)
+  def worker():
+    barrier.wait()
+    for _ in range(200):
+      keys.append(tuple(np.asarray(m._next_key()).tolist()))
+  ts = [threading.Thread(target=worker) for _ in range(8)]
+  [t.start() for t in ts]
+  [t.join() for t in ts]
+  assert len(set(keys)) == len(keys) == 1600

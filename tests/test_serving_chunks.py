@@ -98,3 +98,25 @@ def test_norm_expr_chunked_matches(dca):
     del os.environ["SISUA_TPU_SERVING_BUDGET"]
   np.testing.assert_array_equal(e2, e1)
   assert e2.shape == (N, D)
+
+
+def test_int16_validation_scans_once_per_source(dca, monkeypatch):
+  """The 'auto' int16 verdict must be computed once per feeder, not once
+  per serving chunk — out-of-core serving would otherwise rescan the full
+  dataset for every chunk (review finding)."""
+  import sisua_tpu.ops.sparse as sparse_ops
+  m, X = dca
+  calls = []
+  real = sparse_ops.int16_exact
+  monkeypatch.setattr(sparse_ops, "int16_exact",
+                      lambda v: calls.append(1) or real(v))
+  os.environ["SISUA_TPU_SERVING_BUDGET"] = _forced_budget()
+  try:
+    feeder = m._to_feeder(X, B, 0.0, shuffle=False)
+    chunks = m._serving_chunks(feeder)
+    assert chunks is not None and len(chunks) > 1
+    m.predict_mean(X, batch_size=B)
+  finally:
+    del os.environ["SISUA_TPU_SERVING_BUDGET"]
+  # one scan per consumed source for the whole chunked call
+  assert len(calls) == 1, f"int16_exact ran {len(calls)} times"
