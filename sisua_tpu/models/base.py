@@ -79,6 +79,7 @@ class SingleCellModel:
                metadata: Optional[Dict] = None,
                name: Optional[str] = None,
                batch_key: str = "batch",
+               prng: str = "rbg",
                **module_kwargs):
     outputs = tuple(parse_rv(o, f"output{i}")
                     for i, o in enumerate(_flatten(outputs)))
@@ -114,6 +115,12 @@ class SingleCellModel:
     self.analytic = bool(analytic)
     self.reduce_latent = reduce_latent
     self.seed = int(seed)
+    # 'rbg' (XLA RngBitGenerator) is the TPU-native generator: threefry's
+    # serial lane math costs ~18% of the whole step on overhead-bound
+    # models (measured A/B at the headline protocol, RESULTS.md); rbg is
+    # splittable, checkpoint-stable, and identical in convergence. Pass
+    # prng='threefry2x32' for jax-default streams.
+    self.prng = str(prng)
     self.dataset = dataset
     self.metadata = metadata or {}
     self.batch_key = str(batch_key)
@@ -126,7 +133,9 @@ class SingleCellModel:
     self.module = self._build_module(**module_kwargs)
     self._state: Optional[TrainState] = None
     self.trainer: Optional[Trainer] = None
-    self._rng = jax.random.PRNGKey(self.seed)
+    # new-style typed key: carries its impl, accepted by flax for any
+    # generator (raw rbg key data is (4,)-shaped and fails flax's check)
+    self._rng = jax.random.key(self.seed, impl=self.prng)
     self._jit_cache: Dict = {}
     import threading
     # one model may serve several evaluation threads (cross_analyze's
@@ -144,7 +153,7 @@ class SingleCellModel:
         log_norm=log_norm, beta=beta_spec, alpha=alpha,
         gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
         compute_dtype=compute_dtype, seed=seed, name=self._name,
-        batch_key=batch_key,
+        batch_key=batch_key, prng=self.prng,
         **{k: v for k, v in module_kwargs.items() if k != "compute_dtype"})
 
   def set_metadata(self, sco) -> "SingleCellModel":
@@ -291,7 +300,7 @@ class SingleCellModel:
     if self._state is not None:
       return
     x, lib = self._dummy_batch()
-    key = jax.random.PRNGKey(self.seed)
+    key = jax.random.key(self.seed, impl=self.prng)
     variables = self.module.init(
         {"params": key, "sample": key, "dropout": key}, x,
         training=True, **self._apply_kwargs(lib))

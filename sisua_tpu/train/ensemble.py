@@ -179,7 +179,7 @@ class VmapEnsemble:
                                in_axes=(0, None, None, 0),
                                out_axes=(0, 0)),
                       donate_argnums=(0,))
-    key = jax.random.PRNGKey(17)
+    key = jax.random.key(17, impl=getattr(model, "prng", "rbg"))
     losses: List[np.ndarray] = []
     times: List[float] = []
     done = 0

@@ -255,11 +255,14 @@ class Trainer:
 
   def _unroll_for(self, batch_size: int, total_dim: int) -> int:
     """Resolve the step-scan unroll factor: explicit int, or 'auto' →
-    8 when the per-step work is small enough to be dispatch-overhead-bound
-    (B·D ≤ 256k elements), else 1."""
+    16 when the per-step work is small enough to be dispatch-overhead-bound
+    (B·D ≤ 256k elements), else 1. 16 was re-tuned after the rbg PRNG
+    switch made steps cheaper (same-session A/B at the headline protocol:
+    U=8 1.31M, U=16 1.49M, U=32 1.06M cells/s — the old threefry-era
+    optimum was 8)."""
     if str(self.scan_unroll) != "auto":
       return max(1, int(self.scan_unroll))
-    return 8 if batch_size * max(1, total_dim) <= 262144 else 1
+    return 16 if batch_size * max(1, total_dim) <= 262144 else 1
 
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
                       has_library: bool, unroll: int = 1,

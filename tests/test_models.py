@@ -418,8 +418,10 @@ def test_next_key_thread_safe():
   keys, barrier = [], threading.Barrier(8)
   def worker():
     barrier.wait()
+    import jax
     for _ in range(200):
-      keys.append(tuple(np.asarray(m._next_key()).tolist()))
+      keys.append(tuple(
+          np.asarray(jax.random.key_data(m._next_key())).tolist()))
   ts = [threading.Thread(target=worker) for _ in range(8)]
   [t.start() for t in ts]
   [t.join() for t in ts]
