@@ -195,9 +195,9 @@ class Trainer:
     # replicating the step body U× inside the scan lets XLA amortize
     # per-iteration fixed overhead. Measured on one v5e at the headline
     # protocol (128×500 scVI): U=8 → +17% (1.05M → 1.23M cells/s); U=16
-    # regresses (i-cache/VMEM pressure). 'auto' picks 8 for small
-    # overhead-bound steps and 1 for wide models (unrolling multiplies
-    # compile time, already ~68 s at 33k genes).
+    # matches U=8 at 40k cells but deterministically loses 35% at the 1M
+    # protocol. 'auto' picks 8 for small overhead-bound steps and 1 for
+    # wide models (unrolling multiplies compile time, ~68 s at 33k genes).
     self.scan_unroll = os.environ.get("SISUA_TPU_SCAN_UNROLL", "auto")
     self.verbose = bool(verbose)
     self.mesh = mesh
@@ -255,14 +255,16 @@ class Trainer:
 
   def _unroll_for(self, batch_size: int, total_dim: int) -> int:
     """Resolve the step-scan unroll factor: explicit int, or 'auto' →
-    16 when the per-step work is small enough to be dispatch-overhead-bound
-    (B·D ≤ 256k elements), else 1. 16 was re-tuned after the rbg PRNG
-    switch made steps cheaper (same-session A/B at the headline protocol:
-    U=8 1.31M, U=16 1.49M, U=32 1.06M cells/s — the old threefry-era
-    optimum was 8)."""
+    8 when the per-step work is small enough to be dispatch-overhead-bound
+    (B·D ≤ 256k elements), else 1. 8 is the scale-robust optimum: an
+    interleaved same-process A/B at the 40k headline protocol put U=16
+    within tunnel noise of U=8 (medians 1.42-1.48M cells/s for both over
+    3 repeats), while at the 1M-cell protocol (7.8k steps/epoch) U=16 is
+    a deterministic 35% regression (1.03M vs 1.39M cells/s) — long
+    unrolled scans at long trip counts lose to i-cache/VMEM pressure."""
     if str(self.scan_unroll) != "auto":
       return max(1, int(self.scan_unroll))
-    return 16 if batch_size * max(1, total_dim) <= 262144 else 1
+    return 8 if batch_size * max(1, total_dim) <= 262144 else 1
 
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
                       has_library: bool, unroll: int = 1,
