@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,10 +47,8 @@ def main():
   from sisua_tpu.data import generate_synthetic
   from sisua_tpu.models import SCVI, RVmeta
 
-  t0 = time.perf_counter()
   sco = generate_synthetic(n_cells=N_CELLS, n_genes=N_GENES,
                            n_proteins=N_PROTEINS, seed=5218)
-  gen_s = time.perf_counter() - t0
 
   model = SCVI(RVmeta(N_GENES, "zinbd", name="rna"),
                latents=RVmeta(16, "diag", name="latents"))
@@ -66,15 +63,12 @@ def main():
   # rate, so collapse to one rate per window, then drop the first window
   # (it includes compilation). The headline is the MEDIAN of the steady
   # windows — no cherry-picking — with the min..max spread reported.
-  rates = model.history["cells_per_sec"]
-  # one rate per FULL window only: a trailing partial window (EPOCHS not a
-  # multiple of METRICS_INTERVAL) runs a freshly-compiled single-epoch
-  # executable whose compile-tainted rate must not enter the steady set
-  # clamp to the recorded history (terminate_on_nan truncates it) so a bad
-  # run degrades to fewer windows instead of an IndexError
-  n_full = max(1, min(EPOCHS, len(rates)) // METRICS_INTERVAL)
-  window_rates = [float(rates[i * METRICS_INTERVAL]) for i in range(n_full)]
-  steady = window_rates[1:] if len(window_rates) > 1 else window_rates
+  # one rate per FULL window (or per epoch when EPOCHS < METRICS_INTERVAL
+  # and the trainer ran per-epoch executables), compile unit dropped;
+  # truncated histories degrade to fewer windows instead of an IndexError
+  from sisua_tpu.utils import steady_window_rates
+  steady = steady_window_rates(model.history["cells_per_sec"],
+                               EPOCHS, METRICS_INTERVAL)
   cells_per_sec = float(np.median(steady))
   result = {
       "metric": "scvi_train_cells_per_sec_per_chip",

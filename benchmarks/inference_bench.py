@@ -62,7 +62,7 @@ def main(argv=None):
   results = {}
   # cheap on-device paths first at full size; the streaming path ships the
   # full distribution params x MC per batch (transfer-bound over a tunnel)
-  # and is measured at a smaller size with one repeat
+  # and is measured at a smaller size (2 repeats, like every path)
   paths = [
       ("predict_mean", args.cells, 2, lambda: model.predict_mean(
           sco, sample_shape=(args.mc,), batch_size=args.batch)),

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 # single source of truth for the protocol sizes: the synthetic registry
 from sisua_tpu.data.synthetic import SYNTHETIC_SIZES as SIZES  # noqa: E402
+from sisua_tpu.utils import steady_window_rates  # noqa: E402
 
 
 def main(argv=None):
@@ -59,25 +60,23 @@ def main(argv=None):
                 labels_percent=0.5, valid_freq=0, patience=0,
                 device_cache=True, metrics_interval=args.metrics_interval)
       fit_s = time.perf_counter() - t0
-      # history is per-EPOCH but epochs share their window's rate: collapse
-      # to one rate per FULL window, drop window 0 (compile) and any
-      # trailing partial window (it compiles its own single-epoch
-      # executable) — bench.py's protocol; a flat rates[1:] mean would be
-      # dominated by compile-tainted epochs
-      mi = args.metrics_interval
-      all_rates = model.history["cells_per_sec"]
-      # clamp to the history actually recorded: terminate_on_nan / early
-      # exit truncates it, and an out-of-range window index would lose the
-      # whole grid after the completed sizes already ran
-      n_full = max(1, min(args.epochs, len(all_rates)) // mi)
-      window_rates = [float(all_rates[i * mi]) for i in range(n_full)]
-      rates = window_rates[1:] or window_rates
+      # one rate per steady measurement unit (full window, or per epoch
+      # when epochs < interval and the trainer ran per-epoch executables),
+      # compile unit dropped — bench.py's protocol; a flat rates[1:] mean
+      # would be dominated by compile-tainted epochs
+      rates = steady_window_rates(model.history["cells_per_sec"],
+                                  args.epochs, args.metrics_interval)
+      # predict on a capped subset (compile + serving time, not a full
+      # dataset scan); the cap is recorded so predict throughput can be
+      # computed from the row
+      n_predict = min(n, 10000)
       t0 = time.perf_counter()
-      model.predict(sco[np.arange(min(n, 10000))], batch_size=1024)
+      model.predict(sco[np.arange(n_predict)], batch_size=1024)
       predict_s = time.perf_counter() - t0
       row = dict(model=model_name, n_cells=n, epochs=args.epochs,
                  batch=args.batch, fit_seconds=round(fit_s, 3),
                  steady_cells_per_sec=round(float(np.median(rates)), 1),
+                 predict_cells=n_predict,
                  predict_seconds=round(predict_s, 3))
       rows.append(row)
       print(row)

@@ -106,8 +106,12 @@ def main():
     log(f"window {w} ({window} ep): loss={loss:.1f} "
         f"{dt:.2f}s → {rate:,.0f} cells/s")
   if rates:
-    import numpy as np
-    print(f"steady-state: {np.mean(rates):,.0f} cells/s")
+    # median, matching bench.py's protocol: a single tunnel stall in one
+    # window must not drag the headline (the mean is up to ~15% off with
+    # the documented ±30% swings at the default 2 steady windows)
+    print(f"steady-state: {np.median(rates):,.0f} cells/s "
+          f"(median of {len(rates)}; "
+          f"spread [{np.min(rates):,.0f}–{np.max(rates):,.0f}])")
 
 
 if __name__ == "__main__":

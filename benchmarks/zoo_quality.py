@@ -45,7 +45,7 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
                                 NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
-  return {
+  zoo = {
       "vae": lambda: VAE(rna_zinb(), seed=seed, n_batch=n_batch, **nets),
       "dca": lambda: DeepCountAutoencoder(rna_zinb(), latent_dim=10,
                                           seed=seed, **nets),
@@ -63,6 +63,13 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
       "totalvi": lambda: TotalVI([RVmeta(G, "nbd", name="rna"),
                                   RVmeta(P, "nbd", name="adt")], seed=seed),
   }
+  if P <= 0:
+    # RNA-only dataset (e.g. cortex): the semi-supervised families need a
+    # protein omic to supervise on — drop them instead of building a
+    # 0-dim ADT head that crashes the sweep
+    for name in ("sisua", "misa", "scalar", "totalvi"):
+      zoo.pop(name)
+  return zoo
 
 
 def evaluate(model, test):
@@ -111,6 +118,7 @@ def main(argv=None):
   from sisua_tpu.data import (generate_citeseq, generate_synthetic,
                               get_dataset)
   from sisua_tpu.models import NetConf
+  from sisua_tpu.utils import steady_window_rates
 
   def load(seed):
     if args.dataset == "citeseq":
@@ -133,22 +141,28 @@ def main(argv=None):
     if args.models:
       keep = set(args.models.split(","))
       zoo = {k: v for k, v in zoo.items() if k in keep}
+    mi = max(1, args.epochs // 4)
     for name, ctor in zoo.items():
       print(f"=== {name} (seed {seed}) ===", flush=True)
-      model = ctor()
-      t0 = time.perf_counter()
-      model.fit(train, epochs=args.epochs, batch_size=args.batch,
-                labels_percent=0.5, valid_freq=0, patience=0,
-                device_cache=True,
-                metrics_interval=max(1, args.epochs // 4))
-      fit_s = time.perf_counter() - t0
-      scores = evaluate(model, test)
-      rates = model.history["cells_per_sec"]
-      row = {"model": name, "seed": seed,
-             "train_loss": round(float(model.history["loss"][-1]), 1),
-             "fit_seconds": round(fit_s, 1),
-             "cells_per_sec": round(float(np.median(rates)), 0),
-             **{k: round(v, 4) for k, v in scores.items()}}
+      # fault-isolated per model: one family failing must not lose the
+      # rows of the families that already trained for this sweep
+      try:
+        model = ctor()
+        t0 = time.perf_counter()
+        model.fit(train, epochs=args.epochs, batch_size=args.batch,
+                  labels_percent=0.5, valid_freq=0, patience=0,
+                  device_cache=True, metrics_interval=mi)
+        fit_s = time.perf_counter() - t0
+        scores = evaluate(model, test)
+        rates = steady_window_rates(model.history["cells_per_sec"],
+                                    args.epochs, mi)
+        row = {"model": name, "seed": seed,
+               "train_loss": round(float(model.history["loss"][-1]), 1),
+               "fit_seconds": round(fit_s, 1),
+               "cells_per_sec": round(float(np.median(rates)), 0),
+               **{k: round(v, 4) for k, v in scores.items()}}
+      except Exception as e:  # noqa: BLE001
+        row = {"model": name, "seed": seed, "error": f"{type(e).__name__}: {e}"}
       rows.append(row)
       print(json.dumps(row), flush=True)
 

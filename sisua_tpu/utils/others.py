@@ -154,6 +154,38 @@ def thresholding_by_sparsity(w: np.ndarray, x_target: np.ndarray
   return w
 
 
+def steady_window_rates(rates, epochs: int, interval: int):
+  """Collapse a per-epoch ``cells_per_sec`` history to one rate per steady
+  measurement unit, dropping the compile-tainted first unit.
+
+  With multi-epoch window executables (``epochs >= interval > 1``, the
+  condition under which the trainer builds a window executable) every epoch
+  inside a window shares the window's rate, so take one rate per FULL window
+  and drop any trailing partial window (it compiles its own single-epoch
+  executable). Below the interval the trainer runs per-epoch executables
+  with DISTINCT rates — each epoch is then its own unit, and indexing by
+  ``i * interval`` would re-select only the compile epoch.
+
+  Always keeps at least one rate. A truncated history (early stop /
+  terminate_on_nan: ``len(rates) < epochs``) degrades to fewer units, never
+  an IndexError — and its trailing partial window DOES count as a unit: a
+  truncated run reused the already-compiled window executable, so that rate
+  is steady, unlike a planned trailing partial (``epochs`` not a multiple of
+  ``interval``) which compiles its own single-epoch executable."""
+  epochs, interval = int(epochs), int(interval)
+  n = min(epochs, len(rates))
+  if interval > 1 and epochs >= interval:
+    n_full = n // interval
+    units = [float(rates[i * interval]) for i in range(n_full)]
+    if len(rates) < epochs and n % interval:
+      units.append(float(rates[n_full * interval]))
+    if not units:
+      units = [float(rates[0])]
+  else:
+    units = [float(r) for r in rates[:max(1, n)]]
+  return units[1:] if len(units) > 1 else units
+
+
 class UnitTimer:
   """Context-manager wall-clock timer (reference odin.utils.UnitTimer)."""
 

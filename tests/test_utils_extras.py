@@ -248,3 +248,23 @@ def test_evaluate_module_functions(tmp_path):
   out = robust_run("boom", "cfg", lambda: 1 / 0, scoreboard=sb)
   assert out is None and len(sb.errors) == 1
   assert "ZeroDivisionError" in sb.errors[0][1]
+
+
+def test_steady_window_rates():
+  from sisua_tpu.utils import steady_window_rates
+  # windowed history: epochs in a window share the window rate — one rate
+  # per FULL window, compile window dropped, trailing partial dropped
+  rates = [10., 10., 10., 10., 50., 50., 50., 50., 60., 60.]  # interval 4
+  assert steady_window_rates(rates, epochs=10, interval=4) == [50.]
+  rates12 = [10.] * 4 + [50.] * 4 + [60.] * 4
+  assert steady_window_rates(rates12, epochs=12, interval=4) == [50., 60.]
+  # per-epoch executables (epochs < interval): every epoch is its own unit
+  # with a DISTINCT rate; indexing by i*interval would re-select only the
+  # compile epoch (bench.py regression)
+  per_epoch = [5., 40., 42., 41.]
+  assert steady_window_rates(per_epoch, epochs=4, interval=8) == [40., 42., 41.]
+  # interval == 1 → per-epoch as well
+  assert steady_window_rates(per_epoch, epochs=4, interval=1) == [40., 42., 41.]
+  # truncated history (early stop) degrades, never IndexError
+  assert steady_window_rates([7.], epochs=48, interval=8) == [7.]
+  assert steady_window_rates([10.] * 4 + [50.], epochs=48, interval=4) == [50.]

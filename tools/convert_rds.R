@@ -39,14 +39,30 @@ orient_cells_rows <- function(m, what) {
   m
 }
 
+ids_or_stop <- function(ids, n, what) {
+  # .rds matrices without dimnames would silently write 0-line id files —
+  # the cache folder then looks complete and only breaks downstream
+  if (is.null(ids)) stop(sprintf(
+    "%s has no %s names stored — supply dimnames on the .rds (e.g. gene
+     ids / cell barcodes) before converting", args[1], what))
+  if (length(ids) != n) stop(sprintf(
+    "%s: %d names for %d entries", what, length(ids), n))
+  ids
+}
+
 m <- orient_cells_rows(as(obj, "CsparseMatrix"), "counts")
 writeMM(m, file.path(args[2], "X.mtx"))
-writeLines(colnames(m), file.path(args[2], "X_col.txt"))
-writeLines(rownames(m), file.path(args[2], "X_row.txt"))
+writeLines(ids_or_stop(colnames(m), ncol(m), "feature"),
+           file.path(args[2], "X_col.txt"))
+writeLines(ids_or_stop(rownames(m), nrow(m), "cell"),
+           file.path(args[2], "X_row.txt"))
 
 if (length(args) >= 3 && nzchar(args[3])) {
   y <- readRDS(args[3])
   if (is.factor(y) || is.character(y)) {
+    if (length(y) != nrow(m)) stop(sprintf(
+      "labels have %d entries but counts have %d cells — check orient /
+       that the labels match this matrix", length(y), nrow(m)))
     lv <- sort(unique(as.character(y)))
     oh <- Matrix(0, nrow = length(y), ncol = length(lv), sparse = TRUE)
     oh[cbind(seq_along(y), match(as.character(y), lv))] <- 1

@@ -41,7 +41,11 @@ def main(argv=None):
   else:
     plan = []
     for name, tag in sorted(avail.items()):
-      if tag != "public-download":
+      # default plan: everything fetchable — 'public-download' plus
+      # 'optional-dep' (attempted; skipped with a message when the dep is
+      # absent) plus 'R-required' (listed so its skip instructions print,
+      # instead of silently vanishing from the plan)
+      if tag not in ("public-download", "optional-dep", "R-required"):
         continue
       if name.endswith("all") and name[:-3] in avail:
         continue  # '<x>all' unfiltered variant shares '<x>'s download —
@@ -56,21 +60,29 @@ def main(argv=None):
     print(f"\n{len(plan)} datasets")
     return 0
 
-  failed = []
+  failed, skipped, n_ok = [], [], 0
   for name, tag in plan:
     if tag == "R-required":
       print(f"[skip] {name}: upstream ships .rds — convert with "
             "tools/convert_rds.R + sisua_tpu.data.loaders.finalize_cache")
+      skipped.append(name)
       continue
     print(f"[fetch] {name} ({tag}) ...", flush=True)
     try:
       sco = get_dataset(name, verbose=True)
       print(f"  ok: {sco.n_obs} cells × {sco.n_vars} vars, "
             f"omics={list(sco.omics)}")
+      n_ok += 1
+    except (ImportError, ModuleNotFoundError) as e:
+      # 'optional-dep' names land here when the dep is absent: a skip per
+      # the documented contract, not a fetch failure
+      print(f"[skip] {name}: missing optional dependency ({e})")
+      skipped.append(name)
     except Exception as e:  # keep fetching the rest
       failed.append((name, repr(e)))
       traceback.print_exc(limit=2)
-  print(f"\ndone: {len(plan) - len(failed)}/{len(plan)} ok")
+  print(f"\ndone: {n_ok} ok, {len(skipped)} skipped, {len(failed)} failed "
+        f"of {len(plan)} planned")
   for name, err in failed:
     print(f"  FAILED {name}: {err}")
   return 1 if failed else 0
