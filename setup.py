@@ -29,7 +29,7 @@ setup(
         "umap": ["umap-learn"],
     },
     scripts=["bin/sisua-train", "bin/sisua-analyze", "bin/sisua-embed",
-             "bin/sisua-showdata"],
+             "bin/sisua-showdata", "bin/sisua-predict"],
     entry_points={
         "console_scripts": [
             "sisua-tpu-train=sisua_tpu.cli.train:main",

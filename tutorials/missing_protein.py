@@ -46,11 +46,17 @@ def latents_of(data):
   q = qZ[0] if isinstance(qZ, (list, tuple)) else qZ
   return np.asarray(q.mean())
 
-# same deterministic split on the FULL dataset recovers held-out labels
+# same deterministic split on the FULL dataset recovers held-out labels.
+# Binarize ONCE on the full matrix — ProbabilisticEmbedding's log-norm
+# rescales by the column sums of whatever array it is given, so per-subset
+# predict() calls would threshold train and test at different effective
+# scales — then slice the binary labels by each split half's row names.
 train_full, test_full = sco.split(0.8)
 pe = ProbabilisticEmbedding().fit(full_y[:, REMOVED])
-y_train = pe.predict(train_full.numpy(OMIC.proteomic)[:, REMOVED])
-y_test = pe.predict(test_full.numpy(OMIC.proteomic)[:, REMOVED])
+y_full = pe.predict(full_y[:, REMOVED])
+pos = {n: i for i, n in enumerate(sco.obs_names)}
+y_train = y_full[[pos[n] for n in train_full.obs_names]]
+y_test = y_full[[pos[n] for n in test_full.obs_names]]
 
 _, test_scores = streamline_classifier(
     latents_of(train), y_train, latents_of(test), y_test,

@@ -30,7 +30,7 @@ scvi.fit(train, valid=test, epochs=10, batch_size=64, verbose=True,
 
 # --- 2. save: weights + metamodel (+ training history) -----------------------
 scvi.save_weights(PATH)
-print("saved:", os.listdir(os.path.dirname(PATH)))
+print("saved:", sorted(os.listdir(PATH)))
 
 # --- 3. load: reconstruct the class from the metamodel ------------------------
 loaded = load_model(PATH)

@@ -7,6 +7,7 @@ protocol, 1.20M cells/s at 100k cells, 1.39M cells/s at 1M cells).
   JAX_PLATFORMS=cpu PYTHONPATH=. python tutorials/tpu_performance.py
 """
 
+import jax
 import numpy as np
 
 from sisua_tpu.data import generate_synthetic
@@ -36,7 +37,8 @@ print("cells/sec:", [f"{r:,.0f}" for r in model.history["cells_per_sec"]])
 bf16 = VAE(RVmeta(100, "zinb", name="rna"), compute_dtype="bfloat16")
 bf16.fit(train, epochs=2, batch_size=128, valid_freq=0, patience=0)
 print("bf16 loss:", round(bf16.history["loss"][-1], 1),
-      "| params stay float32:", )
+      "| params stay float32:",
+      jax.tree_util.tree_leaves(bf16.params)[0].dtype)
 
 # --- 3. multi-chip data parallelism ----------------------------------------
 # On a multi-device runtime:  from sisua_tpu.parallel import create_mesh
