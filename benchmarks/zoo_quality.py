@@ -35,8 +35,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
-               "protein_spearman_mean", "f1_macro", "latent_ARI",
-               "latent_NMI"]
+               "protein_spearman_mean", "protein_spearman_dc", "f1_macro",
+               "latent_ARI", "latent_NMI"]
+
+# families whose protein prediction is semi-supervised (head-predicted);
+# everything else sees proteins only through the downstream baseline
+SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi")
 
 
 def build_zoo(G, P, nets, seed=0, n_batch=0):
@@ -72,7 +76,39 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
   return zoo
 
 
-def evaluate(model, test):
+def _latent_means(model, sco):
+  """Reduced latent means for a dataset (the Posterior's latent protocol)."""
+  import numpy as np
+  _, qZ = model.predict(sco)
+  qs = qZ if isinstance(qZ, (tuple, list)) else (qZ,)
+  return np.concatenate([np.asarray(q.mean()) for q in qs], axis=-1)
+
+
+def downstream_protein_spearman(model, train, test, labels_percent, seed):
+  """Unsupervised + downstream-regressor protein baseline (VERDICT r2 #2):
+  ridge from train latents → log1p(protein) fitted on the SAME labeled
+  fraction the semi-supervised families trained with, evaluated as mean
+  per-protein Spearman on held-out cells. Comparable information budget:
+  head-predicting families see labels_percent of train labels in the loss;
+  this baseline's regressor sees labels_percent of train labels."""
+  import numpy as np
+  from scipy import stats as sp_stats
+  from sklearn.linear_model import Ridge
+  z_tr = _latent_means(model, train)
+  z_te = _latent_means(model, test)
+  y_tr = np.log1p(np.asarray(train.numpy("proteomic"), np.float64))
+  y_te = np.asarray(test.numpy("proteomic"), np.float64)
+  rng = np.random.RandomState(seed)
+  k = max(10, int(round(labels_percent * len(z_tr))))
+  idx = rng.permutation(len(z_tr))[:k]
+  reg = Ridge(alpha=1.0).fit(z_tr[idx], y_tr[idx])
+  y_hat = reg.predict(z_te)
+  rho = [sp_stats.spearmanr(y_te[:, j], y_hat[:, j]).statistic
+         for j in range(y_te.shape[1]) if np.std(y_te[:, j]) > 0]
+  return float(np.mean(rho)) if rho else float("nan")
+
+
+def evaluate(model, test, train=None, labels_percent=0.5, seed=0):
   import numpy as np
   post = model.create_posterior(test, sample_shape=5)
   scores = {}
@@ -92,6 +128,12 @@ def evaluate(model, test):
     scores["latent_NMI"] = cs["NMI"]
   except Exception:
     pass
+  if train is not None and "proteomic" in test.omics:
+    try:
+      scores["protein_spearman_dc"] = downstream_protein_spearman(
+          model, train, test, labels_percent, seed)
+    except Exception:
+      pass
   return {k: float(v) for k, v in scores.items() if np.isfinite(v)}
 
 
@@ -106,6 +148,9 @@ def main(argv=None):
   p.add_argument("--epochs", type=int, default=40)
   p.add_argument("--batch", type=int, default=64)
   p.add_argument("--seeds", type=int, default=1)
+  p.add_argument("--labels-percent", type=float, default=0.5,
+                 help="semi-supervised label fraction (the low-label "
+                      "protocol uses 0.02 / 0.1)")
   p.add_argument("--models", default="",
                  help="comma-separated subset (default: all)")
   p.add_argument("--n-batch", type=int, default=0,
@@ -150,10 +195,11 @@ def main(argv=None):
         model = ctor()
         t0 = time.perf_counter()
         model.fit(train, epochs=args.epochs, batch_size=args.batch,
-                  labels_percent=0.5, valid_freq=0, patience=0,
-                  device_cache=True, metrics_interval=mi)
+                  labels_percent=args.labels_percent, valid_freq=0,
+                  patience=0, device_cache=True, metrics_interval=mi)
         fit_s = time.perf_counter() - t0
-        scores = evaluate(model, test)
+        scores = evaluate(model, test, train=train,
+                          labels_percent=args.labels_percent, seed=seed)
         rates = steady_window_rates(model.history["cells_per_sec"],
                                     args.epochs, mi)
         row = {"model": name, "seed": seed,
@@ -184,16 +230,46 @@ def main(argv=None):
         cells.append(f"{np.mean(vals):.3f}±{np.std(vals):.3f}")
     lines.append("| " + " | ".join(cells) + " |")
   table = "\n".join(lines) + "\n"
+
+  # per-seed win counts of each semi-supervised family's head-predicted
+  # protein Spearman vs the unsupervised-vae + downstream-regressor baseline
+  # (same seed, same label budget), and of f1_macro vs vae's f1_macro
+  wins = []
+  by = {(r["model"], r["seed"]): r for r in rows}
+  for m in models:
+    if m not in SEMI_FAMILIES:
+      continue
+    w_sp = n_sp = w_f1 = n_f1 = 0
+    for s in range(args.seeds):
+      r, base = by.get((m, s), {}), by.get(("vae", s), {})
+      if "protein_spearman_mean" in r and "protein_spearman_dc" in base:
+        n_sp += 1
+        w_sp += r["protein_spearman_mean"] > base["protein_spearman_dc"]
+      if "f1_macro" in r and "f1_macro" in base:
+        n_f1 += 1
+        w_f1 += r["f1_macro"] > base["f1_macro"]
+    if n_sp or n_f1:
+      wins.append(f"| {m} | {w_sp}/{n_sp} | {w_f1}/{n_f1} |")
+  win_table = ""
+  if wins:
+    win_table = ("\nPer-seed wins vs unsupervised vae baseline "
+                 "(head protein ρ > vae latent→ridge ρ; f1 > vae f1):\n\n"
+                 "| model | protein_spearman wins | f1_macro wins |\n"
+                 "|---|---|---|\n" + "\n".join(wins) + "\n")
+
   os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
   with open(args.out, "w") as f:
     f.write(f"dataset={args.dataset} cells={args.cells} genes={args.genes} "
             f"proteins={args.proteins} epochs={args.epochs} "
-            f"seeds={args.seeds}\n\n")
+            f"seeds={args.seeds} labels_percent={args.labels_percent}\n\n")
     f.write(table)
+    f.write(win_table)
   with open(args.out + ".jsonl", "w") as f:
     for r in rows:
       f.write(json.dumps(r) + "\n")
   print(table)
+  if win_table:
+    print(win_table)
   print("→", args.out)
 
 

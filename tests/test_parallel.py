@@ -227,6 +227,71 @@ def test_device_cached_mesh_odd_n_obs(small_nets):
   assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+@pytest.mark.slow
+def test_out_of_core_on_mesh_matches_single_device(small_nets):
+  """Out-of-core chunked training composes with the data mesh: the same
+  forced-tiny aggregate HBM budget (per-device budget × data shards) must
+  produce the same chunk plan and the same loss trajectory as the
+  single-device out-of-core run."""
+  from sisua_tpu.train import trainer as trainer_mod
+  rng = np.random.default_rng(0)
+  X = rng.poisson(2.0, (1024, 32)).astype(np.float32)
+
+  def run(mesh, budget):
+    m = VAE(RVmeta(32, "zinb", name="rna"), seed=7,
+            encoder=NetConf((16,)), decoder=NetConf((16,)))
+    captured = {}
+    orig = trainer_mod.Trainer._fit_out_of_core
+    def spy(self, *a, **k):
+      out = orig(self, *a, **k)
+      captured.update(self._oc_plan)
+      return out
+    trainer_mod.Trainer._fit_out_of_core = spy
+    try:
+      m.fit(X, epochs=4, batch_size=32, device_cache=True,
+            hbm_budget_bytes=budget, mesh=mesh, valid_freq=0, patience=0)
+    finally:
+      trainer_mod.Trainer._fit_out_of_core = orig
+    assert captured, "out-of-core path was not taken"
+    return m.history["loss"], captured
+
+  l_single, plan_single = run(None, 65536)
+  l_dp, plan_dp = run(create_mesh(n_data=4, n_model=2), 65536 // 4)
+  assert plan_single == plan_dp, (plan_single, plan_dp)
+  assert plan_dp["n_chunks"] > plan_dp["n_resident"] >= 1
+  np.testing.assert_allclose(l_dp, l_single, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path, splits, small_nets):
+  """A mesh-trained model's (sharded) state must save through the orbax
+  backend, reload bit-exact via load_model, serve identically, and RESUME
+  training on the mesh from the restored weights."""
+  from sisua_tpu.models import load_model
+  train, test = splits
+  mesh = create_mesh(n_data=4, n_model=2)
+  m = VAE(RVmeta(train.n_vars, "zinb", name="rna"), seed=7, **small_nets)
+  m.fit(train, epochs=2, batch_size=64, device_cache=True, mesh=mesh,
+        valid_freq=0, patience=0)
+  leaf = jax.tree_util.tree_leaves(m.params)[0]
+  assert len(leaf.sharding.device_set) == 8  # saving from a sharded state
+  path = str(tmp_path / "mesh_ckpt")
+  m.save_weights(path, backend="orbax")
+  m2 = load_model(path)
+  for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(m.params)),
+                  jax.tree_util.tree_leaves(jax.device_get(m2.params))):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  # restored model serves the same numbers
+  x = test.numpy()[:32]
+  z1 = np.asarray(m.encode(x).mean())
+  z2 = np.asarray(m2.encode(x).mean())
+  np.testing.assert_allclose(z2, z1, atol=1e-6)
+  # and resumes training on the mesh
+  m2.fit(train, epochs=1, batch_size=64, device_cache=True, mesh=mesh,
+         valid_freq=0, patience=0)
+  assert np.isfinite(m2.history["loss"]).all()
+
+
 def test_mesh_state_cache_tracks_state_identity(mesh, splits, small_nets):
   """Placement cache must invalidate when the state object changes — an
   id()-keyed cache could serve OLD weights after address reuse (review
