@@ -205,14 +205,22 @@ class Posterior(Visualizer):
 
   def get_criticizer(self, factor_omic: str = "proteomic") -> Criticizer:
     """The per-factor-omic Criticizer (reference :304-376); built in
-    ``_initialize`` for every factor omic, created on demand otherwise."""
+    ``_initialize`` for every factor omic, created on demand otherwise —
+    including for IMPUTED factor omics (``i<omic>``, values from the
+    analysis dataset), the reference's imputed-variant criticizers
+    (posterior.py:166-170)."""
     factor_omic = OMIC.parse(factor_omic).name
     if factor_omic not in self.criticizers:
-      assert factor_omic in self.sco_original.omics, \
-          f"No omic {factor_omic} in {list(self.sco_original.omics)}"
+      if factor_omic in self.sco_original.omics:
+        src = self.sco_original
+      else:
+        assert factor_omic in self.sco_analysis.omics, \
+            (f"No omic {factor_omic} in {list(self.sco_original.omics)} "
+             f"or {list(self.sco_analysis.omics)}")
+        src = self.sco_analysis
       self.criticizers[factor_omic] = Criticizer(
-          self.latents, self.sco_original.numpy(factor_omic),
-          factor_names=list(self.sco_original.get_var_names(factor_omic)),
+          self.latents, src.numpy(factor_omic),
+          factor_names=list(src.get_var_names(factor_omic)),
           seed=self.seed)
     return self.criticizers[factor_omic]
 
@@ -468,11 +476,16 @@ class Posterior(Visualizer):
 
   # ----------------------------------------------------------------- plots
   def plot_scatter(self, color_by: Optional[str] = None, algo: str = "tsne"):
+    """Latent embedding scatter colored by a factor omic — including the
+    IMPUTED factors (``i<omic>``, present on the analysis dataset), matching
+    the reference grid ``scatter_latent_{factor|ifactor}_{tsne|umap}``
+    (evaluate.py:106-119)."""
     color_by = color_by or (self.factor_omics[0] if self.factor_omics
                             else None)
+    tag = OMIC.parse(color_by).name if color_by is not None else "none"
     self.sco_analysis.plot_scatter(X=OMIC.latent, color_by=color_by,
                                    algo=algo,
-                                   title=f"{self.name}_latent_{algo}")
+                                   title=f"{self.name}_latent_{tag}_{algo}")
     self.figures.update(self.sco_analysis.figures)
     self.sco_analysis.figures.clear()
     return self
@@ -484,11 +497,25 @@ class Posterior(Visualizer):
                     plot_imputation(org, imp, title=self.name))
     return self
 
-  def plot_distance_heatmap(self, factor_omic: Optional[str] = None):
+  def plot_distance_heatmap(self, factor_omic: Optional[str] = None,
+                            omic: Optional[str] = None):
+    """Group-centroid distance heatmap. ``omic=None`` → latent space (the
+    round-1 behavior); an omic name (``transcriptomic`` /
+    ``itranscriptomic``) → distances in that omic's expression space,
+    the reference's ``distheatmap_{omic}_{factor}`` grid
+    (evaluate.py:133-139, posterior.py:532-552)."""
     factor_omic = factor_omic or (self.factor_omics[0]
                                   if self.factor_omics else None)
     if factor_omic is None:
       return self
+    if omic is not None:
+      if OMIC.parse(omic).name not in self.sco_analysis.omics:
+        return self
+      return self._delegate(
+          "plot_distance_heatmap",
+          rename=(f"{self.name}_distheatmap_{OMIC.parse(omic).name}_"
+                  f"{OMIC.parse(factor_omic).name}"),
+          X=omic, group_by=factor_omic)
     labels = np.argmax(self.sco_original.numpy(factor_omic), 1)
     names = self.sco_original.get_var_names(factor_omic)
     self.add_figure(
@@ -498,7 +525,26 @@ class Posterior(Visualizer):
     return self
 
   def plot_correlation_matrix(self, method: str = "spearman",
-                              factor_omic: str = "proteomic"):
+                              factor_omic: str = "proteomic",
+                              omic1: Optional[str] = None):
+    """Correlation heatmap. ``omic1=None`` → latent × factor (round-1
+    behavior, methods spearman/pearson/mi/importance). An omic name
+    (``transcriptomic`` / ``itranscriptomic``) → marker-pair correlation
+    between that omic's genes and the factor omic, the reference's
+    ``{spearman|pearson|mutual_information}_{omic1}_{omic2}`` grid
+    (evaluate.py:141-152, posterior.py:554-589)."""
+    if omic1 is not None:
+      o1 = OMIC.parse(omic1).name
+      f = OMIC.parse(factor_omic).name
+      if o1 not in self.sco_analysis.omics or f not in self.sco_analysis.omics:
+        return self
+      delegate = {"spearman": "plot_spearman_matrix",
+                  "pearson": "plot_pearson_matrix",
+                  "mi": "plot_mutual_information",
+                  "mutual_information": "plot_mutual_information"}[method]
+      return self._delegate(delegate,
+                            rename=f"{self.name}_{method}_{o1}_{f}",
+                            omic1=o1, omic2=f)
     if factor_omic not in self.criticizers:
       return self
     import matplotlib.pyplot as plt
@@ -581,8 +627,9 @@ class Posterior(Visualizer):
     factors = ([factor_omic] if factor_omic is not None
                else list(self.criticizers))
     for f in factors:
-      crt = self.criticizers.get(f)
-      if crt is None:
+      try:
+        crt = self.get_criticizer(f)  # builds imputed-factor criticizers
+      except (AssertionError, ValueError):
         continue
       m = np.abs(crt.create_correlation_matrix("spearman"))
       scores = crt.cal_all_scores()
@@ -636,7 +683,10 @@ class Posterior(Visualizer):
     group = group_by or (self.factor_omics[0] if self.factor_omics else None)
     if group is None or omic not in self.sco_analysis.omics:
       return self
-    return self._delegate("plot_dendrogram_heatmap", X=omic, group_by=group)
+    return self._delegate(
+        "plot_dendrogram_heatmap",
+        rename=f"{self.name}_dendrogram_{omic}_{OMIC.parse(group).name}",
+        X=omic, group_by=group)
 
   def plot_dotplot(self, omic: Optional[str] = None,
                    group_by: Optional[str] = None):
@@ -669,12 +719,14 @@ class Posterior(Visualizer):
     """Latent 2-D embedding colored by the log-contrast of opposing factor
     pairs (reference plot_disentanglement_scatter with
     PROTEIN_PAIR_NEGATIVE)."""
-    if factor_omic not in self.sco_original.omics:
+    src = (self.sco_original if factor_omic in self.sco_original.omics
+           else self.sco_analysis)  # imputed factors live on the analysis sco
+    if factor_omic not in src.omics:
       return self
     import matplotlib.pyplot as plt
     from ..data.const import PROTEIN_PAIR_NEGATIVE
     from ..data.utils import standardize_protein_name
-    raw_names = list(map(str, self.sco_original.get_var_names(factor_omic)))
+    raw_names = list(map(str, src.get_var_names(factor_omic)))
     # knowledge-base pairs use standardized protein names; raw names stay
     # valid for explicitly passed pairs
     name_idx = {}
@@ -691,7 +743,7 @@ class Posterior(Visualizer):
       return self
     emb = self.sco_analysis.dimension_reduce(OMIC.latent, n_components=2,
                                              algo="pca")
-    y = np.log1p(self.sco_original.numpy(factor_omic))
+    y = np.log1p(src.numpy(factor_omic))
     ncol = 3
     nrow = int(np.ceil(len(pairs) / ncol))
     fig, axes = plt.subplots(nrow, ncol, figsize=(3.6 * ncol, 3 * nrow),
@@ -755,16 +807,25 @@ class Posterior(Visualizer):
     self.add_figure(f"{self.name}_protein_prediction", fig)
     return self
 
-  def plot_series(self):
-    """Original vs imputed sorted-expression series of top-variance genes."""
+  def plot_series(self, omic: Optional[str] = None):
+    """Original vs imputed sorted-expression series. Default: top-variance
+    genes of the main omic. An explicit factor omic (``proteomic`` …)
+    renders the reference's ``series_{factor}_{ifactor}`` original-vs-
+    imputed marker series (evaluate.py:89-95, posterior.py:628-653)."""
     from ..utils.plot_utils import plot_series_statistics
     import matplotlib.pyplot as plt
-    org = self.sco_original.numpy(self.main_omic)
-    imp = self.sco_analysis.numpy(f"i{self.main_omic}")
+    name = self.main_omic if omic is None else OMIC.parse(omic).name
+    if (name not in self.sco_original.omics
+        or f"i{name}" not in self.sco_analysis.omics):
+      return self
+    org = self.sco_original.numpy(name)
+    imp = self.sco_analysis.numpy(f"i{name}")
     fig, ax = plt.subplots(figsize=(8, 4))
     plot_series_statistics({"original": org.sum(0), "imputed": imp.sum(0)},
-                           title=self.name, ax=ax)
-    self.add_figure(f"{self.name}_series", fig)
+                           title=f"{self.name} {name}", ax=ax)
+    key = (f"{self.name}_series" if omic is None
+           else f"{self.name}_series_{name}")
+    self.add_figure(key, fig)
     return self
 
   def plot_all(self, full: bool = False):
@@ -784,21 +845,54 @@ class Posterior(Visualizer):
      .plot_disentanglement().plot_series())
     if not full:
       return self
-    self.plot_scatter(algo="tsne").plot_llk_bars().plot_protein_prediction()
+    self.plot_llk_bars().plot_protein_prediction()
     self.plot_divergence()
+    ana_omics = self.sco_analysis.omics
+    # the reference treats proteomic as the continuous factor and the
+    # one-hot omics as binary factors (evaluate.py:78-84)
+    binary = ("disease", "progenitor", "celltype")
     for f in self.factor_omics:
+      fi = f"i{f}"
+      has_imputed = fi in ana_omics
+      # scatter: latent embedding × {tsne, umap} colored by the factor and
+      # (when the model predicts it) by the imputed factor
+      for algo in ("tsne", "umap"):
+        self.plot_scatter(color_by=f, algo=algo)
+        if has_imputed:
+          self.plot_scatter(color_by=fi, algo=algo)
+      # original-vs-imputed factor series (series_{factor}_{ifactor})
+      if has_imputed:
+        self.plot_series(omic=f)
+      # violins/heatmaps: {main, imain} × {factor, ifactor} groupings
+      groups = [f] + ([fi] if has_imputed else [])
       for om in (self.main_omic, f"i{self.main_omic}"):
-        self.plot_violins(omic=om, group_by=f)
-        self.plot_heatmap(omic=om, group_by=f)
+        for g in groups:
+          self.plot_violins(omic=om, group_by=g)
+          self.plot_heatmap(omic=om, group_by=g)
       self.plot_dendrogram(group_by=f)
       self.plot_dotplot(group_by=f)
       self.plot_distance_heatmap(factor_omic=f)
       self.plot_confusion_matrix(factor_omic=f)
-      for method in ("pearson", "mi", "importance"):
+      # latent × factor correlation heatmaps (all four methods)
+      for method in ("spearman", "pearson", "mi", "importance"):
         self.plot_correlation_matrix(method=method, factor_omic=f)
       self.plot_disentanglement(factor_omic=f)
-      if f == "proteomic":
+      if has_imputed:
+        self.plot_disentanglement(factor_omic=fi)
+      if f in binary:
+        # distheatmap_{main|imain}_{binary factor} (evaluate.py:133-139)
+        for om in (self.main_omic, f"i{self.main_omic}"):
+          self.plot_distance_heatmap(factor_omic=f, omic=om)
+      else:
+        # continuous factor: marker-pair omic×factor correlation heatmaps
+        # and gene↔protein correlation scatters (evaluate.py:141-152)
+        for om in (self.main_omic, f"i{self.main_omic}"):
+          for method in ("spearman", "pearson"):
+            self.plot_correlation_matrix(method=method, factor_omic=f,
+                                         omic1=om)
         self.plot_disentanglement_scatter(factor_omic=f)
+        if has_imputed:
+          self.plot_disentanglement_scatter(factor_omic=fi)
         for imputed in (False, True):
           self.plot_correlation_scatter(imputed=imputed)
     return self
