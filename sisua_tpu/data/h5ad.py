@@ -117,7 +117,14 @@ def read_h5ad(path: str, name: Optional[str] = None,
     if col in sco.obs.columns:
       col = f"file_{col}"
     sco.obs[col] = vals
-  # well-known obsm conventions → omics
+  # well-known obsm conventions → omics; files written by write_h5ad carry
+  # the original omic ORDER in uns (hdf5 group iteration is alphabetical,
+  # which would otherwise reorder omics and change positional consumers)
+  order = [str(x) for x in np.ravel(uns.get("omics_order", []))]
+  if order:
+    obsm = {k: obsm[k] for k in
+            [k for k in order if k in obsm]
+            + [k for k in obsm if k not in order]}
   for key, m in obsm.items():
     target = None
     if key in ("protein_expression", "protein_counts"):
@@ -186,6 +193,8 @@ def write_h5ad(sco, path: str) -> str:
     obsm = f.create_group("obsm")
     uns = f.create_group("uns")
     main = sco.current_omic.name
+    uns.create_dataset("omics_order",
+                       data=np.asarray(list(sco.omics), dtype="S"))
     for omic_name in sco.omics:
       if omic_name == main:
         continue

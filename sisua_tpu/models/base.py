@@ -478,7 +478,16 @@ class SingleCellModel:
     if isinstance(data, DataFeeder):
       return data
     if hasattr(data, "create_dataset"):  # SingleCellOMIC
-      omics = list(data.omics)[: self.n_outputs]
+      # select output omics BY NAME when the model's RV names are omics of
+      # this dataset (the experimenter names outputs after omics) — a
+      # positional pick silently trains label heads on the wrong omic when
+      # the container's omic order differs (e.g. after an h5ad round-trip)
+      avail = set(data.omics)
+      rv_names = [rv.name for rv in self.outputs]
+      if all(n in avail for n in rv_names):
+        omics = rv_names
+      else:
+        omics = list(data.omics)[: self.n_outputs]
       extra = None
       if self.n_batch:
         extra = [self._batch_onehot(data)]

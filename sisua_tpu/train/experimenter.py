@@ -142,8 +142,13 @@ class Experimenter:
   def experiment_dir(self, cfg: dict) -> str:
     h = config_hash(cfg, self.exclude_keys, self.hash_length)
     name = cfg.get("model", {}).get("name", "model")
-    ds = cfg.get("dataset", {}).get("name", "data")
-    path = os.path.join(self.save_path, f"{name}_{ds}_{h}")
+    ds = str(cfg.get("dataset", {}).get("name", "data"))
+    # dataset "names" may be file paths (.h5ad drill): a raw path in the
+    # dir name would nest experiment dirs outside get_models' scan; keep a
+    # filesystem-safe tag (the config hash already disambiguates)
+    import re
+    ds_tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.basename(ds))
+    path = os.path.join(self.save_path, f"{name}_{ds_tag}_{h}")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.yaml"), "w") as f:
       yaml.safe_dump(cfg, f)
