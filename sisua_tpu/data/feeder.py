@@ -9,9 +9,10 @@ TPU-idiomatic design:
     (``sisua_tpu/native``) — the "CSR → dense HBM batches" path;
   * static shapes: ``drop_remainder=True`` by default so every batch jits to
     one executable (the final partial batch would trigger recompilation);
-  * semi-supervised masking: per-example Bernoulli(labels_percent) mask drawn
-    per epoch (reference ``masking`` map, :577-593) — validation passes
-    ``labels_percent=1.0``;
+  * semi-supervised masking: per-example Bernoulli(labels_percent) mask
+    drawn ONCE per run — the reference caches its masking map (map→cache,
+    :577-597), so the labeled subset is fixed across epochs; validation
+    passes ``labels_percent=1.0``;
   * emits ``{'inputs': [x_0…x_k], 'library': (B,2), 'mask': (B,)}`` numpy
     dicts; the trainer's ``_prefetch_iter`` overlaps the host gathers
     with compute.
@@ -126,12 +127,25 @@ class DataFeeder:
     self._epoch = int(epoch)
     return self
 
+  def _run_mask(self) -> np.ndarray:
+    """Per-example semi-supervised mask, drawn ONCE per feeder — the
+    reference pipeline caches its masking map (`_single_cell_base.py:
+    577-597`: map→cache), so the labeled subset is FIXED for the whole
+    run, not resampled per epoch. At low labels_percent resampling would
+    turn 'k% labeled cells' into 'all cells weakly labeled', a different
+    (and easier) protocol."""
+    if getattr(self, "_mask_all", None) is None:
+      rng = np.random.RandomState((self.seed * 2654435761 + 0x5EED)
+                                  % (2**31 - 1))
+      self._mask_all = (rng.uniform(size=self.n_obs) <
+                        self.labels_percent).astype(np.float32)
+    return self._mask_all
+
   def __iter__(self) -> Iterator[Dict[str, object]]:
     rng = np.random.RandomState(self.seed + self._epoch)
     order = (rng.permutation(self.n_obs) if self.shuffle
              else np.arange(self.n_obs)).astype(np.int64)
-    mask_all = (rng.uniform(size=self.n_obs) <
-                self.labels_percent).astype(np.float32)
+    mask_all = self._run_mask()
     n_batches = len(self)
     for b in range(n_batches):
       rows = order[b * self.batch_size:(b + 1) * self.batch_size]
@@ -158,8 +172,7 @@ class DataFeeder:
     rng = np.random.RandomState(self.seed + self._epoch)
     order = (rng.permutation(self.n_obs) if self.shuffle
              else np.arange(self.n_obs)).astype(np.int64)
-    mask_all = (rng.uniform(size=self.n_obs) <
-                self.labels_percent).astype(np.float32)
+    mask_all = self._run_mask()
     bs = self.batch_size
     n_chunks = self.n_obs // (k * bs)
     for c in range(n_chunks):

@@ -268,7 +268,7 @@ class Trainer:
 
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
                       has_library: bool, unroll: int = 1,
-                      n_rows: Optional[int] = None):
+                      n_rows: Optional[int] = None, mask_key=None):
     """Whole-epoch executable for device-resident data: shuffle + mask +
     batch + all train steps inside one lax.scan (zero per-step host work).
     ``n_rows`` overrides the row count when the uploaded matrices carry
@@ -293,6 +293,13 @@ class Trainer:
       steps = n // B
       kperm, kmask, kstep = jax.random.split(key, 3)
       perm = jax.random.permutation(kperm, n)
+      if mask_key is not None:
+        # FIXED labeled subset for the whole run: the reference caches its
+        # masking map (map→cache, `_single_cell_base.py:577-597`), so the
+        # per-example mask must not resample per epoch — at low
+        # labels_percent resampling turns 'k% labeled cells' into 'all
+        # cells weakly labeled', a different protocol
+        kmask = mask_key
       mask_all = (jax.random.uniform(kmask, (n,)) < lp).astype(jnp.float32)
       keys = jax.random.split(kstep, steps)
 
@@ -593,11 +600,12 @@ class Trainer:
           opt_state=shard_params(state.opt_state, self.mesh),
           batch_stats=(shard_params(state.batch_stats, self.mesh)
                        if state.batch_stats is not None else None))
+    key, run_mask_key = jax.random.split(key)
     epoch_fn, epoch_body = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=library is not None,
         unroll=self._unroll_for(B, sum(s.shape[1]
                                        for s in train_feeder.sources)),
-        n_rows=n if pad else None)
+        n_rows=n if pad else None, mask_key=run_mask_key)
     steps_per_epoch = n // B
     probe_batch = {"inputs": [x[:B].astype(jnp.float32) for x in xs],
                    "mask": jnp.ones((B,), jnp.float32)}
@@ -882,10 +890,12 @@ class Trainer:
           opt_state=shard_params(state.opt_state, self.mesh),
           batch_stats=(shard_params(state.batch_stats, self.mesh)
                        if state.batch_stats is not None else None))
+    key, run_mask_key = jax.random.split(key)
     epoch_fn, _ = self._build_epoch_fn(
         B, train_feeder.labels_percent, has_library=lib_full is not None,
         unroll=self._unroll_for(B, sum(s.shape[1]
-                                       for s in train_feeder.sources)))
+                                       for s in train_feeder.sources)),
+        mask_key=run_mask_key)
     steps_per_chunk = R // B
     steps_per_epoch = S * steps_per_chunk
     probe = {"inputs": [jnp.asarray(

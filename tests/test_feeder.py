@@ -39,6 +39,45 @@ def test_epoch_determinism(sco):
   assert not np.allclose(a, c)
 
 
+def test_mask_fixed_across_epochs(sco):
+  """The labeled subset is FIXED for the run (the reference caches its
+  masking map): per-example masks must be identical across epochs, in both
+  the streaming feeder and the device-resident epoch executable."""
+  import jax
+  import jax.numpy as jnp
+
+  # streaming feeder: reorder each epoch's masks back to row order
+  ds = sco.create_dataset(labels_percent=0.3, batch_size=64, shuffle=False)
+  m1 = np.concatenate([b["mask"] for b in ds])
+  m2 = np.concatenate([b["mask"] for b in ds])
+  np.testing.assert_array_equal(m1, m2)
+  assert 0.2 < m1.mean() < 0.4
+
+  # device-resident epoch executable: Σ mask·x[:,0] over one epoch is
+  # permutation-invariant and identifies the mask draw — equal across
+  # epochs iff the mask is fixed
+  from sisua_tpu.train.trainer import Trainer
+  def core(st, batch, kk):
+    return st, {"dot": jnp.dot(batch["mask"],
+                               batch["inputs"][0][:, 0].astype(jnp.float32))}
+  tr = Trainer(step_core=core, device_cache=True)
+  xs = [jnp.asarray(np.random.default_rng(0).poisson(
+      2.0, (256, 8)).astype(np.float32))]
+  def run_epoch(builder_kw, epoch_key):
+    _, body = tr._build_epoch_fn(32, 0.3, has_library=False, **builder_kw)
+    _, acc = body(jnp.float32(0.0), {"dot": jnp.float32(0.0)}, xs, None,
+                  epoch_key)
+    return float(acc["dot"])
+  fixed = dict(mask_key=jax.random.PRNGKey(5))
+  d1 = run_epoch(fixed, jax.random.PRNGKey(1))
+  d2 = run_epoch(fixed, jax.random.PRNGKey(2))
+  assert d1 == d2, (d1, d2)  # fixed mask → identical regardless of epoch key
+  # without a run mask key the mask resamples with the epoch key
+  d3 = run_epoch({}, jax.random.PRNGKey(1))
+  d4 = run_epoch({}, jax.random.PRNGKey(2))
+  assert d3 != d4, (d3, d4)
+
+
 def test_fresh_buffers_regression(sco):
   """Regression for the async zero-copy race: consecutive batches must not
   share memory (JAX-CPU may alias host buffers while steps are queued)."""

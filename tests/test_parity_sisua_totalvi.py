@@ -159,13 +159,15 @@ def _train_torch_sisua(train, test):
   model = TorchSISUA(train.n_vars, y.shape[1])
   opt = torch.optim.Adam(model.parameters(), lr=LR)
   n = len(x)
+  # FIXED labeled subset for the whole run (both frameworks follow the
+  # reference's cached masking map)
+  mask_all = (torch.rand(n, generator=gen) < LABELS_PERCENT).float()
   for _ in range(EPOCHS):
     perm = torch.randperm(n, generator=gen)
     for lo in range(0, n - BATCH + 1, BATCH):
       idx = perm[lo:lo + BATCH]
-      mask = (torch.rand(BATCH, generator=gen) < LABELS_PERCENT).float()
       opt.zero_grad()
-      loss = model.loss(x[idx], y[idx], mask, gen)
+      loss = model.loss(x[idx], y[idx], mask_all[idx], gen)
       loss.backward()
       opt.step()
   model.eval()
