@@ -594,11 +594,19 @@ class SingleCellModel:
       # trace with tensorboard/xprof pointed at profile_dir
       from ..utils.others import profile_trace
       trace_cm = profile_trace(profile_dir)
-    with trace_cm:
-      self._state = trainer.fit(self._state, train_feeder, valid_feeder,
-                                epochs=epochs, key=self._next_key(),
-                                callbacks=callbacks, checkpoint_fn=ckpt_fn,
-                                model=self)
+    # amortization hint for the fused-likelihood router: how many SGD steps
+    # this run will take (compile premium vs per-step delta, objective.py)
+    from .objective import set_planned_steps
+    planned = int(epochs) * max(1, int(train_feeder.n_obs) // batch_size)
+    prev_hint = set_planned_steps(planned)
+    try:
+      with trace_cm:
+        self._state = trainer.fit(self._state, train_feeder, valid_feeder,
+                                  epochs=epochs, key=self._next_key(),
+                                  callbacks=callbacks, checkpoint_fn=ckpt_fn,
+                                  model=self)
+    finally:
+      set_planned_steps(prev_hint)
     # merge histories across successive fit calls (reference keeps one)
     if self.trainer is None:
       self.trainer = trainer

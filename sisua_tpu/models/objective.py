@@ -29,23 +29,64 @@ import jax.numpy as jnp
 from .. import dist as D
 from .module import VAEOutput
 
-__all__ = ["elbo_terms", "compute_loss"]
+__all__ = ["elbo_terms", "compute_loss", "route_fused_likelihood",
+           "set_planned_steps"]
 
 Array = jax.Array
 
-# Fused-kernel size gate: the Pallas ZINB row-sum beats XLA's fusion only in
-# the bandwidth-bound regime (measured on v5e: ~12% faster at 4096×2048,
-# slower below ~2M elements where call overhead dominates). End-to-end at
-# 512×33k (SCVI zinbd) the two are within ~5% steady-state (XLA slightly
-# ahead) but the Pallas executable compiles ~8× faster (8.6s vs 68s per
-# train executable on v5e) — worth it for interactive/short runs.
+# Fused-kernel routing. Two measured facts on v5e (RESULTS.md):
+#   * below ~4M likelihood elements the step is overhead-bound and XLA's own
+#     fusion is faster per step — never route Pallas there;
+#   * above the gate (e.g. 512×33k SCVI) XLA's fused step is a few percent
+#     faster at steady state, but its train executable compiles ~60 s slower
+#     than the Pallas one (68 s vs 8.6 s). Whether that compile delta
+#     amortizes depends on how many steps the run will take — a pure size
+#     gate can't know, so fit() passes the PLANNED step count down and the
+#     router compares planned_steps × per-step delta vs the compile delta.
+# Both deltas scale ~linearly with element count, so the break-even reduces
+# to a step-count threshold (calibrated from the same-session HEAD A/B in
+# RESULTS.md "Wide-gene regime").
 # Override with SISUA_TPU_FUSED_LIKELIHOOD=on|off|auto (default auto).
 _PALLAS_MIN_ELEMENTS = 4_000_000
+_AMORTIZATION_BREAKEVEN_STEPS = 100_000
+_PLANNED_STEPS: Optional[int] = None
+
+
+def set_planned_steps(n: Optional[int]) -> Optional[int]:
+  """Amortization hint for the fused-likelihood router (set by fit() for
+  the duration of training; None = unknown → interactive/serving default).
+  Returns the previous value so callers can restore it."""
+  global _PLANNED_STEPS
+  prev = _PLANNED_STEPS
+  _PLANNED_STEPS = None if n is None else int(n)
+  return prev
 
 
 def _pallas_mode() -> str:
   import os
   return os.environ.get("SISUA_TPU_FUSED_LIKELIHOOD", "auto").lower()
+
+
+def route_fused_likelihood(elements: int, mode: Optional[str] = None,
+                           planned_steps: Optional[int] = None) -> bool:
+  """Amortization-aware routing decision for the fused ZINB/NB kernel.
+
+  ``True`` → Pallas kernel; ``False`` → the distribution math (XLA fusion).
+  Explicit env mode wins; in 'auto', small shapes always go to XLA (faster
+  per step AND faster to compile), and large shapes go to Pallas unless the
+  run is long enough (planned_steps ≥ break-even) for XLA's per-step edge
+  to pay back its compile-time premium."""
+  mode = _pallas_mode() if mode is None else mode
+  if mode == "on":
+    return True
+  if mode == "off":
+    return False
+  if elements < _PALLAS_MIN_ELEMENTS:
+    return False
+  steps = _PLANNED_STEPS if planned_steps is None else planned_steps
+  if steps is not None and steps >= _AMORTIZATION_BREAKEVEN_STEPS:
+    return False  # long run: the compile premium amortizes away
+  return True
 
 
 def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
@@ -61,7 +102,7 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
       and x.ndim == 2
       and len(dist.batch_shape) == 1  # no MC sample dims in the params
       and x.shape[0] % 8 == 0
-      and (mode == "on" or x.size >= _PALLAS_MIN_ELEMENTS)):
+      and route_fused_likelihood(x.size, mode)):
     base = dist.base
     zi = isinstance(base, D.ZeroInflated)
     count = base.count_distribution if zi else base

@@ -166,6 +166,39 @@ def test_fused_likelihood_env_override(monkeypatch):
   assert objective._pallas_mode() == "nonsense"  # treated as not-off/on
 
 
+def test_fused_likelihood_amortization_routing():
+  """VERDICT r2 #4: routing is amortization-aware, not a pure size gate.
+  Small shapes → XLA always; large shapes → Pallas for short/unknown runs
+  (compile premium dominates), XLA for runs past the break-even step count
+  (its per-step edge amortizes the compile delta)."""
+  from sisua_tpu.models.objective import (_AMORTIZATION_BREAKEVEN_STEPS,
+                                          _PALLAS_MIN_ELEMENTS,
+                                          route_fused_likelihood,
+                                          set_planned_steps)
+  BE = _AMORTIZATION_BREAKEVEN_STEPS
+  big = 10 * _PALLAS_MIN_ELEMENTS
+  # explicit mode wins over everything
+  assert route_fused_likelihood(100, mode="on")
+  assert not route_fused_likelihood(big, mode="off", planned_steps=1)
+  # small shapes: XLA is faster per step AND compiles fast
+  assert not route_fused_likelihood(_PALLAS_MIN_ELEMENTS - 1, mode="auto")
+  # large + unknown step count (interactive/serving): compile time dominates
+  prev = set_planned_steps(None)
+  try:
+    assert route_fused_likelihood(big, mode="auto")
+    # large + short run: Pallas (compile premium not amortized)
+    assert route_fused_likelihood(big, mode="auto", planned_steps=BE - 1)
+    # large + long run: XLA (per-step edge pays back the compile delta)
+    assert not route_fused_likelihood(big, mode="auto", planned_steps=BE)
+    # the global hint (set by fit) routes the same way, and restores
+    assert set_planned_steps(BE) is None
+    assert not route_fused_likelihood(big, mode="auto")
+    assert set_planned_steps(7) == BE
+    assert route_fused_likelihood(big, mode="auto")
+  finally:
+    set_planned_steps(prev)
+
+
 def test_fused_routing_skips_mc_sample_dims(monkeypatch):
   """Training-time MC (mc_samples>1) gives distribution params a leading
   (S, …) dim while the target x stays 2-D; the Pallas route would then
