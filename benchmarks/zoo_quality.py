@@ -49,18 +49,22 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
                                 NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
+  # α=10: the reference's shipped label-LLK weight for the semi-supervised
+  # families (configs/base.yaml:6 `alpha: 10.`, the paper's setting) — the
+  # library ctor default of 1 underweights supervision 10× vs the protocol
   zoo = {
       "vae": lambda: VAE(rna_zinb(), seed=seed, n_batch=n_batch, **nets),
       "dca": lambda: DeepCountAutoencoder(rna_zinb(), latent_dim=10,
                                           seed=seed, **nets),
       "scvi": lambda: SCVI(RVmeta(G, "zinbd", name="rna"), seed=seed,
                            n_batch=n_batch),
-      "sisua": lambda: SISUA([rna_zinb(), adt_nb()], seed=seed, **nets),
+      "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=10.0, seed=seed,
+                             **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],
-                           seed=seed, **nets),
+                           alpha=10.0, seed=seed, **nets),
       "scale": lambda: SCALE(rna_zinb(), n_components=5, seed=seed, **nets),
       "scalar": lambda: SCALAR([rna_zinb(), adt_nb()], n_components=5,
-                               seed=seed, **nets),
+                               alpha=10.0, seed=seed, **nets),
       "fvae": lambda: FVAE(rna_zinb(), gamma=4.0, seed=seed, **nets),
       "scscope": lambda: SCScope(RVmeta(G, "nzmse", name="rna"),
                                  latent_dim=10, t_steps=2, seed=seed, **nets),
