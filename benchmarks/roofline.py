@@ -1,10 +1,14 @@
 """MFU / roofline accounting for the three perf regimes (VERDICT r2 #5).
 
-For each regime the script compiles the REAL train step, takes XLA's own
-cost analysis (FLOPs + bytes accessed per step), measures steady step
-time, and reports achieved TFLOP/s and HBM GB/s against the v5e peaks —
-making "the step is the floor" auditable instead of asserted. A wide-regime
-batch-size sweep (512→2048) probes the unpinned batch axis.
+For each regime the script compiles a production-shaped executable (K SGD
+steps inside one lax.scan, each step gathering a fresh random row-batch
+from an HBM-resident table — the device-cached training layout; a
+single-step executable would measure per-call dispatch RPC latency over
+the remote tunnel, not device time), takes XLA's own cost analysis
+(FLOPs + bytes accessed per step), measures steady step time, and reports
+achieved TFLOP/s and HBM GB/s against the v5e peaks — making "the step is
+the floor" auditable instead of asserted. A wide-regime batch-size sweep
+(512→2048) probes the unpinned batch axis.
 
 v5e peaks (public spec): 197 TFLOP/s bf16 (MXU), 819 GB/s HBM.
 The models here run f32 matmuls (default); XLA executes them on the MXU
@@ -13,7 +17,7 @@ also shown. FLOP counts are XLA cost-analysis numbers: matmul/conv exact,
 transcendentals counted as 1 flop each — the likelihood's lgamma/digamma
 chains are therefore UNDER-counted; achieved FLOP/s is a lower bound.
 
-  python benchmarks/roofline.py --steps 200 --out benchmarks/results_roofline.md
+  python benchmarks/roofline.py --out benchmarks/results_roofline.md
 """
 
 from __future__ import annotations
@@ -32,10 +36,8 @@ PEAK_F32 = PEAK_BF16 / 2
 PEAK_HBM = 819e9
 
 
-def build_step(n_genes, batch, trunk, latent=16, table_rows=0, seed=0):
-  """(jitted fn, args, n_params): one SGD step; with table_rows>0 the batch
-  is gathered from an HBM-resident table each step (the device-cached
-  training layout), making the 1M-regime gather cost visible."""
+def build_scan(n_genes, batch, trunk, inner, table_rows, latent=16, seed=0):
+  """(jitted fn, args, n_params): ``inner`` SGD steps in ONE lax.scan."""
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -53,65 +55,63 @@ def build_step(n_genes, batch, trunk, latent=16, table_rows=0, seed=0):
   tx = optax.chain(optax.clip_by_global_norm(100.0), optax.adam(1e-3))
   state = model.state.replace(opt_state=tx.init(model.state.params))
   core = model.make_train_step_core(tx)
-  n_params = sum(np.prod(l.shape) for l in
+  n_params = sum(int(np.prod(l.shape)) for l in
                  jax.tree_util.tree_leaves(state.params))
 
-  rng = np.random.default_rng(0)
-  lib = np.concatenate([np.full((batch, 1), 6.0, np.float32),
-                        np.full((batch, 1), 0.5, np.float32)], -1)
-  if table_rows:
-    table = jnp.asarray(
-        rng.poisson(2.0, (table_rows, n_genes)).astype(np.float32))
-    lib_t = jnp.asarray(np.broadcast_to(lib[:1], (table_rows, 2)).copy())
+  # synthesize the resident table on device in chunks (counts ~ Poisson(2))
+  chunk = min(table_rows, 125_000)
 
-    def step(state, table, lib_t, idx, key):
-      batch_d = {"inputs": [table[idx]], "library": lib_t[idx],
-                 "mask": jnp.ones((idx.shape[0],), jnp.float32)}
-      return core(state, batch_d, key)
+  @jax.jit
+  def make_chunk(key):
+    return jax.random.poisson(key, 2.0, (chunk, n_genes)).astype(jnp.float32)
 
-    idx = jnp.asarray(rng.integers(0, table_rows, batch).astype(np.int32))
-    args = (state, table, lib_t, idx, jax.random.PRNGKey(0))
-    return jax.jit(step, donate_argnums=(0,)), args, int(n_params)
+  keys = jax.random.split(jax.random.PRNGKey(7),
+                          (table_rows + chunk - 1) // chunk)
+  table = jnp.concatenate([make_chunk(k) for k in keys], 0)[:table_rows]
+  lib_t = jnp.concatenate([jnp.full((table_rows, 1), 6.0, jnp.float32),
+                           jnp.full((table_rows, 1), 0.5, jnp.float32)], -1)
 
-  batch_d = {"inputs": [jnp.asarray(
-                 rng.poisson(2.0, (batch, n_genes)).astype(np.float32))],
-             "library": jnp.asarray(lib),
-             "mask": jnp.ones((batch,), jnp.float32)}
+  def steps_fn(state, table, lib_t, key):
+    def body(st, kk):
+      kidx, kstep = jax.random.split(kk)
+      idx = jax.random.randint(kidx, (batch,), 0, table_rows)
+      batch_d = {"inputs": [jnp.take(table, idx, axis=0)],
+                 "library": jnp.take(lib_t, idx, axis=0),
+                 "mask": jnp.ones((batch,), jnp.float32)}
+      st, m = core(st, batch_d, kstep)
+      return st, m["loss"]
+    state, losses = jax.lax.scan(body, state, jax.random.split(key, inner))
+    return state, losses
 
-  def step(state, batch_d, key):
-    return core(state, batch_d, key)
-
-  args = (state, batch_d, jax.random.PRNGKey(0))
-  return jax.jit(step, donate_argnums=(0,)), args, int(n_params)
+  args = (state, table, lib_t, jax.random.PRNGKey(0))
+  return jax.jit(steps_fn, donate_argnums=(0,)), args, n_params
 
 
-def measure(name, n_genes, batch, trunk, steps, table_rows=0):
+def measure(name, n_genes, batch, trunk, windows, inner, table_rows):
   import jax
-  step, args, n_params = build_step(n_genes, batch, trunk,
-                                    table_rows=table_rows)
+  import numpy as np
+  fn, args, n_params = build_scan(n_genes, batch, trunk, inner, table_rows)
   t0 = time.perf_counter()
-  lowered = step.lower(*args)
-  compiled = lowered.compile()
+  compiled = fn.lower(*args).compile()
   compile_s = time.perf_counter() - t0
   ca = compiled.cost_analysis()
   ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-  flops = float(ca.get("flops", 0.0))
-  byts = float(ca.get("bytes accessed", 0.0))
-  # run: donated state threads through; other args are reused
-  state = args[0]
-  rest = args[1:]
-  state, m = compiled(state, *rest)
-  jax.block_until_ready(m["loss"])  # warm
-  n = max(10, steps)
-  t0 = time.perf_counter()
-  for _ in range(n):
-    state, m = compiled(state, *rest)
-  jax.block_until_ready(m["loss"])
-  dt = (time.perf_counter() - t0) / n
+  flops = float(ca.get("flops", 0.0)) / inner
+  byts = float(ca.get("bytes accessed", 0.0)) / inner
+  state, rest = args[0], args[1:]
+  state, losses = compiled(state, *rest)
+  jax.block_until_ready(losses)  # warm
+  times = []
+  for _ in range(max(3, windows)):
+    t0 = time.perf_counter()
+    state, losses = compiled(state, *rest)
+    jax.block_until_ready(losses)
+    times.append((time.perf_counter() - t0) / inner)
+  dt = float(np.median(times))
   row = {
       "regime": name, "genes": n_genes, "batch": batch,
       "params": n_params, "flops_per_step": flops,
-      "bytes_per_step": byts, "step_ms": round(dt * 1e3, 3),
+      "bytes_per_step": byts, "step_ms": round(dt * 1e3, 4),
       "cells_per_sec": round(batch / dt, 0),
       "tflops": round(flops / dt / 1e12, 3),
       "pct_peak_f32": round(100 * flops / dt / PEAK_F32, 2),
@@ -126,7 +126,7 @@ def measure(name, n_genes, batch, trunk, steps, table_rows=0):
 
 def main(argv=None):
   p = argparse.ArgumentParser("roofline")
-  p.add_argument("--steps", type=int, default=200)
+  p.add_argument("--windows", type=int, default=5)
   p.add_argument("--out", default="/tmp/roofline.md")
   p.add_argument("--regimes", default="headline,1m,wide,sweep")
   args = p.parse_args(argv)
@@ -134,21 +134,20 @@ def main(argv=None):
 
   rows = []
   if "headline" in want:
-    rows.append(measure("headline 128x500", 500, 128, 64, args.steps))
+    rows.append(measure("headline 128x500 (100k table)", 500, 128, 64,
+                        args.windows, inner=781, table_rows=100_000))
   if "1m" in want:
-    # identical math to headline but the batch gathers from a 1M-row,
-    # 2 GB HBM-resident table — isolates the gather-locality cost
-    rows.append(measure("1m-gather 128x500 (1M-row table)", 500, 128, 64,
-                        args.steps, table_rows=1_000_000))
-    rows.append(measure("100k-gather 128x500 (100k-row table)", 500, 128,
-                        64, args.steps, table_rows=100_000))
+    # identical math to headline but gathering from a 1M-row, 2 GB table —
+    # isolates the gather-locality cost of the big working set
+    rows.append(measure("1m-gather 128x500 (1M table)", 500, 128, 64,
+                        args.windows, inner=781, table_rows=1_000_000))
   if "wide" in want:
     rows.append(measure("wide 512x33k", 33_000, 512, 128,
-                        max(20, args.steps // 10)))
+                        args.windows, inner=16, table_rows=8_192))
   if "sweep" in want:
     for b in (1024, 2048):
       rows.append(measure(f"wide {b}x33k", 33_000, b, 128,
-                          max(10, args.steps // 20)))
+                          args.windows, inner=8, table_rows=8_192))
 
   cols = ["regime", "genes", "batch", "params", "flops_per_step",
           "bytes_per_step", "step_ms", "cells_per_sec", "tflops",
