@@ -43,7 +43,7 @@ METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
 SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi")
 
 
-def build_zoo(G, P, nets, seed=0, n_batch=0):
+def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
   from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA,
                                 SCScope, TotalVI, VAE, DeepCountAutoencoder,
                                 NetConf, RVmeta)
@@ -59,12 +59,14 @@ def build_zoo(G, P, nets, seed=0, n_batch=0):
       "scvi": lambda: SCVI(RVmeta(G, "zinbd", name="rna"), seed=seed,
                            n_batch=n_batch),
       "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=10.0, seed=seed,
-                             **nets),
+                             mask_renorm=mask_renorm, **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],
-                           alpha=10.0, seed=seed, **nets),
+                           alpha=10.0, seed=seed, mask_renorm=mask_renorm,
+                           **nets),
       "scale": lambda: SCALE(rna_zinb(), n_components=5, seed=seed, **nets),
       "scalar": lambda: SCALAR([rna_zinb(), adt_nb()], n_components=5,
-                               alpha=10.0, seed=seed, **nets),
+                               alpha=10.0, seed=seed,
+                               mask_renorm=mask_renorm, **nets),
       "fvae": lambda: FVAE(rna_zinb(), gamma=4.0, seed=seed, **nets),
       "scscope": lambda: SCScope(RVmeta(G, "nzmse", name="rna"),
                                  latent_dim=10, t_steps=2, seed=seed, **nets),
@@ -157,6 +159,10 @@ def main(argv=None):
                       "protocol uses 0.02 / 0.1)")
   p.add_argument("--models", default="",
                  help="comma-separated subset (default: all)")
+  p.add_argument("--mask-renorm", action="store_true",
+                 help="build the semi-supervised families with the "
+                      "label-budget-invariant supervision weighting "
+                      "(objective.elbo_terms mask_renorm extension)")
   p.add_argument("--n-batch", type=int, default=0,
                  help="train SCVI/VAE with batch-covariate conditioning "
                       "(needs obs['batch'], e.g. the citeseq simulator)")
@@ -186,7 +192,8 @@ def main(argv=None):
     train, test = sco.split(0.8, seed=seed)
     G = train.n_vars
     P = train.get_dim("proteomic") if "proteomic" in train.omics else 0
-    zoo = build_zoo(G, P, nets, seed=seed, n_batch=args.n_batch)
+    zoo = build_zoo(G, P, nets, seed=seed, n_batch=args.n_batch,
+                    mask_renorm=args.mask_renorm)
     if args.models:
       keep = set(args.models.split(","))
       zoo = {k: v for k, v in zoo.items() if k in keep}

@@ -72,6 +72,7 @@ class SingleCellModel:
                alpha: float = 1.0,
                gamma: float = 1.0,
                analytic: bool = True,
+               mask_renorm: bool = False,
                reduce_latent: str = "concat",
                compute_dtype: Optional[str] = None,
                seed: int = UNIVERSAL_RANDOM_SEED,
@@ -113,6 +114,9 @@ class SingleCellModel:
     self.alpha = float(alpha)
     self.gamma = float(gamma)
     self.analytic = bool(analytic)
+    # label-budget-invariant supervision weighting (objective.elbo_terms);
+    # off by default = the reference's batch-mean masked reduction
+    self.mask_renorm = bool(mask_renorm)
     self.reduce_latent = reduce_latent
     self.seed = int(seed)
     # 'rbg' (XLA RngBitGenerator) is the TPU-native generator: threefry's
@@ -151,7 +155,8 @@ class SingleCellModel:
     self._init_kwargs_for_save = dict(
         outputs=outputs, latents=latents, encoder=encoder, decoder=decoder,
         log_norm=log_norm, beta=beta_spec, alpha=alpha,
-        gamma=gamma, analytic=analytic, reduce_latent=reduce_latent,
+        gamma=gamma, analytic=analytic, mask_renorm=mask_renorm,
+        reduce_latent=reduce_latent,
         compute_dtype=compute_dtype, seed=seed, name=self._name,
         batch_key=batch_key, prng=self.prng,
         **{k: v for k, v in module_kwargs.items() if k != "compute_dtype"})
@@ -406,7 +411,8 @@ class SingleCellModel:
     loss, metrics = compute_loss(
         out, batch["inputs"], mask=batch.get("mask"), beta=beta,
         alpha=self.alpha, analytic=self.analytic,
-        mask_outputs=self.mask_outputs if training else False)
+        mask_outputs=self.mask_outputs if training else False,
+        mask_renorm=self.mask_renorm if training else False)
     extra = self._extra_loss(params, aux_params, out, batch, k2, training)
     if extra is not None:
       loss = loss + extra[0]

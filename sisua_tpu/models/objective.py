@@ -154,12 +154,23 @@ def elbo_terms(out: VAEOutput,
                analytic: bool = True,
                mask_outputs: bool = False,
                alpha: float = 1.0,
+               mask_renorm: bool = False,
                ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
   """Per-example log-likelihood and KL dictionaries.
 
   Returns ``(llk, kl)`` keyed ``llk_<name>`` / ``klqp_<name>`` — the metric
   names the reference's learning-curve plots expect
   (``sisua/analysis/results_sheet.py:57-101``).
+
+  ``mask_renorm`` (extension, off by default): the reference reduces the
+  masked label likelihood as a *batch* mean (``Σ llkᵢ·maskᵢ / B``), so the
+  supervision term's expected magnitude shrinks linearly with
+  ``labels_percent`` — at a 2% label budget the label heads contribute
+  ``α·0.02`` of the gradient signal of a fully-labeled run, and the
+  semi-supervised advantage washes out (RESULTS.md low-label zoo). With
+  renormalization the masked terms are averaged over the *labeled* examples
+  only (scaled ``B / Σmask``), making supervision strength invariant to the
+  label budget. Batches with zero labeled cells contribute zero.
   """
   llk: Dict[str, Array] = {}
   for i, (pX, x) in enumerate(zip(out.outputs, targets)):
@@ -172,7 +183,10 @@ def elbo_terms(out: VAEOutput,
     if i > 0:
       lp = alpha * lp
       if mask_outputs and mask is not None:
-        lp = lp * mask.astype(lp.dtype).reshape(lp.shape[0])
+        m = mask.astype(lp.dtype).reshape(lp.shape[0])
+        lp = lp * m
+        if mask_renorm:
+          lp = lp * (m.shape[0] / jnp.maximum(jnp.sum(m), 1.0))
     llk[f"llk_{name}"] = lp
   kl: Dict[str, Array] = {}
   for j, (q, prior, z) in enumerate(
@@ -189,10 +203,12 @@ def compute_loss(out: VAEOutput,
                  alpha: float = 1.0,
                  analytic: bool = True,
                  mask_outputs: bool = False,
+                 mask_renorm: bool = False,
                  ) -> Tuple[Array, Dict[str, Array]]:
   """Scalar −ELBO plus scalar metrics (means over the batch)."""
   llk, kl = elbo_terms(out, targets, mask=mask, analytic=analytic,
-                       mask_outputs=mask_outputs, alpha=alpha)
+                       mask_outputs=mask_outputs, alpha=alpha,
+                       mask_renorm=mask_renorm)
   total_llk = sum(llk.values())
   total_kl = sum(kl.values())
   elbo = total_llk - beta * total_kl

@@ -426,3 +426,48 @@ def test_next_key_thread_safe():
   [t.start() for t in ts]
   [t.join() for t in ts]
   assert len(set(keys)) == len(keys) == 1600
+
+
+def test_mask_renorm_objective():
+  """mask_renorm=True averages the label llk over LABELED examples only:
+  the supervision term is invariant to labels_percent (default stays the
+  reference's batch-mean reduction, which scales it by the labeled
+  fraction). Pinned directly on elbo_terms with a fabricated forward."""
+  import jax.numpy as jnp
+
+  from sisua_tpu.models.module import VAEOutput
+  from sisua_tpu.models.objective import elbo_terms
+
+  B, G, P = 8, 4, 3
+  rng = np.random.RandomState(0)
+  x = jnp.asarray(rng.poisson(2.0, (B, G)).astype(np.float32))
+  y = jnp.asarray(rng.poisson(1.0, (B, P)).astype(np.float32))
+  pX = D.Independent(D.Poisson(rate=jnp.ones((B, G)) * 2.0), 1)
+  pY = D.Independent(D.Poisson(rate=jnp.ones((B, P))), 1)
+  qZ = D.Independent(D.Normal(jnp.zeros((B, 2)), jnp.ones((B, 2))), 1)
+  out = VAEOutput(outputs=(pX, pY), latents=(qZ,),
+                  latent_samples=(jnp.zeros((B, 2)),), priors=(None,))
+  mask = jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0], jnp.float32)  # 2/8 labeled
+  per_cell = pY.log_prob(y)
+
+  llk_ref, _ = elbo_terms(out, [x, y], mask=mask, mask_outputs=True,
+                          alpha=2.0)
+  np.testing.assert_allclose(np.asarray(llk_ref["llk_x1"]),
+                             np.asarray(2.0 * per_cell * mask), rtol=1e-6)
+
+  llk_rn, _ = elbo_terms(out, [x, y], mask=mask, mask_outputs=True,
+                         alpha=2.0, mask_renorm=True)
+  # batch mean of the renormalized term == alpha * mean over labeled cells
+  np.testing.assert_allclose(
+      float(jnp.mean(llk_rn["llk_x1"])),
+      2.0 * float(jnp.sum(per_cell * mask) / mask.sum()), rtol=1e-6)
+
+  # zero labeled cells → term is zero, not NaN
+  llk_z, _ = elbo_terms(out, [x, y], mask=jnp.zeros((B,)), mask_outputs=True,
+                        alpha=2.0, mask_renorm=True)
+  assert np.all(np.asarray(llk_z["llk_x1"]) == 0.0)
+
+  # ctor arg round-trips through the save metamodel
+  m = SISUA([RVmeta(G, "zinb", name="rna"), RVmeta(P, "nb", name="adt")],
+            mask_renorm=True)
+  assert m.mask_renorm and m._init_kwargs_for_save["mask_renorm"] is True
