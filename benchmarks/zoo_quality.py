@@ -39,8 +39,11 @@ METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
                "latent_ARI", "latent_NMI"]
 
 # families whose protein prediction is semi-supervised (head-predicted);
-# everything else sees proteins only through the downstream baseline
-SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi")
+# everything else sees proteins only through the downstream baseline.
+# totalvi models ADT as a FULLY observed modality (no masking — real-totalVI
+# semantics); totalvi_semi is the masked extension that honors the label
+# budget (mask_protein=True: masked likelihood + zeroed encoder slice)
+SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi")
 
 
 def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
@@ -72,12 +75,16 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
                                  latent_dim=10, t_steps=2, seed=seed, **nets),
       "totalvi": lambda: TotalVI([RVmeta(G, "nbd", name="rna"),
                                   RVmeta(P, "nbd", name="adt")], seed=seed),
+      "totalvi_semi": lambda: TotalVI([RVmeta(G, "nbd", name="rna"),
+                                       RVmeta(P, "nbd", name="adt")],
+                                      seed=seed, mask_protein=True,
+                                      mask_renorm=mask_renorm),
   }
   if P <= 0:
     # RNA-only dataset (e.g. cortex): the semi-supervised families need a
     # protein omic to supervise on — drop them instead of building a
     # 0-dim ADT head that crashes the sweep
-    for name in ("sisua", "misa", "scalar", "totalvi"):
+    for name in ("sisua", "misa", "scalar", "totalvi", "totalvi_semi"):
       zoo.pop(name)
   return zoo
 

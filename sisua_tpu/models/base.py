@@ -387,7 +387,7 @@ class SingleCellModel:
     if any(jnp.asarray(a).dtype != jnp.float32 for a in batch["inputs"]):
       batch = dict(batch, inputs=[
           jnp.asarray(a).astype(jnp.float32) for a in batch["inputs"]])
-    x = self._module_input(batch["inputs"])
+    x = self._masked_module_input(batch, training)
     library = batch.get("library")
     variables = {"params": params}
     if batch_stats is not None:
@@ -423,6 +423,13 @@ class SingleCellModel:
   def _extra_loss(self, params, aux_params, out: VAEOutput, batch, key,
                   training: bool):
     return None  # FactorVAE adds the γ·TC term
+
+  def _masked_module_input(self, batch, training: bool):
+    """Training-time module input. Hook for models whose ENCODER consumes a
+    semi-supervised omic (TotalVI's joint RNA+ADT input): they must zero
+    the masked modality for unlabeled cells or the encoder leaks the very
+    labels the mask hides from the loss."""
+    return self._module_input(batch["inputs"])
 
   def make_train_step_core(self, tx):
     """Pure (unjitted) train step: (state, batch, key) → (state, metrics).

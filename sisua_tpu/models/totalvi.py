@@ -167,6 +167,7 @@ class TotalVI(SingleCellModel):
                library=None,
                encoder=None,
                clip_library: float = 1e3,
+               mask_protein: bool = False,
                **kwargs):
     outputs = [parse_rv(o, f"output{i}")
                for i, o in enumerate(_flatten(outputs))]
@@ -201,6 +202,27 @@ class TotalVI(SingleCellModel):
                      n_proteins=outputs[1].dim,
                      clip_library=float(clip_library),
                      **kwargs)
+    # --- semi-supervised extension (no upstream equivalent): train jointly
+    # on cells WITH measured proteins (mask=1) and protein-less RNA cells
+    # (mask=0, e.g. plain scRNA-seq pooled with a CITE-seq subset). The
+    # protein likelihood is masked like any SISUA label head AND the
+    # encoder's ADT input slice is zeroed for unlabeled cells — otherwise
+    # the joint encoder would leak the counts the mask hides from the loss.
+    # Caveat (documented, inherent to the design): the per-cell background
+    # KL (q(log β|z) ‖ p(log β)) stays unmasked — for unlabeled cells it
+    # only regularizes the nuisance posterior toward the learned prior.
+    self.mask_protein = bool(mask_protein)
+    if mask_protein:
+      self.mask_outputs = True  # instance override of the class attr
+    self._init_kwargs_for_save["mask_protein"] = bool(mask_protein)
+
+  def _masked_module_input(self, batch, training: bool):
+    inputs = batch["inputs"]
+    mask = batch.get("mask")
+    if training and self.mask_protein and mask is not None:
+      m = jnp.asarray(mask, jnp.float32).reshape(-1, 1)
+      inputs = [inputs[0], jnp.asarray(inputs[1]) * m, *inputs[2:]]
+    return self._module_input(inputs)
 
   @property
   def uses_library(self) -> bool:

@@ -107,3 +107,59 @@ def test_totalvi_posterior(splits):
   assert "itranscriptomic" in post.sco_analysis.omics
   scores = post.cal_imputation_scores()
   assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_totalvi_mask_protein_leak_free(splits):
+  """Semi-supervised TotalVI (mask_protein=True, extension): the protein
+  modality of UNLABELED cells must be invisible to the training loss — both
+  through the likelihood (masked like a SISUA label head) and through the
+  joint encoder input (zeroed slice). Pinned by replacing unlabeled cells'
+  ADT with garbage: the training loss must be bit-identical."""
+  import optax
+  train, _ = splits
+  n_prot = train.get_dim("proteomic")
+  m = TotalVI([RVmeta(train.n_vars, "nbd", name="rna"),
+               RVmeta(n_prot, "nbd", name="adt")],
+              encoder={"units": [32], "batchnorm": True}, mask_protein=True,
+              seed=0)
+  assert m.is_semi_supervised and m.mask_outputs
+  m._ensure_initialized()
+  state = m.state.replace(opt_state=optax.adam(1e-3).init(m.state.params))
+  step = m.make_train_step_core(optax.adam(1e-3))
+
+  B = 64
+  rna = jnp.asarray(train.numpy()[:B].astype(np.float32))
+  adt = jnp.asarray(train.numpy("proteomic")[:B].astype(np.float32))
+  lib = jnp.ones((B, 2), jnp.float32)
+  mask = (jnp.arange(B) % 4 == 0).astype(jnp.float32)  # 25% labeled
+  garbage = adt + 1e4 * (1.0 - mask[:, None])  # corrupt UNLABELED rows only
+  key = jax.random.PRNGKey(3)
+  _, m1 = step(state, {"inputs": [rna, adt], "library": lib, "mask": mask},
+               key)
+  _, m2 = step(state, {"inputs": [rna, garbage], "library": lib,
+                       "mask": mask}, key)
+  assert float(m1["loss"]) == float(m2["loss"]), (m1["loss"], m2["loss"])
+  # corrupting a LABELED row must change the loss (the mask is real, not
+  # a blanket protein blackout)
+  garbage2 = adt + 1e4 * mask[:, None]
+  _, m3 = step(state, {"inputs": [rna, garbage2], "library": lib,
+                       "mask": mask}, key)
+  assert float(m1["loss"]) != float(m3["loss"])
+
+
+@pytest.mark.slow
+def test_totalvi_mask_protein_fit(splits, tmp_path):
+  """mask_protein end-to-end: trains at a 30% protein budget, loss
+  decreases, and the flag round-trips through the checkpoint."""
+  train, test = splits
+  n_prot = train.get_dim("proteomic")
+  m = TotalVI([RVmeta(train.n_vars, "nbd", name="rna"),
+               RVmeta(n_prot, "nbd", name="adt")],
+              encoder={"units": [32], "batchnorm": True}, mask_protein=True)
+  m.fit(train, epochs=4, batch_size=64, labels_percent=0.3,
+        valid_freq=0, patience=0)
+  assert m.history["loss"][-1] < m.history["loss"][0]
+  assert np.isfinite(m.history["loss"]).all()
+  m.save_weights(str(tmp_path / "tvis"))
+  m2 = load_model(str(tmp_path / "tvis"))
+  assert m2.mask_protein and m2.mask_outputs
