@@ -31,14 +31,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 G, BATCH = 500, 128
 
 
-def bench(fn, *args, n=5, warm=1):
+def _sync(out):
+  """Force completion by FETCHING a value. Over the axon tunnel
+  ``block_until_ready`` acknowledges dispatch without awaiting remote
+  execution (measured: a 7.8k-step epoch 'completed' in 1.2 ms) — every
+  honest benchmark in this repo syncs with a device_get instead."""
   import jax
+  leaf = jax.tree_util.tree_leaves(out)[0]
+  return jax.device_get(leaf if leaf.ndim == 0 else leaf.ravel()[0])
+
+
+def bench(fn, *args, n=5, warm=1):
   for _ in range(warm):
-    jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
   t0 = time.perf_counter()
   for _ in range(n):
     out = fn(*args)
-  jax.block_until_ready(out)
+  _sync(out)
   return (time.perf_counter() - t0) / n
 
 
@@ -77,7 +86,7 @@ def main(argv=None):
     arch = jax.random.normal(jax.random.PRNGKey(42), (7, G))
     keys = jax.random.split(jax.random.PRNGKey(0), max(1, n_cells // chunk))
     X = jnp.concatenate([make_chunk(k, arch) for k in keys], 0)[:n_cells]
-    X.block_until_ready()
+    _sync(X)
     logc = jnp.log(X.sum(1) + 1e-8)
     library = jnp.stack([jnp.full((n_cells,), logc.mean()),
                          jnp.full((n_cells,), logc.var())], -1)
@@ -107,12 +116,12 @@ def main(argv=None):
 
     # warm/compile
     state, _ = run_epoch(state, jax.random.PRNGKey(10))
-    jax.block_until_ready(state.params)
+    _sync(state.params)
     t = []
     for e in range(args.epochs_timed):
       te = time.perf_counter()
       state, acc = run_epoch(state, jax.random.PRNGKey(20 + e))
-      jax.block_until_ready(acc["loss"])
+      _sync(acc["loss"])
       t.append(time.perf_counter() - te)
     t_full = float(np.median(t))
 
@@ -140,14 +149,14 @@ def main(argv=None):
     noperm = jax.jit(epoch_noperm, donate_argnums=(0, 1))
     acc = jax.tree_util.tree_map(jnp.zeros_like, acc0)
     state, acc = noperm(state, acc, [X], library, jax.random.PRNGKey(30))
-    jax.block_until_ready(acc["loss"])
+    _sync(acc["loss"])
     t = []
     for e in range(args.epochs_timed):
       acc = jax.tree_util.tree_map(jnp.zeros_like, acc0)
       te = time.perf_counter()
       state, acc = noperm(state, acc, [X], library,
                           jax.random.PRNGKey(40 + e))
-      jax.block_until_ready(acc["loss"])
+      _sync(acc["loss"])
       t.append(time.perf_counter() - te)
     t_noperm = float(np.median(t))
 

@@ -99,13 +99,16 @@ def measure(name, n_genes, batch, trunk, windows, inner, table_rows):
   flops = float(ca.get("flops", 0.0)) / inner
   byts = float(ca.get("bytes accessed", 0.0)) / inner
   state, rest = args[0], args[1:]
+  # sync by FETCHING the last loss: over the axon tunnel
+  # block_until_ready acknowledges dispatch without awaiting remote
+  # execution (profile_1m.py measured a 7.8k-step epoch "ready" in 1.2 ms)
   state, losses = compiled(state, *rest)
-  jax.block_until_ready(losses)  # warm
+  jax.device_get(losses[-1])  # warm
   times = []
   for _ in range(max(3, windows)):
     t0 = time.perf_counter()
     state, losses = compiled(state, *rest)
-    jax.block_until_ready(losses)
+    jax.device_get(losses[-1])
     times.append((time.perf_counter() - t0) / inner)
   dt = float(np.median(times))
   row = {
