@@ -199,6 +199,17 @@ class Trainer:
     # protocol. 'auto' picks 8 for small overhead-bound steps and 1 for
     # wide models (unrolling multiplies compile time, ~68 s at 33k genes).
     self.scan_unroll = os.environ.get("SISUA_TPU_SCAN_UNROLL", "auto")
+    # epoch data layout: per-step random-row gather from the resident
+    # table ('gather') vs one whole-epoch permuted copy + contiguous
+    # slices ('permslice'). Identical batches either way (same perm, same
+    # keys → bit-identical training); the difference is pure HBM access
+    # pattern. Random 128-row gathers from a multi-GB table lose DMA
+    # locality — the 1M-cell protocol measured the step ~40% slower than
+    # the same math on a 0.2 GB table (benchmarks/profile_1m.py,
+    # roofline.py '1m-gather'). 'auto' switches to permslice when the
+    # resident table is ≥256 MB, paying one extra table-sized allocation
+    # per epoch for sequential reads.
+    self.epoch_layout = os.environ.get("SISUA_TPU_EPOCH_LAYOUT", "auto")
     self.verbose = bool(verbose)
     self.mesh = mesh
     self.history: Dict[str, List[float]] = {}
@@ -288,6 +299,16 @@ class Trainer:
     def _constrain(x, sh):
       return jax.lax.with_sharding_constraint(x, sh) if sh is not None else x
 
+    def _use_permslice(xs) -> bool:
+      if str(self.epoch_layout) == "gather":
+        return False
+      if str(self.epoch_layout) == "permslice":
+        return True
+      if self.mesh is not None and self.mesh.shape.get(DATA_AXIS, 1) > 1:
+        return False  # keep the sharded gather path XLA already partitions
+      table_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in xs)
+      return table_bytes >= (1 << 28)
+
     def epoch_body(state, acc, xs, library, key):
       n = n_rows if n_rows is not None else xs[0].shape[0]
       steps = n // B
@@ -303,23 +324,46 @@ class Trainer:
       mask_all = (jax.random.uniform(kmask, (n,)) < lp).astype(jnp.float32)
       keys = jax.random.split(kstep, steps)
 
-      def body(carry, scan_in):
-        st, ac = carry
-        i, kk = scan_in
-        rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-        # the HBM-resident matrices may be stored compressed (bf16/int16,
-        # see device_dtype) — gather the narrow rows, then widen to f32
-        # for the likelihood math (a free no-op when stored as f32)
-        batch = {"inputs": [_constrain(
-                     jnp.take(x, rows, axis=0).astype(jnp.float32), row_sh)
-                            for x in xs],
-                 "mask": _constrain(jnp.take(mask_all, rows, axis=0),
-                                    mask_sh)}
-        if has_library:
-          batch["library"] = _constrain(jnp.take(library, rows, axis=0),
-                                        row_sh)
-        st, m = core(st, batch, kk)
-        return (st, _tree_add(ac, m)), None
+      if _use_permslice(xs):
+        # one permuted copy (kept in the stored dtype — the widen happens
+        # per batch), then contiguous slices: sequential HBM reads instead
+        # of steps× random gathers. Same perm, same keys → batches are
+        # bit-identical to the gather path (test_trainer.py pins this).
+        xp = [jnp.take(x, perm, axis=0) for x in xs]
+        maskp = jnp.take(mask_all, perm, axis=0)
+        libp = jnp.take(library, perm, axis=0) if has_library else None
+
+        def body(carry, scan_in):
+          st, ac = carry
+          i, kk = scan_in
+          batch = {"inputs": [jax.lax.dynamic_slice_in_dim(
+                       x, i * B, B, axis=0).astype(jnp.float32)
+                              for x in xp],
+                   "mask": jax.lax.dynamic_slice_in_dim(maskp, i * B, B,
+                                                        axis=0)}
+          if has_library:
+            batch["library"] = jax.lax.dynamic_slice_in_dim(
+                libp, i * B, B, axis=0)
+          st, m = core(st, batch, kk)
+          return (st, _tree_add(ac, m)), None
+      else:
+        def body(carry, scan_in):
+          st, ac = carry
+          i, kk = scan_in
+          rows = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+          # the HBM-resident matrices may be stored compressed (bf16/int16,
+          # see device_dtype) — gather the narrow rows, then widen to f32
+          # for the likelihood math (a free no-op when stored as f32)
+          batch = {"inputs": [_constrain(
+                       jnp.take(x, rows, axis=0).astype(jnp.float32), row_sh)
+                              for x in xs],
+                   "mask": _constrain(jnp.take(mask_all, rows, axis=0),
+                                      mask_sh)}
+          if has_library:
+            batch["library"] = _constrain(jnp.take(library, rows, axis=0),
+                                          row_sh)
+          st, m = core(st, batch, kk)
+          return (st, _tree_add(ac, m)), None
 
       (state, acc), _ = jax.lax.scan(
           body, (state, acc), (jnp.arange(steps), keys),

@@ -200,3 +200,38 @@ def test_fit_with_validation_uses_cached_eval(splits, small_nets):
   assert "val_loss" in m.history
   vals = [v for v in m.history["val_loss"] if np.isfinite(v)]
   assert vals, m.history["val_loss"]
+
+
+def test_epoch_layout_permslice_same_batches():
+  """'permslice' (whole-epoch permuted copy + contiguous slices) must see
+  the SAME batches as the default per-step gather: same perm, same step
+  keys, same grouping (the 1M-cell locality optimization, RESULTS.md).
+  Pinned with an exact integer checksum through a mock core — comparing
+  trained params instead would only measure ulp-level fusion differences
+  chaotically amplified by Adam's grad/sqrt(v) on near-zero gradients.
+  All sums stay < 2**24 so float32 accumulation is exact."""
+  rng = np.random.default_rng(0)
+  X = rng.integers(0, 8, (256, 20)).astype(np.float32)
+  lib = rng.integers(0, 4, (256, 2)).astype(np.float32)
+  col_w = jnp.arange(1, 21, dtype=jnp.float32)
+
+  def core(state, batch, key):
+    step = state.step.astype(jnp.float32)
+    chk = (jnp.sum(batch["inputs"][0] * col_w) * (step + 1.0)
+           + 1000.0 * jnp.sum(batch["mask"]) * (step + 1.0)
+           + jnp.sum(batch["library"]))
+    return state.replace(step=state.step + 1), {"loss": chk}
+
+  def run(layout):
+    state = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                       batch_stats=None, opt_state=None)
+    trainer = Trainer(step_core=core, valid_freq=0)
+    trainer.epoch_layout = layout
+    epoch_fn, _ = trainer._build_epoch_fn(32, 0.5, has_library=True,
+                                          unroll=2)
+    acc0 = {"loss": jnp.zeros(())}
+    _, acc = epoch_fn(state, acc0, [jnp.asarray(X)], jnp.asarray(lib),
+                      jax.random.PRNGKey(7))
+    return float(acc["loss"])
+
+  assert run("gather") == run("permslice")
