@@ -36,8 +36,9 @@ PEAK_F32 = PEAK_BF16 / 2
 PEAK_HBM = 819e9
 
 
-def build_scan(n_genes, batch, trunk, inner, table_rows, latent=16, seed=0):
-  """(jitted fn, args, n_params): ``inner`` SGD steps in ONE lax.scan."""
+def build_env(n_genes, batch, trunk, table_rows, latent=16, seed=0):
+  """Model + optimizer state + device-resident table, reused across the
+  inner-length variants of one regime."""
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -70,6 +71,15 @@ def build_scan(n_genes, batch, trunk, inner, table_rows, latent=16, seed=0):
   table = jnp.concatenate([make_chunk(k) for k in keys], 0)[:table_rows]
   lib_t = jnp.concatenate([jnp.full((table_rows, 1), 6.0, jnp.float32),
                            jnp.full((table_rows, 1), 0.5, jnp.float32)], -1)
+  return core, state, table, lib_t, n_params
+
+
+def build_scan(env, batch, table_rows, inner, donate=True):
+  """Jitted fn of ``inner`` SGD steps in ONE lax.scan over env's table."""
+  import jax
+  import jax.numpy as jnp
+
+  core, state, table, lib_t, _ = env
 
   def steps_fn(state, table, lib_t, key):
     def body(st, kk):
@@ -84,20 +94,47 @@ def build_scan(n_genes, batch, trunk, inner, table_rows, latent=16, seed=0):
     return state, losses
 
   args = (state, table, lib_t, jax.random.PRNGKey(0))
-  return jax.jit(steps_fn, donate_argnums=(0,)), args, n_params
+  return jax.jit(steps_fn, donate_argnums=(0,) if donate else ()), args
+
+
+def cost_per_step(env, batch, table_rows):
+  """Per-step flops/bytes from XLA's own cost analysis, via DIFFERENCING
+  the inner=2 and inner=1 compiles. Backends disagree on scan accounting
+  (CPU multiplies the body by the trip count; TPU counts it once), so a
+  divide-by-inner is wrong on one of them. diff(2,1) isolates one body on
+  multiplying backends; on counted-once backends it is ~0 and we fall
+  back to the inner=1 totals minus nothing (the body IS the total, up to
+  the constant outside-scan part — acceptable, it is one step + one
+  permutation draw). Bytes remain a *static operand estimate* (XLA
+  charges a gather with its full operand), so downstream reporting also
+  derives an analytic floor."""
+  costs = []
+  for inner in (1, 2):
+    fn, args = build_scan(env, batch, table_rows, inner, donate=False)
+    compiled = fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    costs.append((float(ca.get("flops", 0.0)),
+                  float(ca.get("bytes accessed", 0.0))))
+  (f1, b1), (f2, b2) = costs
+  flops = f2 - f1 if (f2 - f1) > 0.5 * f1 else f1
+  byts = b2 - b1 if (b2 - b1) > 0.5 * b1 else b1
+  return flops, byts
 
 
 def measure(name, n_genes, batch, trunk, windows, inner, table_rows):
   import jax
   import numpy as np
-  fn, args, n_params = build_scan(n_genes, batch, trunk, inner, table_rows)
+  env = build_env(n_genes, batch, trunk, table_rows)
+  n_params = env[4]
+  flops, byts = cost_per_step(env, batch, table_rows)
+  # analytic HBM floor per step: the gathered rows + one adam param pass
+  # (read p,m,v,grad-sized activations is ignored — floor, not estimate)
+  bytes_floor = batch * n_genes * 4 + 8 * n_params * 4
+  fn, args = build_scan(env, batch, table_rows, inner)
   t0 = time.perf_counter()
   compiled = fn.lower(*args).compile()
   compile_s = time.perf_counter() - t0
-  ca = compiled.cost_analysis()
-  ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-  flops = float(ca.get("flops", 0.0)) / inner
-  byts = float(ca.get("bytes accessed", 0.0)) / inner
   state, rest = args[0], args[1:]
   # sync by FETCHING the last loss: over the axon tunnel
   # block_until_ready acknowledges dispatch without awaiting remote
@@ -119,8 +156,10 @@ def measure(name, n_genes, batch, trunk, windows, inner, table_rows):
       "tflops": round(flops / dt / 1e12, 3),
       "pct_peak_f32": round(100 * flops / dt / PEAK_F32, 2),
       "pct_peak_bf16": round(100 * flops / dt / PEAK_BF16, 2),
-      "hbm_gbs": round(byts / dt / 1e9, 1),
-      "pct_hbm": round(100 * byts / dt / PEAK_HBM, 1),
+      "hbm_gbs_static": round(byts / dt / 1e9, 1),
+      "pct_hbm_static": round(100 * byts / dt / PEAK_HBM, 1),
+      "hbm_gbs_floor": round(bytes_floor / dt / 1e9, 1),
+      "pct_hbm_floor": round(100 * bytes_floor / dt / PEAK_HBM, 1),
       "compile_s": round(compile_s, 1),
   }
   print(json.dumps(row), flush=True)
@@ -153,8 +192,8 @@ def main(argv=None):
                           args.windows, inner=8, table_rows=8_192))
 
   cols = ["regime", "genes", "batch", "params", "flops_per_step",
-          "bytes_per_step", "step_ms", "cells_per_sec", "tflops",
-          "pct_peak_f32", "pct_hbm", "compile_s"]
+          "step_ms", "cells_per_sec", "tflops", "pct_peak_f32",
+          "pct_hbm_floor", "pct_hbm_static", "compile_s"]
   lines = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
   for r in rows:
     lines.append("| " + " | ".join(f"{r.get(c, '—'):g}"

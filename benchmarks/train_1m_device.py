@@ -22,8 +22,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-N, G = 1_000_000, 500
-CHUNK = 125_000
+N = int(os.environ.get("CELLS", 1_000_000))  # A/B lever (see RESULTS.md)
+G = 500
+CHUNK = min(125_000, N)
 BATCH = 128
 EPOCHS = int(os.environ.get("EPOCHS", 6))
 
@@ -59,9 +60,9 @@ def main():
     return x * (jax.random.uniform(k7, (CHUNK, G)) > 0.3)
 
   arch = jax.random.normal(jax.random.PRNGKey(42), (7, G))
-  keys = jax.random.split(jax.random.PRNGKey(0), N // CHUNK)
-  X = jnp.concatenate([make_chunk(k, arch) for k in keys], 0)
-  X.block_until_ready()
+  keys = jax.random.split(jax.random.PRNGKey(0), max(1, N // CHUNK))
+  X = jnp.concatenate([make_chunk(k, arch) for k in keys], 0)[:N]
+  jax.device_get(X[-1, -1])  # fetch-sync: block_until_ready lies over the tunnel
   log(f"{N:,} × {G} dataset generated on device ({X.nbytes / 1e9:.1f} GB)")
 
   logc = jnp.log(X.sum(1) + 1e-8)
