@@ -21,7 +21,7 @@ import sys
 
 import numpy as np
 
-SEMI = ("sisua", "misa", "scalar", "totalvi")
+SEMI = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi")
 
 
 def load(path):

@@ -51,11 +51,14 @@ for name, fn in [("gather", epoch_gather), ("permslice", epoch_permslice),
                  ("noshuffle-floor", epoch_noshuffle)]:
   run = many(fn)
   k = jax.random.PRNGKey(0)
-  r = run(x, k); r.block_until_ready()
+  # fetch-sync: block_until_ready over the axon tunnel acks dispatch
+  # without awaiting execution — the round-2 numbers taken with it are
+  # superseded by the production-protocol A/B in RESULTS.md
+  r = run(x, k); jax.device_get(r)
   ts = []
   for rep in range(5):
     t0 = time.perf_counter()
-    run(x, k).block_until_ready()
+    jax.device_get(run(x, k))
     ts.append(time.perf_counter() - t0)
   med = float(np.median(ts)) / 20
   print(f"{name}: {med*1e3:.2f} ms/epoch  ({med/STEPS*1e6:.1f} us/step)  acc={float(r):.1f}")
