@@ -202,13 +202,14 @@ class Trainer:
     # epoch data layout: per-step random-row gather from the resident
     # table ('gather') vs one whole-epoch permuted copy + contiguous
     # slices ('permslice'). Identical batches either way (same perm, same
-    # keys → bit-identical training); the difference is pure HBM access
-    # pattern. Random 128-row gathers from a multi-GB table lose DMA
-    # locality — the 1M-cell protocol measured the step ~40% slower than
-    # the same math on a 0.2 GB table (benchmarks/profile_1m.py,
-    # roofline.py '1m-gather'). 'auto' switches to permslice when the
-    # resident table is ≥256 MB, paying one extra table-sized allocation
-    # per epoch for sequential reads.
+    # keys → bit-identical training, test_trainer_windows.py pins it);
+    # the difference is pure HBM access pattern. 'auto' = gather: the
+    # fetch-synced production A/B (benchmarks/train_1m_device.py,
+    # SISUA_TPU_EPOCH_LAYOUT sweep, two reps) measured gather at
+    # 1.39M cells/s vs permslice 1.16M on the 2 GB / 1M-cell table — the
+    # whole-table permuted copy costs more than the locality it buys
+    # (roofline.py puts the gather's step penalty at only ~8% vs the
+    # 0.2 GB table). permslice stays as an explicit opt-in.
     self.epoch_layout = os.environ.get("SISUA_TPU_EPOCH_LAYOUT", "auto")
     self.verbose = bool(verbose)
     self.mesh = mesh
@@ -304,10 +305,7 @@ class Trainer:
         return False
       if str(self.epoch_layout) == "permslice":
         return True
-      if self.mesh is not None and self.mesh.shape.get(DATA_AXIS, 1) > 1:
-        return False  # keep the sharded gather path XLA already partitions
-      table_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in xs)
-      return table_bytes >= (1 << 28)
+      return False  # 'auto' = gather; see the A/B in the ctor comment
 
     def epoch_body(state, acc, xs, library, key):
       n = n_rows if n_rows is not None else xs[0].shape[0]
