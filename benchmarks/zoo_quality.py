@@ -170,6 +170,10 @@ def main(argv=None):
                  help="build the semi-supervised families with the "
                       "label-budget-invariant supervision weighting "
                       "(objective.elbo_terms mask_renorm extension)")
+  p.add_argument("--weak-factors", type=int, default=0,
+                 help="label-efficiency regime: latent factors with full "
+                      "protein loadings but near-silent gene loadings "
+                      "(the CD4 effect; see generate_citeseq)")
   p.add_argument("--n-batch", type=int, default=0,
                  help="train SCVI/VAE with batch-covariate conditioning "
                       "(needs obs['batch'], e.g. the citeseq simulator)")
@@ -185,7 +189,10 @@ def main(argv=None):
   def load(seed):
     if args.dataset == "citeseq":
       return generate_citeseq(n_cells=args.cells, n_genes=args.genes,
-                              n_proteins=args.proteins, seed=5218 + seed)
+                              n_proteins=args.proteins,
+                              weak_factors=args.weak_factors,
+                              n_nuisance=3 * args.weak_factors,
+                              seed=5218 + seed)
     if args.dataset == "synthetic":
       return generate_synthetic(n_cells=args.cells, n_genes=args.genes,
                                 n_proteins=args.proteins, seed=5218 + seed)
@@ -279,7 +286,9 @@ def main(argv=None):
   with open(args.out, "w") as f:
     f.write(f"dataset={args.dataset} cells={args.cells} genes={args.genes} "
             f"proteins={args.proteins} epochs={args.epochs} "
-            f"seeds={args.seeds} labels_percent={args.labels_percent}\n\n")
+            f"seeds={args.seeds} labels_percent={args.labels_percent}"
+            + (f" weak_factors={args.weak_factors}"
+               if args.weak_factors else "") + "\n\n")
     f.write(table)
     f.write(win_table)
   with open(args.out + ".jsonl", "w") as f:

@@ -121,6 +121,10 @@ def generate_citeseq(n_cells: int = 5000,
                      zero_inflation: float = 0.1,
                      library_loc: float = 7.2,
                      library_scale: float = 0.45,
+                     weak_factors: int = 0,
+                     weak_gene_scale: float = 0.2,
+                     n_nuisance: int = 0,
+                     nuisance_scale: float = 0.9,
                      sparse_format: bool = True,
                      seed: int = 5218,
                      name: str = "citeseq_sim") -> SingleCellOMIC:
@@ -147,6 +151,18 @@ def generate_citeseq(n_cells: int = 5000,
   Each protein shares its latent loading direction with its marker gene
   (names from ``MARKER_ADT_GENE``), so the marker-pair metrics measure real
   cross-modality denoising.
+
+  ``weak_factors > 0`` enables the **label-efficiency regime** (the "CD4
+  effect": surface proteins whose mRNA is barely detectable — CD4/CD45
+  transcripts are famously near-absent while the proteins are abundant).
+  The last ``weak_factors`` latent factors keep their full protein
+  loadings but have their gene loadings scaled by ``weak_gene_scale``:
+  the information needed to predict those proteins IS in the RNA, but
+  carries so little expression variance that an unsupervised objective
+  has no reason to encode it — supervision (the reference's README
+  claim, ``README.rst:11-20``) is what rescues it. ``weak_factors=0``
+  (default) is bit-identical to the pre-flag generator (the flag adds no
+  RNG draws).
   """
   rng = np.random.default_rng(seed)
   K, T, L = n_factors, n_celltypes, n_lineages
@@ -185,6 +201,29 @@ def generate_citeseq(n_cells: int = 5000,
   for j, g_idx in marker_gene_idx.items():
     W_g[:, g_idx] = 1.6 * rng.normal(0.0, 1.0, K)  # strong marker program
     W_p[:, j] = W_g[:, g_idx]
+  if weak_factors:
+    # CD4 effect: the LAST `weak_factors` factors become nearly silent in
+    # RNA (scaling W_g rows here, after the marker-program assignment,
+    # shrinks the marker genes' loadings too) while being re-weighted to
+    # carry the DOMINANT share of the protein foreground (per-protein
+    # standardization below makes only the ratio matter). Deterministic
+    # (no extra RNG draws), so weak_factors=0 reproduces the old stream.
+    wf = min(int(weak_factors), K)
+    W_g[K - wf:, :] *= float(weak_gene_scale)
+    W_p[:K - wf, :] *= 0.5
+    W_p[K - wf:, :] *= 2.0
+  # RNA-only nuisance programs (cell-cycle / stress / dissociation-like):
+  # structured variance visible ONLY in the transcriptome, competing with
+  # the protein-relevant factors for encoder capacity. With weak_factors
+  # this creates the regime the reference's label-efficiency claim lives
+  # in: an unsupervised objective fills its latent budget with the
+  # loudest programs and drops the whisper-level protein factors;
+  # supervision re-prioritizes them. Gated: n_nuisance=0 draws nothing.
+  state_nu = W_nu = None
+  if n_nuisance:
+    state_nu = rng.normal(0.0, 1.0, (n_cells, n_nuisance)).astype(np.float32)
+    W_nu = (float(nuisance_scale)
+            * rng.normal(0.0, 0.6, (n_nuisance, n_genes))).astype(np.float32)
 
   # --- batch effects ------------------------------------------------------
   gene_batch = np.exp(batch_strength * rng.normal(
@@ -209,6 +248,8 @@ def generate_citeseq(n_cells: int = 5000,
     s, b = state[lo:hi], batch[lo:hi]
     # RNA: softmax gene programs × lognormal library × batch shift
     logits = s @ W_g + gene_bias
+    if state_nu is not None:
+      logits += state_nu[lo:hi] @ W_nu
     props = np.exp(logits - logits.max(1, keepdims=True))
     props *= gene_batch[b]
     props /= props.sum(1, keepdims=True)

@@ -249,6 +249,56 @@ def test_generate_citeseq_benchmark_grade():
   assert 5.0 < Y.mean() < 500.0
 
 
+def test_generate_citeseq_weak_factors():
+  """Label-efficiency regime (the CD4 effect + nuisance programs):
+  weak_factors moves the dominant share of the protein signal onto
+  latent directions that are near-silent in RNA, and n_nuisance adds
+  loud RNA-only programs competing for encoder capacity. A
+  capacity-limited unsupervised representation (PCA-16) must lose
+  protein predictability vs the default generator, while a
+  higher-capacity one (PCA-64, standing in for what supervision can
+  re-prioritize) retains measurably more — the headroom the reference's
+  label-efficiency claim needs. weak off == old generator bit-for-bit."""
+  import numpy.linalg as la
+  from scipy import stats as sp_stats
+  from sisua_tpu.data import generate_citeseq
+
+  base = generate_citeseq(n_cells=3000, n_genes=300, n_proteins=8, seed=9)
+  same = generate_citeseq(n_cells=3000, n_genes=300, n_proteins=8, seed=9,
+                          weak_factors=0, n_nuisance=0)
+  assert base == same  # flags off == old generator (no extra RNG draws)
+
+  hard = generate_citeseq(n_cells=3000, n_genes=300, n_proteins=8, seed=9,
+                          weak_factors=8, n_nuisance=24)
+
+  def pca_ridge_rho(sco, k, n_lab=800, ntest=800):
+    X = np.log1p(sco.numpy("transcriptomic"))
+    Y = np.log1p(sco.numpy("proteomic"))
+    Xc = X - X.mean(0)
+    _, _, Vt = la.svd(Xc[:-ntest], full_matrices=False)
+    Z = Xc @ Vt[:k].T
+    A = np.concatenate([Z[:n_lab], np.ones((n_lab, 1), np.float32)], 1)
+    W = la.lstsq(A.T @ A + np.eye(A.shape[1]), A.T @ Y[:n_lab],
+                 rcond=None)[0]
+    B = np.concatenate([Z[-ntest:], np.ones((ntest, 1), np.float32)], 1)
+    pred = B @ W
+    return float(np.mean([sp_stats.spearmanr(pred[:, j], Y[-ntest:, j])[0]
+                          for j in range(Y.shape[1])]))
+
+  rho_base16 = pca_ridge_rho(base, 16)
+  rho_hard16 = pca_ridge_rho(hard, 16)
+  rho_hard64 = pca_ridge_rho(hard, 64)
+  # capacity-16 unsupervised representation loses real accuracy...
+  assert rho_hard16 < rho_base16 - 0.03, (rho_base16, rho_hard16)
+  # ...and higher capacity recovers part of it (supervision headroom)
+  assert rho_hard64 > rho_hard16 + 0.02, (rho_hard16, rho_hard64)
+  # proteins still carry celltype structure in the hard regime
+  Y = np.log1p(hard.numpy("proteomic"))
+  ct = hard.numpy("celltype").argmax(1)
+  means = np.stack([Y[ct == t].mean(0) for t in np.unique(ct)])
+  assert means.var(0).sum() / Y.var(0).sum() > 0.1
+
+
 def test_sisua_to_anndata_gated():
   """The scvi-tools bridge raises an actionable error when anndata/scvi are
   absent (this image), instead of crashing obscurely."""
