@@ -125,28 +125,55 @@ def main(argv=None):
       t.append(time.perf_counter() - te)
     t_full = float(np.median(t))
 
-    # --- (b) epoch without the permutation (identity order, same scan)
-    def epoch_noperm(st, acc, xs, lib, key):
-      kstep = key
-      keys_s = jax.random.split(kstep, steps)
+    # --- (b) epoch with a FIXED random permutation vs identity order.
+    # Two ablations so the two suspects separate instead of confounding:
+    #   fixedperm: random-locality gathers, but the permutation is a
+    #     precomputed constant (no per-epoch sort) →
+    #     t_full − t_fixedperm = the per-epoch permutation compute;
+    #   noperm: contiguous arange gathers →
+    #     t_fixedperm − t_noperm = random-vs-sequential gather locality
+    #     on the resident table (the superlinear suspect at 2 GB).
+    fixed_rows = jnp.asarray(
+        np.random.default_rng(7).permutation(n_cells).astype(np.int32))
 
-      def body(carry, scan_in):
-        s, ac = carry
-        i, kk = scan_in
-        rows = jax.lax.dynamic_slice(
-            jnp.arange(n_cells, dtype=jnp.int32), (i * BATCH,), (BATCH,))
-        batch = {"inputs": [jnp.take(xs[0], rows, axis=0)],
-                 "mask": jnp.ones((BATCH,), jnp.float32),
-                 "library": jnp.take(lib, rows, axis=0)}
-        s, m = core(s, batch, kk)
-        return (s, jax.tree_util.tree_map(lambda a, b: a + b, ac, m)), None
+    def make_epoch(order):  # order: None = identity, else a device array
+      def epoch(st, acc, xs, lib, key):
+        keys_s = jax.random.split(key, steps)
 
-      (st, acc), _ = jax.lax.scan(body, (st, acc),
-                                  (jnp.arange(steps), keys_s),
-                                  unroll=min(unroll, steps))
-      return st, acc
+        def body(carry, scan_in):
+          s, ac = carry
+          i, kk = scan_in
+          src = (jnp.arange(n_cells, dtype=jnp.int32) if order is None
+                 else order)
+          rows = jax.lax.dynamic_slice(src, (i * BATCH,), (BATCH,))
+          batch = {"inputs": [jnp.take(xs[0], rows, axis=0)],
+                   "mask": jnp.ones((BATCH,), jnp.float32),
+                   "library": jnp.take(lib, rows, axis=0)}
+          s, m = core(s, batch, kk)
+          return (s, jax.tree_util.tree_map(lambda a, b: a + b, ac, m)), \
+              None
 
-    noperm = jax.jit(epoch_noperm, donate_argnums=(0, 1))
+        (st, acc), _ = jax.lax.scan(body, (st, acc),
+                                    (jnp.arange(steps), keys_s),
+                                    unroll=min(unroll, steps))
+        return st, acc
+      return epoch
+
+    fixedperm = jax.jit(make_epoch(fixed_rows), donate_argnums=(0, 1))
+    acc = jax.tree_util.tree_map(jnp.zeros_like, acc0)
+    state, acc = fixedperm(state, acc, [X], library, jax.random.PRNGKey(29))
+    _sync(acc["loss"])
+    t = []
+    for e in range(args.epochs_timed):
+      acc = jax.tree_util.tree_map(jnp.zeros_like, acc0)
+      te = time.perf_counter()
+      state, acc = fixedperm(state, acc, [X], library,
+                             jax.random.PRNGKey(60 + e))
+      _sync(acc["loss"])
+      t.append(time.perf_counter() - te)
+    t_fixedperm = float(np.median(t))
+
+    noperm = jax.jit(make_epoch(None), donate_argnums=(0, 1))
     acc = jax.tree_util.tree_map(jnp.zeros_like, acc0)
     state, acc = noperm(state, acc, [X], library, jax.random.PRNGKey(30))
     _sync(acc["loss"])
@@ -173,9 +200,14 @@ def main(argv=None):
     row = {
         "cells": n_cells,
         "epoch_full_s": round(t_full, 4),
+        "epoch_fixedperm_s": round(t_fixedperm, 4),
         "epoch_noperm_s": round(t_noperm, 4),
         "perm_mask_s": round(t_perm, 4),
-        "perm_share_pct": round(100 * (t_full - t_noperm) / t_full, 1),
+        # separated attribution (the old perm_share_pct conflated the two)
+        "perm_compute_share_pct":
+            round(100 * (t_full - t_fixedperm) / t_full, 1),
+        "gather_locality_share_pct":
+            round(100 * (t_fixedperm - t_noperm) / t_full, 1),
         "cells_per_sec_full": round(n_cells / t_full, 0),
         "cells_per_sec_noperm": round(n_cells / t_noperm, 0),
     }

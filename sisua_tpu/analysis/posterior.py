@@ -98,7 +98,16 @@ class Posterior(Visualizer):
   # ------------------------------------------------------------------ build
   def _initialize(self):
     scm, sco = self.scm, self.sco_corrupted
-    omics = list(sco.omics)[: scm.n_outputs]
+    # pair model output heads with dataset omics BY NAME when possible —
+    # the same rule fit/predict use (models/base.py::_to_feeder); a
+    # positional zip mis-scores every head when the container's omic
+    # order differs from the model's output order (e.g. h5ad round-trip)
+    avail = set(sco.omics)
+    rv_names = [rv.name for rv in scm.outputs]
+    if all(n in avail for n in rv_names):
+      omics = list(rv_names)
+    else:
+      omics = list(sco.omics)[: scm.n_outputs]
     self.output_omics = omics
     # predictions on corrupted and original data
     self.pX_cor, self.qZ_cor = scm.predict(
@@ -482,7 +491,14 @@ class Posterior(Visualizer):
     (evaluate.py:106-119)."""
     color_by = color_by or (self.factor_omics[0] if self.factor_omics
                             else None)
-    tag = OMIC.parse(color_by).name if color_by is not None else "none"
+    if color_by is None:
+      tag = "none"
+    else:
+      try:
+        tag = OMIC.parse(color_by).name
+      except ValueError:
+        tag = str(color_by)  # obs column / clustering key (visualizer
+        # resolves these through its first _process_omics branch)
     self.sco_analysis.plot_scatter(X=OMIC.latent, color_by=color_by,
                                    algo=algo,
                                    title=f"{self.name}_latent_{tag}_{algo}")
@@ -847,6 +863,10 @@ class Posterior(Visualizer):
       return self
     self.plot_llk_bars().plot_protein_prediction()
     self.plot_divergence()
+    if not self.factor_omics:
+      # RNA-only dataset: the per-factor loop below never runs, but the
+      # full grid still owes the latent tsne scatter it always rendered
+      self.plot_scatter(algo="tsne")
     ana_omics = self.sco_analysis.omics
     # the reference treats proteomic as the continuous factor and the
     # one-hot omics as binary factors (evaluate.py:78-84)

@@ -610,7 +610,12 @@ class SingleCellModel:
     # amortization hint for the fused-likelihood router: how many SGD steps
     # this run will take (compile premium vs per-step delta, objective.py)
     from .objective import set_planned_steps
-    planned = int(epochs) * max(1, int(train_feeder.n_obs) // batch_size)
+    # len(feeder) is the real per-epoch step count (the feeder's OWN batch
+    # size — fit's batch_size arg is ignored when the caller passed a
+    # DataFeeder); max_iter caps the global step count when set
+    planned = int(epochs) * max(1, len(train_feeder))
+    if max_iter:
+      planned = min(planned, int(max_iter))
     prev_hint = set_planned_steps(planned)
     try:
       with trace_cm:

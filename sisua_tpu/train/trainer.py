@@ -38,6 +38,22 @@ from ..parallel import DATA_AXIS
 
 __all__ = ["TrainState", "Trainer", "TrainingCallback"]
 
+# epoch_layout='auto' decision bounds (see the Trainer ctor comment for the
+# measured anchors behind them): permslice sorts the row keys and holds a
+# SECOND whole-table copy for the epoch, so it only wins while the sort is
+# trivial and the copy fits with room to spare on a 16 GB v5e.
+_PERMSLICE_MAX_ROWS = 65_536
+_PERMSLICE_MAX_BYTES = 4 * 1024 ** 3
+
+
+def _auto_permslice(n_rows: int, table_bytes: int) -> bool:
+  """Shape-aware epoch-layout choice for ``epoch_layout='auto'``.
+
+  Measured anchors (fetch-synced interleaved A/Bs, RESULTS.md):
+  8192×33k → permslice +20–35%; 1M×500 → permslice −17%; 100k×500 → wash.
+  """
+  return n_rows <= _PERMSLICE_MAX_ROWS and table_bytes <= _PERMSLICE_MAX_BYTES
+
 
 class TrainState(struct.PyTreeNode):
   step: jax.Array
@@ -203,13 +219,18 @@ class Trainer:
     # table ('gather') vs one whole-epoch permuted copy + contiguous
     # slices ('permslice'). Identical batches either way (same perm, same
     # keys → bit-identical training, test_trainer_windows.py pins it);
-    # the difference is pure HBM access pattern. 'auto' = gather: the
-    # fetch-synced production A/B (benchmarks/train_1m_device.py,
-    # SISUA_TPU_EPOCH_LAYOUT sweep, two reps) measured gather at
-    # 1.39M cells/s vs permslice 1.16M on the 2 GB / 1M-cell table — the
-    # whole-table permuted copy costs more than the locality it buys
-    # (roofline.py puts the gather's step penalty at only ~8% vs the
-    # 0.2 GB table). permslice stays as an explicit opt-in.
+    # the difference is pure HBM access pattern. 'auto' picks by shape
+    # from two fetch-synced production A/Bs (both interleaved, 2 reps):
+    #   * 1M×500 (2 GB): gather 1.39M cells/s vs permslice 1.16M — the
+    #     1M-key sort + whole-table copy per epoch costs more than the
+    #     locality it buys on 2 KB rows (train_1m_device.py sweep);
+    #   * 8192×33k (1.1 GB): permslice 53.9–59.4k vs gather 44.8k f32
+    #     (+20–35%; bf16 62.7–63.2k vs 46.8k) — few-row sort is free and
+    #     contiguous slices let XLA pipeline the 132 KB rows
+    #     (wide-layout A/B, RESULTS.md wide-gene section);
+    #   * 100k×500 was a wash (<1%, round-2 probe) — either side is fine.
+    # → permslice when the row count is small AND the second resident
+    # copy fits comfortably; gather otherwise (see _auto_permslice).
     self.epoch_layout = os.environ.get("SISUA_TPU_EPOCH_LAYOUT", "auto")
     self.verbose = bool(verbose)
     self.mesh = mesh
@@ -300,12 +321,14 @@ class Trainer:
     def _constrain(x, sh):
       return jax.lax.with_sharding_constraint(x, sh) if sh is not None else x
 
-    def _use_permslice(xs) -> bool:
+    def _use_permslice(xs, n: int) -> bool:
       if str(self.epoch_layout) == "gather":
         return False
       if str(self.epoch_layout) == "permslice":
         return True
-      return False  # 'auto' = gather; see the A/B in the ctor comment
+      table_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                        for x in xs)
+      return _auto_permslice(int(n), table_bytes)
 
     def epoch_body(state, acc, xs, library, key):
       n = n_rows if n_rows is not None else xs[0].shape[0]
@@ -322,7 +345,7 @@ class Trainer:
       mask_all = (jax.random.uniform(kmask, (n,)) < lp).astype(jnp.float32)
       keys = jax.random.split(kstep, steps)
 
-      if _use_permslice(xs):
+      if _use_permslice(xs, n):
         # one permuted copy (kept in the stored dtype — the widen happens
         # per batch), then contiguous slices: sequential HBM reads instead
         # of steps× random gathers. Same perm, same keys → batches are
@@ -334,14 +357,19 @@ class Trainer:
         def body(carry, scan_in):
           st, ac = carry
           i, kk = scan_in
-          batch = {"inputs": [jax.lax.dynamic_slice_in_dim(
-                       x, i * B, B, axis=0).astype(jnp.float32)
+          # same mesh constraint as the gather path: batches stay
+          # cell-sharded over 'data' (without it GSPMD may replicate the
+          # whole-epoch permuted copy — on exactly the large tables this
+          # layout exists for)
+          batch = {"inputs": [_constrain(jax.lax.dynamic_slice_in_dim(
+                       x, i * B, B, axis=0).astype(jnp.float32), row_sh)
                               for x in xp],
-                   "mask": jax.lax.dynamic_slice_in_dim(maskp, i * B, B,
-                                                        axis=0)}
+                   "mask": _constrain(
+                       jax.lax.dynamic_slice_in_dim(maskp, i * B, B,
+                                                    axis=0), mask_sh)}
           if has_library:
-            batch["library"] = jax.lax.dynamic_slice_in_dim(
-                libp, i * B, B, axis=0)
+            batch["library"] = _constrain(jax.lax.dynamic_slice_in_dim(
+                libp, i * B, B, axis=0), row_sh)
           st, m = core(st, batch, kk)
           return (st, _tree_add(ac, m)), None
       else:

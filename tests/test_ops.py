@@ -190,6 +190,19 @@ def test_fused_likelihood_amortization_routing():
     assert route_fused_likelihood(big, mode="auto", planned_steps=BE - 1)
     # large + long run: XLA (per-step edge pays back the compile delta)
     assert not route_fused_likelihood(big, mode="auto", planned_steps=BE)
+    # ...but only in the wide-feature regime where that edge was measured:
+    # the tall/bandwidth-bound regime (e.g. 4096×2048: Pallas ~12% faster
+    # per step AND ~8× faster to compile) stays Pallas at ANY run length
+    from sisua_tpu.models.objective import _XLA_LONGRUN_MIN_FEATURES
+    assert route_fused_likelihood(big, mode="auto", planned_steps=BE,
+                                  features=2048)
+    assert route_fused_likelihood(big, mode="auto", planned_steps=10 * BE,
+                                  features=_XLA_LONGRUN_MIN_FEATURES - 1)
+    assert not route_fused_likelihood(big, mode="auto", planned_steps=BE,
+                                      features=33_000)
+    # tall + short run stays Pallas too (both rules agree)
+    assert route_fused_likelihood(big, mode="auto", planned_steps=BE - 1,
+                                  features=2048)
     # the global hint (set by fit) routes the same way, and restores
     assert set_planned_steps(BE) is None
     assert not route_fused_likelihood(big, mode="auto")

@@ -235,3 +235,23 @@ def test_epoch_layout_permslice_same_batches():
     return float(acc["loss"])
 
   assert run("gather") == run("permslice")
+  # 'auto' must route to ONE of the two identical-batch bodies (256 rows,
+  # tiny table → the permslice side of the shape rule)
+  assert run("auto") == run("gather")
+
+
+def test_epoch_layout_auto_shape_rule():
+  """epoch_layout='auto' picks by shape, per the two measured anchors
+  (RESULTS.md): permslice for small-row tables where the whole-epoch
+  permuted copy is cheap (8192×33k: +20–35%), gather for tall tables
+  where the row-key sort + copy lose (1M×500: −17%), and never a second
+  resident copy that crowds a 16 GB chip."""
+  from sisua_tpu.train.trainer import (_PERMSLICE_MAX_BYTES,
+                                       _PERMSLICE_MAX_ROWS, _auto_permslice)
+  GB = 1024 ** 3
+  assert _auto_permslice(8192, int(1.1 * GB))        # wide-regime anchor
+  assert not _auto_permslice(1_000_000, 2 * GB)      # 1M-protocol anchor
+  assert not _auto_permslice(100_000, int(0.2 * GB))  # headline: wash → gather
+  assert _auto_permslice(_PERMSLICE_MAX_ROWS, _PERMSLICE_MAX_BYTES)
+  assert not _auto_permslice(_PERMSLICE_MAX_ROWS + 1, 1 * GB)
+  assert not _auto_permslice(8192, _PERMSLICE_MAX_BYTES + 1)
