@@ -308,3 +308,39 @@ def test_mesh_state_cache_tracks_state_identity(mesh, splits, small_nets):
   cur = float(jnp.sum(jax.tree_util.tree_leaves(m.params)[0]))
   assert l2 == cur           # placed params track the CURRENT state
   assert l1 != l2            # and are not the stale first placement
+
+
+def test_epoch_layout_identity_on_mesh(mesh):
+  """permslice must see the SAME batches as gather on a >1-device data
+  mesh too, and its epoch body must compile with the mesh sharding
+  constraints it now applies (review finding: the permslice body used to
+  drop the with_sharding_constraint calls the gather body makes, letting
+  GSPMD replicate the whole-epoch permuted copy)."""
+  import jax.numpy as jnp
+  from sisua_tpu.train.trainer import TrainState, Trainer
+
+  rng = np.random.default_rng(1)
+  X = rng.integers(0, 8, (256, 20)).astype(np.float32)
+  lib = rng.integers(0, 4, (256, 2)).astype(np.float32)
+  col_w = jnp.arange(1, 21, dtype=jnp.float32)
+
+  def core(state, batch, key):
+    step = state.step.astype(jnp.float32)
+    chk = (jnp.sum(batch["inputs"][0] * col_w) * (step + 1.0)
+           + 1000.0 * jnp.sum(batch["mask"]) * (step + 1.0)
+           + jnp.sum(batch["library"]))
+    return state.replace(step=state.step + 1), {"loss": chk}
+
+  def run(layout):
+    state = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                       batch_stats=None, opt_state=None)
+    trainer = Trainer(step_core=core, valid_freq=0, mesh=mesh)
+    trainer.epoch_layout = layout
+    epoch_fn, _ = trainer._build_epoch_fn(32, 0.5, has_library=True,
+                                          unroll=2)
+    acc0 = {"loss": jnp.zeros(())}
+    _, acc = epoch_fn(state, acc0, [jnp.asarray(X)], jnp.asarray(lib),
+                      jax.random.PRNGKey(7))
+    return float(acc["loss"])
+
+  assert run("gather") == run("permslice")
