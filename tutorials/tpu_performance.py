@@ -40,6 +40,15 @@ print("bf16 loss:", round(bf16.history["loss"][-1], 1),
       "| params stay float32:",
       jax.tree_util.tree_leaves(bf16.params)[0].dtype)
 
+# --- 2b. epoch data layout (automatic; env-overridable) ----------------------
+# Inside each epoch executable the trainer either gathers random rows from
+# the HBM-resident table per step ('gather') or makes one whole-epoch
+# permuted copy and takes contiguous slices ('permslice'). Batches are
+# bit-identical either way; only the HBM access pattern differs. 'auto'
+# picks by shape from measured A/Bs (RESULTS.md): permslice for <=64k-row
+# tables whose second copy fits in 4 GB (+20-35% at 8192x33k), gather for
+# tall tables (1M x 500). Override: SISUA_TPU_EPOCH_LAYOUT=gather|permslice.
+
 # --- 3. multi-chip data parallelism ----------------------------------------
 # On a multi-device runtime:  from sisua_tpu.parallel import create_mesh
 #   model.fit(train, mesh=create_mesh(), device_cache=True, ...)
