@@ -301,11 +301,16 @@ class Trainer:
 
   def _build_epoch_fn(self, batch_size: int, labels_percent: float,
                       has_library: bool, unroll: int = 1,
-                      n_rows: Optional[int] = None, mask_key=None):
+                      n_rows: Optional[int] = None, mask_key=None,
+                      allow_permslice: bool = True):
     """Whole-epoch executable for device-resident data: shuffle + mask +
     batch + all train steps inside one lax.scan (zero per-step host work).
     ``n_rows`` overrides the row count when the uploaded matrices carry
-    sharding padding — the permutation must never sample pad rows."""
+    sharding padding — the permutation must never sample pad rows.
+    ``allow_permslice=False`` pins the 'auto' layout to gather — the
+    out-of-core path passes it because HBM is deliberately full of pinned
+    chunks there and the permuted copy would OOM (an explicit
+    SISUA_TPU_EPOCH_LAYOUT=permslice still wins: the user asked)."""
     core = self.step_core
     B = int(batch_size)
     lp = float(labels_percent)
@@ -326,6 +331,8 @@ class Trainer:
         return False
       if str(self.epoch_layout) == "permslice":
         return True
+      if not allow_permslice:
+        return False  # out-of-core: no HBM headroom for the copy
       table_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
                         for x in xs)
       return _auto_permslice(int(n), table_bytes)
@@ -965,7 +972,7 @@ class Trainer:
         B, train_feeder.labels_percent, has_library=lib_full is not None,
         unroll=self._unroll_for(B, sum(s.shape[1]
                                        for s in train_feeder.sources)),
-        mask_key=run_mask_key)
+        mask_key=run_mask_key, allow_permslice=False)
     steps_per_chunk = R // B
     steps_per_epoch = S * steps_per_chunk
     probe = {"inputs": [jnp.asarray(

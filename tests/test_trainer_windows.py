@@ -255,3 +255,33 @@ def test_epoch_layout_auto_shape_rule():
   assert _auto_permslice(_PERMSLICE_MAX_ROWS, _PERMSLICE_MAX_BYTES)
   assert not _auto_permslice(_PERMSLICE_MAX_ROWS + 1, 1 * GB)
   assert not _auto_permslice(8192, _PERMSLICE_MAX_BYTES + 1)
+
+
+def test_epoch_layout_out_of_core_pins_gather(monkeypatch):
+  """The out-of-core path builds its epoch fn with allow_permslice=False:
+  HBM is deliberately full of pinned chunks there, so the 'auto' rule must
+  never schedule the whole-chunk permuted copy (OOM), even when the chunk
+  shape satisfies the permslice bounds."""
+  import jax.numpy as jnp
+  from sisua_tpu.train import trainer as trainer_mod
+  from sisua_tpu.train.trainer import TrainState, Trainer
+
+  def boom(n, b):  # noqa: ARG001
+    raise AssertionError("auto rule consulted despite allow_permslice=False")
+
+  def run(allow):
+    state = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                       batch_stats=None, opt_state=None)
+    trainer = Trainer(step_core=lambda s, b, k:
+                      (s, {"loss": jnp.sum(b["inputs"][0])}),
+                      valid_freq=0)
+    epoch_fn, _ = trainer._build_epoch_fn(32, 0.0, has_library=False,
+                                          allow_permslice=allow)
+    X = jnp.zeros((128, 4), jnp.float32)
+    epoch_fn(state, {"loss": jnp.zeros(())}, [X], None,
+             jax.random.PRNGKey(0))
+
+  monkeypatch.setattr(trainer_mod, "_auto_permslice", boom)
+  run(allow=False)  # gate short-circuits before the auto rule
+  with pytest.raises(AssertionError, match="auto rule consulted"):
+    run(allow=True)
