@@ -607,24 +607,11 @@ class SingleCellModel:
       # trace with tensorboard/xprof pointed at profile_dir
       from ..utils.others import profile_trace
       trace_cm = profile_trace(profile_dir)
-    # amortization hint for the fused-likelihood router: how many SGD steps
-    # this run will take (compile premium vs per-step delta, objective.py)
-    from .objective import set_planned_steps
-    # len(feeder) is the real per-epoch step count (the feeder's OWN batch
-    # size — fit's batch_size arg is ignored when the caller passed a
-    # DataFeeder); max_iter caps the global step count when set
-    planned = int(epochs) * max(1, len(train_feeder))
-    if max_iter:
-      planned = min(planned, int(max_iter))
-    prev_hint = set_planned_steps(planned)
-    try:
-      with trace_cm:
-        self._state = trainer.fit(self._state, train_feeder, valid_feeder,
-                                  epochs=epochs, key=self._next_key(),
-                                  callbacks=callbacks, checkpoint_fn=ckpt_fn,
-                                  model=self)
-    finally:
-      set_planned_steps(prev_hint)
+    with trace_cm:
+      self._state = trainer.fit(self._state, train_feeder, valid_feeder,
+                                epochs=epochs, key=self._next_key(),
+                                callbacks=callbacks, checkpoint_fn=ckpt_fn,
+                                model=self)
     # merge histories across successive fit calls (reference keeps one)
     if self.trainer is None:
       self.trainer = trainer

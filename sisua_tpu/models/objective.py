@@ -29,44 +29,26 @@ import jax.numpy as jnp
 from .. import dist as D
 from .module import VAEOutput
 
-__all__ = ["elbo_terms", "compute_loss", "route_fused_likelihood",
-           "set_planned_steps"]
+__all__ = ["elbo_terms", "compute_loss", "route_fused_likelihood"]
 
 Array = jax.Array
 
-# Fused-kernel routing. Three measured facts on v5e (RESULTS.md):
-#   * below ~4M likelihood elements the step is overhead-bound and XLA's own
-#     fusion is faster per step — never route Pallas there;
-#   * in the bandwidth-bound tall regime (4096×2048, 8.4M elements) the
-#     Pallas row-sum is ~12% faster per step AND compiles ~8× faster —
-#     Pallas is strictly better there regardless of run length;
-#   * in the wide-gene regime (512×33k SCVI) XLA's fused step is a few
-#     percent faster at steady state, but its train executable compiles
-#     ~60 s slower (68 s vs 8.6 s). Whether that compile delta amortizes
-#     depends on how many steps the run will take — a pure size gate can't
-#     know, so fit() passes the PLANNED step count down and the router
-#     compares planned_steps × per-step delta vs the compile delta.
-# The per-step winner above the gate flips with the FEATURE width (the
-# kernel's row-sum tiling wins while rows dominate, loses once a single
-# row spans many tiles), so the long-run→XLA rule only applies at wide
-# feature counts; the boundary between the two measured anchors (2048 and
-# 33k genes) is unmeasured — 16k splits it conservatively (Pallas keeps
-# the 8× compile edge when wrong).
+# Fused-kernel routing, measured on v5e (RESULTS.md "wide-gene regime"):
+#   * below ~4M likelihood elements the step is overhead-bound and XLA's
+#     own fusion is faster per step — never route Pallas there;
+#   * above the gate the Pallas fused forward+analytic-backward beats
+#     XLA's fusion per step in EVERY measured regime at HEAD — tall
+#     4096×2048 (~12%), wide 512×33k under both epoch layouts (f32
+#     45.0k vs 41.8k cells/s gather, 60.3k vs 41.5k permslice; bf16
+#     62.1k vs 45.0k) — AND compiles 8–70× faster (8.6–21 s vs 68 s
+#     gather / 24 min under permslice, where XLA's fusion search
+#     explodes). History: before the fused analytic backward, XLA held a
+#     ~5% steady-state edge in the wide regime and routing weighed its
+#     compile premium against the planned step count; the round-3
+#     interleaved re-measurement (2 sessions, both layouts, both dtypes)
+#     shows that edge is gone, so 'auto' is simply Pallas-above-the-gate.
 # Override with SISUA_TPU_FUSED_LIKELIHOOD=on|off|auto (default auto).
 _PALLAS_MIN_ELEMENTS = 4_000_000
-_XLA_LONGRUN_MIN_FEATURES = 16_384
-_AMORTIZATION_BREAKEVEN_STEPS = 100_000
-_PLANNED_STEPS: Optional[int] = None
-
-
-def set_planned_steps(n: Optional[int]) -> Optional[int]:
-  """Amortization hint for the fused-likelihood router (set by fit() for
-  the duration of training; None = unknown → interactive/serving default).
-  Returns the previous value so callers can restore it."""
-  global _PLANNED_STEPS
-  prev = _PLANNED_STEPS
-  _PLANNED_STEPS = None if n is None else int(n)
-  return prev
 
 
 def _pallas_mode() -> str:
@@ -74,31 +56,20 @@ def _pallas_mode() -> str:
   return os.environ.get("SISUA_TPU_FUSED_LIKELIHOOD", "auto").lower()
 
 
-def route_fused_likelihood(elements: int, mode: Optional[str] = None,
-                           planned_steps: Optional[int] = None,
-                           features: Optional[int] = None) -> bool:
-  """Amortization-aware routing decision for the fused ZINB/NB kernel.
+def route_fused_likelihood(elements: int, mode: Optional[str] = None) -> bool:
+  """Routing decision for the fused ZINB/NB kernel.
 
   ``True`` → Pallas kernel; ``False`` → the distribution math (XLA fusion).
-  Explicit env mode wins; in 'auto', small shapes always go to XLA (faster
-  per step AND faster to compile). Large shapes go to Pallas — it is
-  strictly better in the tall/bandwidth-bound regime — except wide-feature
-  runs (``features ≥ _XLA_LONGRUN_MIN_FEATURES``, where XLA holds a small
-  per-step edge) that are long enough (planned_steps ≥ break-even) for
-  that edge to pay back XLA's compile-time premium."""
+  Explicit env mode wins; in 'auto', small shapes go to XLA (faster per
+  step AND faster to compile below the element gate), large shapes to
+  Pallas (faster per step and far faster to compile in every measured
+  regime — see the module comment for the decision history)."""
   mode = _pallas_mode() if mode is None else mode
   if mode == "on":
     return True
   if mode == "off":
     return False
-  if elements < _PALLAS_MIN_ELEMENTS:
-    return False
-  if features is not None and features < _XLA_LONGRUN_MIN_FEATURES:
-    return True  # tall regime: Pallas faster per step AND to compile
-  steps = _PLANNED_STEPS if planned_steps is None else planned_steps
-  if steps is not None and steps >= _AMORTIZATION_BREAKEVEN_STEPS:
-    return False  # long wide run: the compile premium amortizes away
-  return True
+  return elements >= _PALLAS_MIN_ELEMENTS
 
 
 def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
@@ -114,7 +85,7 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
       and x.ndim == 2
       and len(dist.batch_shape) == 1  # no MC sample dims in the params
       and x.shape[0] % 8 == 0
-      and route_fused_likelihood(x.size, mode, features=x.shape[-1])):
+      and route_fused_likelihood(x.size, mode)):
     base = dist.base
     zi = isinstance(base, D.ZeroInflated)
     count = base.count_distribution if zi else base

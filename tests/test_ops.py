@@ -166,50 +166,26 @@ def test_fused_likelihood_env_override(monkeypatch):
   assert objective._pallas_mode() == "nonsense"  # treated as not-off/on
 
 
-def test_fused_likelihood_amortization_routing():
-  """VERDICT r2 #4: routing is amortization-aware, not a pure size gate.
-  Small shapes → XLA always; large shapes → Pallas for short/unknown runs
-  (compile premium dominates), XLA for runs past the break-even step count
-  (its per-step edge amortizes the compile delta)."""
-  from sisua_tpu.models.objective import (_AMORTIZATION_BREAKEVEN_STEPS,
-                                          _PALLAS_MIN_ELEMENTS,
-                                          route_fused_likelihood,
-                                          set_planned_steps)
-  BE = _AMORTIZATION_BREAKEVEN_STEPS
+def test_fused_likelihood_routing():
+  """VERDICT r2 #4 history: routing was briefly amortization-aware
+  (planned-steps × per-step delta vs compile delta) while XLA held a ~5%
+  wide-regime steady-state edge. The round-3 interleaved re-measurement
+  (both epoch layouts, both dtypes, two sessions — RESULTS.md wide-gene
+  section) shows the Pallas fused forward+analytic-backward is now faster
+  per step in EVERY regime above the element gate AND compiles 8–70×
+  faster, so 'auto' is Pallas-above-the-gate; this pins that decision
+  table."""
+  from sisua_tpu.models.objective import (_PALLAS_MIN_ELEMENTS,
+                                          route_fused_likelihood)
   big = 10 * _PALLAS_MIN_ELEMENTS
   # explicit mode wins over everything
   assert route_fused_likelihood(100, mode="on")
-  assert not route_fused_likelihood(big, mode="off", planned_steps=1)
+  assert not route_fused_likelihood(big, mode="off")
   # small shapes: XLA is faster per step AND compiles fast
   assert not route_fused_likelihood(_PALLAS_MIN_ELEMENTS - 1, mode="auto")
-  # large + unknown step count (interactive/serving): compile time dominates
-  prev = set_planned_steps(None)
-  try:
-    assert route_fused_likelihood(big, mode="auto")
-    # large + short run: Pallas (compile premium not amortized)
-    assert route_fused_likelihood(big, mode="auto", planned_steps=BE - 1)
-    # large + long run: XLA (per-step edge pays back the compile delta)
-    assert not route_fused_likelihood(big, mode="auto", planned_steps=BE)
-    # ...but only in the wide-feature regime where that edge was measured:
-    # the tall/bandwidth-bound regime (e.g. 4096×2048: Pallas ~12% faster
-    # per step AND ~8× faster to compile) stays Pallas at ANY run length
-    from sisua_tpu.models.objective import _XLA_LONGRUN_MIN_FEATURES
-    assert route_fused_likelihood(big, mode="auto", planned_steps=BE,
-                                  features=2048)
-    assert route_fused_likelihood(big, mode="auto", planned_steps=10 * BE,
-                                  features=_XLA_LONGRUN_MIN_FEATURES - 1)
-    assert not route_fused_likelihood(big, mode="auto", planned_steps=BE,
-                                      features=33_000)
-    # tall + short run stays Pallas too (both rules agree)
-    assert route_fused_likelihood(big, mode="auto", planned_steps=BE - 1,
-                                  features=2048)
-    # the global hint (set by fit) routes the same way, and restores
-    assert set_planned_steps(BE) is None
-    assert not route_fused_likelihood(big, mode="auto")
-    assert set_planned_steps(7) == BE
-    assert route_fused_likelihood(big, mode="auto")
-  finally:
-    set_planned_steps(prev)
+  # at/above the gate: Pallas, regardless of run length or feature width
+  assert route_fused_likelihood(_PALLAS_MIN_ELEMENTS, mode="auto")
+  assert route_fused_likelihood(big, mode="auto")
 
 
 def test_fused_routing_skips_mc_sample_dims(monkeypatch):
