@@ -47,9 +47,9 @@ SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi")
 
 
 def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
-  from sisua_tpu.models import (FVAE, MISA, SCALAR, SCALE, SCVI, SISUA,
-                                SCScope, TotalVI, VAE, DeepCountAutoencoder,
-                                NetConf, RVmeta)
+  from sisua_tpu.models import (FVAE, LDVAE, MISA, SCALAR, SCALE, SCVI,
+                                SISUA, SCScope, TotalVI, VAE,
+                                DeepCountAutoencoder, NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
   # α=10: the reference's shipped label-LLK weight for the semi-supervised
@@ -61,6 +61,8 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
                                           seed=seed, **nets),
       "scvi": lambda: SCVI(RVmeta(G, "zinbd", name="rna"), seed=seed,
                            n_batch=n_batch),
+      "ldvae": lambda: LDVAE(RVmeta(G, "nbd", name="rna"), seed=seed,
+                             n_batch=n_batch),
       "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=10.0, seed=seed,
                              mask_renorm=mask_renorm, **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],
@@ -288,7 +290,9 @@ def main(argv=None):
             f"proteins={args.proteins} epochs={args.epochs} "
             f"seeds={args.seeds} labels_percent={args.labels_percent}"
             + (f" weak_factors={args.weak_factors}"
-               if args.weak_factors else "") + "\n\n")
+               if args.weak_factors else "")
+            + (f" models={args.models}" if args.models else "")
+            + (" mask_renorm=True" if args.mask_renorm else "") + "\n\n")
     f.write(table)
     f.write(win_table)
   with open(args.out + ".jsonl", "w") as f:

@@ -20,6 +20,7 @@ from ..rv import RVmeta
 from .base import SingleCellModel
 from .dca import DeepCountAutoencoder
 from .fvae import FVAE, SemiFVAE
+from .ldvae import LDVAE
 from .module import SCVIModule, VAEModule, VAEOutput
 from .objective import compute_loss, elbo_terms
 from .scale import SCALAR, SCALE
@@ -30,7 +31,8 @@ from .vae import MISA, SISUA, VAE
 
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
-    "SCVI", "TotalVI", "TotalVIModule", "SCALE", "SCALAR", "FVAE", "SemiFVAE",
+    "SCVI", "LDVAE", "TotalVI", "TotalVIModule", "SCALE", "SCALAR", "FVAE",
+    "SemiFVAE",
     "SCScope", "SCScopeModule",
     "get_model", "get_all_models", "load_model",
     "NetConf", "RVmeta", "Interpolation", "interpolation",

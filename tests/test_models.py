@@ -140,6 +140,42 @@ def test_scvi_library_latent(splits):
     SCVI(RVmeta(10, "zinb"))  # must be zinbd/nbd
 
 
+def test_ldvae_linear_decoder_loadings(splits, small_nets, tmp_path):
+  """LDVAE (LinearSCVI semantics, beyond-reference surface): identity
+  decoder stack, gene-level dispersion by default, and per-gene loadings
+  recoverable as the MeanScale kernel's z-rows."""
+  import jax
+  from sisua_tpu.models import LDVAE, load_model
+  train, test = splits
+  m = LDVAE(RVmeta(train.n_vars, "nbd", name="rna"),
+            latents=RVmeta(6, "diag", True, "latents"),
+            encoder=small_nets["encoder"],
+            decoder=small_nets["decoder"])  # must be ignored: linear family
+  assert m.id == "ldvae" and get_model("ldvae") is LDVAE
+  assert m.decoder[0].units == ()            # identity decoder forced
+  assert m.dispersion == "single"            # gene-level default
+  m.fit(train, epochs=3, batch_size=64)
+  _loss_mostly_decreasing(m.history["loss"])
+  # the decoder stack contributes no parameters — px_scale is THE linear map
+  dec_leaves = [leaf for k, sub in m.params.items() if k.startswith("decoder")
+                for leaf in jax.tree_util.tree_leaves(sub)]
+  assert not dec_leaves
+  L = np.asarray(m.get_loadings())
+  assert L.shape == (train.n_vars, 6) and np.isfinite(L).all()
+  # named loadings via recorded metadata
+  m.set_metadata(train)
+  Ldf = m.get_loadings()
+  assert list(Ldf.index) == list(np.asarray(train.get_var_names(), str))
+  # checkpoint roundtrip reconstructs the linear family (decoder spec in the
+  # manifest is overridden back to identity by the ctor)
+  path = str(tmp_path / "ldvae")
+  m.save_weights(path)
+  loaded = load_model(path)
+  assert type(loaded) is LDVAE and loaded.decoder[0].units == ()
+  np.testing.assert_allclose(loaded.get_loadings().values, Ldf.values,
+                             atol=1e-6)
+
+
 @pytest.mark.slow
 def test_scvi_nbd_single_dispersion(splits):
   train, _ = splits
