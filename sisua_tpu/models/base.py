@@ -1075,6 +1075,7 @@ class SingleCellModel:
                                 sample_shape: Tuple[int, ...] = (),
                                 batch_size: int = 256,
                                 output_index: int = 0,
+                                reduce_mc: bool = True,
                                 mesh=None) -> np.ndarray:
     """Library-size-free denoised expression: each posterior draw's output
     mean normalized to row proportions, MC-averaged on device → (n, d).
@@ -1083,7 +1084,11 @@ class SingleCellModel:
     emits ``px_rate = exp(L)·softmax(scale)``, so row-normalizing the mean
     divides the sampled library back out) — the scvi-tools
     ``get_normalized_expression`` surface. For other families it is the
-    mean-proportion denoised profile (reference ``scvi.py:128-171``)."""
+    mean-proportion denoised profile (reference ``scvi.py:128-171``).
+
+    ``reduce_mc=False`` skips the on-device MC average and returns the
+    per-draw scales ``(S, n, d)`` (S = prod(sample_shape)) — the posterior
+    samples :meth:`differential_expression` consumes."""
     self._ensure_initialized()
     feeder = self._to_feeder(inputs, batch_size, 0.0, shuffle=False)
     sample_shape = tuple(sample_shape) if not isinstance(
@@ -1091,6 +1096,8 @@ class SingleCellModel:
     module, apply_kwargs = self.module, self._apply_kwargs
     mc_axes = tuple(range(len(sample_shape)))
     idx = int(output_index)
+    reduce_mc = bool(reduce_mc) or not mc_axes
+    S = int(np.prod(sample_shape)) if sample_shape else 1
 
     def _build_run():
       @jax.jit
@@ -1105,13 +1112,17 @@ class SingleCellModel:
                              **apply_kwargs(l))
           m = out.outputs[idx].mean()
           scale = m / jnp.sum(m, axis=-1, keepdims=True)  # per-draw props
-          return jnp.mean(scale, axis=mc_axes) if mc_axes else scale
+          if reduce_mc:
+            return jnp.mean(scale, axis=mc_axes) if mc_axes else scale
+          # flatten MC dims → (S, B, d) so the host reshape is uniform
+          return scale.reshape((S,) + scale.shape[len(mc_axes):])
         lib_in = lib_b if lib_b is not None else \
             jnp.zeros((xb.shape[0], xb.shape[1], 0))
         return jax.lax.map(lambda a: one(a), (xb, lib_in, keys))
       return run
 
-    run = self._cached_jit(("norm_expr", sample_shape, idx), _build_run)
+    run = self._cached_jit(("norm_expr", sample_shape, idx, reduce_mc),
+                           _build_run)
     params, batch_stats = self._infer_state(mesh)
     parts = []
     for rows, nv in self._iter_serving_chunks(feeder, mesh):
@@ -1119,8 +1130,108 @@ class SingleCellModel:
                                                 rows=rows, n_valid=nv)
       keys = jax.random.split(self._next_key(), k)
       scale = jax.device_get(run(params, batch_stats, xb, lib_b, keys))
-      parts.append(scale.reshape(k * B, -1)[:n])
-    return parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
+      if reduce_mc:
+        parts.append(scale.reshape(k * B, -1)[:n])
+      else:  # (k, S, B, d) → (S, k·B, d) → valid rows only
+        scale = np.moveaxis(scale, 0, 1).reshape(S, k * B, -1)[:, :n]
+        parts.append(scale)
+    if len(parts) == 1:
+      return parts[0]
+    return np.concatenate(parts, 0 if reduce_mc else 1)
+
+  def differential_expression(self, inputs, groupby: str,
+                              group1=None, group2=None,
+                              mode: str = "change", delta: float = 0.25,
+                              sample_shape: Tuple[int, ...] = (25,),
+                              n_pairs: int = 5000, max_cells: int = 256,
+                              batch_size: int = 256, output_index: int = 0,
+                              seed: int = 0, mesh=None):
+    """Bayesian differential expression between cell groups (the scvi-tools
+    ``differential_expression`` surface; Lopez 2018 §'vanilla', Boyeau 2019
+    §'change' — beyond the reference, which ships no DE).
+
+    Posterior scales are sampled per cell (``get_normalized_expression``
+    with ``reduce_mc=False``), then ``n_pairs`` random cross-group draw
+    pairs estimate, per gene:
+
+      * ``mode='vanilla'``: ``proba_m1 = P(s1 > s2)`` and its bayes factor
+        ``log(p) − log(1−p)``;
+      * ``mode='change'`` (default): ``lfc = log2(s1) − log2(s2)`` with
+        ``proba_de = P(|lfc| > delta)``, lfc mean/median/std.
+
+    ``groupby`` names an ``obs`` column of the container; ``group2=None``
+    compares against all other cells; ``group1=None`` runs one-vs-rest for
+    every level and stacks the frames (a ``group1`` column marks each).
+    ``max_cells`` caps the per-group subsample (memory: S·max_cells·genes
+    floats per group on host). Returns a pandas DataFrame indexed by the
+    output's var names."""
+    import pandas as pd
+    if not hasattr(inputs, "obs"):
+      raise TypeError("differential_expression needs a SingleCellOMIC "
+                      f"container with obs['{groupby}'], got {type(inputs)}")
+    if groupby not in inputs.obs.columns:
+      raise KeyError(f"obs has no column '{groupby}'; "
+                     f"available: {list(inputs.obs.columns)}")
+    labels = np.asarray([str(v) for v in np.asarray(inputs.obs[groupby])])
+    if group1 is None:
+      frames = []
+      for lvl in pd.unique(labels):
+        df = self.differential_expression(
+            inputs, groupby, group1=lvl, group2=group2, mode=mode,
+            delta=delta, sample_shape=sample_shape, n_pairs=n_pairs,
+            max_cells=max_cells, batch_size=batch_size,
+            output_index=output_index, seed=seed, mesh=mesh)
+        df.insert(0, "group1", str(lvl))
+        frames.append(df)
+      return pd.concat(frames, axis=0)
+
+    rng = np.random.RandomState(seed)
+    m1 = labels == str(group1)
+    m2 = (labels == str(group2)) if group2 is not None else ~m1
+    if not m1.any() or not m2.any():
+      raise ValueError(f"empty group: |{group1}|={int(m1.sum())}, "
+                       f"|{group2 or 'rest'}|={int(m2.sum())}")
+
+    def _scales(mask):
+      idx = np.flatnonzero(mask)
+      if len(idx) > int(max_cells):
+        idx = rng.choice(idx, int(max_cells), replace=False)
+      s = self.get_normalized_expression(
+          inputs[np.sort(idx)], sample_shape=sample_shape,
+          batch_size=batch_size, output_index=output_index,
+          reduce_mc=False, mesh=mesh)
+      return np.asarray(s, np.float64).reshape(-1, s.shape[-1])  # (S·m, d)
+
+    s1, s2 = _scales(m1), _scales(m2)
+    i1 = rng.randint(0, len(s1), int(n_pairs))
+    i2 = rng.randint(0, len(s2), int(n_pairs))
+    a, b = s1[i1], s2[i2]
+    eps = 1e-10
+    out = {"scale1": s1.mean(0), "scale2": s2.mean(0)}
+    if mode == "vanilla":
+      p = (a > b).mean(0)
+      out["proba_m1"] = p
+      out["bayes_factor"] = np.log(p + eps) - np.log1p(eps - p)
+    elif mode == "change":
+      lfc = np.log2(a + eps) - np.log2(b + eps)
+      p = (np.abs(lfc) > float(delta)).mean(0)
+      out.update(proba_de=p,
+                 bayes_factor=np.log(p + eps) - np.log1p(eps - p),
+                 lfc_mean=lfc.mean(0), lfc_median=np.median(lfc, 0),
+                 lfc_std=lfc.std(0))
+    else:
+      raise ValueError(f"mode must be 'vanilla' or 'change', got {mode!r}")
+    names = None
+    if output_index == 0:
+      names = list(np.asarray(inputs.var_names, str))
+    else:
+      main = self.outputs[output_index].name
+      if main and main in getattr(inputs, "omics", ()):
+        names = list(np.asarray(inputs.get_var_names(main), str))
+    df = pd.DataFrame(out)
+    if names is not None and len(names) == len(df):
+      df.index = pd.Index(names, name="gene")
+    return df
 
   def compute_llk(self, inputs, targets: Dict[str, Sequence],
                   sample_shape: Tuple[int, ...] = (),
