@@ -24,6 +24,7 @@ from .core import get_all_omics
 from .dataset import SingleCellOMIC
 from .feeder import DataFeeder
 from .h5ad import read_h5ad, write_h5ad
+from .loaders.tenx import read_10x_h5, read_10x_mtx
 from .path import CONFIG_PATH, DATA_DIR, DOWNLOAD_DIR, EXP_DIR
 from .synthetic import generate_citeseq, generate_synthetic, read_synthetic
 from .utils import (apply_artificial_corruption, get_library_size,
@@ -33,6 +34,7 @@ __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
     "get_dataset_availability", "get_dataset_summary", "AVAILABILITY",
     "generate_synthetic", "generate_citeseq", "read_h5ad", "write_h5ad",
+    "read_10x_mtx", "read_10x_h5",
     "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",
     "MARKER_ADT_GENE", "MARKER_ADTS", "MARKER_ATAC", "MARKER_GENES",
@@ -207,11 +209,21 @@ def get_dataset_summary(return_html: bool = False, names=None,
 def get_dataset(name: str, override: bool = False, verbose: bool = False,
                 **kwargs) -> SingleCellOMIC:
   """Load a dataset by registry alias → SingleCellOMIC
-  (reference data/__init__.py:249-301). A path ending in ``.h5ad`` loads
-  directly via the native AnnData reader."""
+  (reference data/__init__.py:249-301). User-local data loads directly:
+  a ``.h5ad`` path via the native AnnData reader, a CellRanger ``.h5``
+  via :func:`read_10x_h5`, and a matrix directory (``matrix.mtx[.gz]``)
+  via :func:`read_10x_mtx`."""
   import os as _os
   if str(name).endswith(".h5ad") and _os.path.isfile(str(name)):
     return read_h5ad(str(name))
+  if str(name).endswith((".h5", ".hdf5")) and _os.path.isfile(str(name)):
+    from .loaders.tenx import read_10x_h5
+    return read_10x_h5(str(name))
+  if _os.path.isdir(str(name)) and any(
+      _os.path.isfile(_os.path.join(str(name), m))
+      for m in ("matrix.mtx", "matrix.mtx.gz")):
+    from .loaders.tenx import read_10x_mtx
+    return read_10x_mtx(str(name))
   name = str(name).lower().strip()
   meta = get_dataset_meta()
   if name not in meta:

@@ -26,7 +26,7 @@ from ..path import DATA_DIR, DOWNLOAD_DIR
 from ..utils import (download_file, save_to_dataset, load_from_dataset,
                      validate_data_dir)
 
-__all__ = ["read_dataset10x", "TENX_CATALOG"]
+__all__ = ["read_dataset10x", "read_10x_mtx", "read_10x_h5", "TENX_CATALOG"]
 
 _BASE = "http://cf.10xgenomics.com/samples"
 
@@ -93,6 +93,102 @@ def _read_text(path: str):
     return [line.rstrip("\n").split("\t") for line in f]
 
 
+def _parse_10x_dir(dirpath: str, atac: bool = False):
+  """Parse a CellRanger matrix directory (matrix.mtx[.gz] + barcodes +
+  features/genes/peaks) → (X csr cells×features, cell_ids, feat_names,
+  feat_types). Shared by the catalog reader and :func:`read_10x_mtx`."""
+  mtx = _find(dirpath, {"matrix.mtx", "matrix.mtx.gz"})
+  barcodes = _find(dirpath, {"barcodes.tsv", "barcodes.tsv.gz"})
+  feats = _find(dirpath, {"features.tsv", "features.tsv.gz",
+                          "genes.tsv", "genes.tsv.gz",
+                          "peaks.bed", "peaks.bed.gz"})
+  assert mtx and barcodes and feats, (
+      f"Incomplete 10x matrix directory in {dirpath}: need matrix.mtx[.gz], "
+      "barcodes.tsv[.gz] and features/genes.tsv[.gz] (or peaks.bed)")
+  X = sp_io.mmread(mtx).T.tocsr().astype(np.float32)  # cells × features
+  cell_ids = [r[0] for r in _read_text(barcodes)]
+  feat_rows = _read_text(feats)
+  if feats.endswith((".bed", ".bed.gz")) or (atac and len(feat_rows[0]) == 3
+                                             and feat_rows[0][1].isdigit()):
+    feat_names = [f"{r[0]}:{r[1]}:{r[2]}" for r in feat_rows]
+    feat_types = ["Peaks"] * len(feat_names)
+  else:
+    feat_names = [r[1] if len(r) > 1 else r[0] for r in feat_rows]
+    feat_types = [r[2] if len(r) > 2 else "Gene Expression"
+                  for r in feat_rows]
+  return X, cell_ids, np.asarray(feat_names), np.asarray(feat_types)
+
+
+def _sco_from_parsed(X, cell_ids, feat_names, feat_types, name: str,
+                     filtered_genes: bool = False) -> SingleCellOMIC:
+  """Split Antibody Capture columns into a proteomic omic and wrap the rest
+  as the main omic (Peaks → atac); optional all-zero feature drop."""
+  is_adt = feat_types == "Antibody Capture"
+  is_peaks = (feat_types == "Peaks").all() if len(feat_types) else False
+  X_main = X[:, ~is_adt] if is_adt.any() else X
+  names_main = feat_names[~is_adt] if is_adt.any() else feat_names
+  if filtered_genes:
+    keep = np.asarray((X_main > 0).sum(0)).ravel() > 0
+    X_main, names_main = X_main[:, keep], names_main[keep]
+  sco = SingleCellOMIC(X_main, cell_id=cell_ids, gene_id=names_main,
+                       omic=OMIC.atac if is_peaks else OMIC.transcriptomic,
+                       name=name)
+  if is_adt.any():
+    adt = X[:, is_adt]
+    adt = np.asarray(adt.todense() if sparse.issparse(adt) else adt,
+                     np.float32)
+    sco.add_omic(OMIC.proteomic, adt, feat_names[is_adt])
+  return sco
+
+
+def read_10x_mtx(path: str, name: Optional[str] = None,
+                 filtered_genes: bool = False) -> SingleCellOMIC:
+  """Read a user-local CellRanger matrix directory (``matrix.mtx[.gz]`` +
+  ``barcodes.tsv[.gz]`` + ``features/genes.tsv[.gz]`` or ``peaks.bed``)
+  straight into a :class:`SingleCellOMIC` — the scanpy ``read_10x_mtx``
+  onboarding surface, no download/cache involved. CITE-seq feature matrices
+  split into transcriptomic + proteomic omics ('Antibody Capture' rows);
+  peak features become the atac omic. ``filtered_genes=True`` drops
+  all-zero features (reference dataset10x.py:199-432 semantics)."""
+  path = os.path.abspath(os.path.expanduser(path))
+  assert os.path.isdir(path), f"Not a directory: {path}"
+  X, cell_ids, feat_names, feat_types = _parse_10x_dir(path)
+  return _sco_from_parsed(X, cell_ids, feat_names, feat_types,
+                          name or os.path.basename(path.rstrip("/")),
+                          filtered_genes)
+
+
+def read_10x_h5(path: str, name: Optional[str] = None,
+                filtered_genes: bool = False) -> SingleCellOMIC:
+  """Read a CellRanger ``.h5`` feature-barcode matrix (v3 ``/matrix`` group,
+  or the legacy v2 per-genome layout) into a :class:`SingleCellOMIC` —
+  the scanpy ``read_10x_h5`` onboarding surface. Antibody Capture features
+  split into the proteomic omic; Peaks → atac."""
+  import h5py
+  path = os.path.abspath(os.path.expanduser(path))
+  with h5py.File(path, "r") as f:
+    if "matrix" in f:  # CellRanger v3+
+      g = f["matrix"]
+      feat_names = g["features/name"][:].astype(str)
+      feat_types = (g["features/feature_type"][:].astype(str)
+                    if "features/feature_type" in g
+                    else np.asarray(["Gene Expression"] * len(feat_names)))
+    else:  # legacy v2: one group per genome
+      genomes = list(f.keys())
+      assert len(genomes) >= 1, f"Empty 10x h5 file: {path}"
+      g = f[genomes[0]]
+      feat_names = g["gene_names"][:].astype(str)
+      feat_types = np.asarray(["Gene Expression"] * len(feat_names))
+    n_feat, n_cells = (int(x) for x in g["shape"][:])
+    X = sparse.csc_matrix(
+        (g["data"][:].astype(np.float32), g["indices"][:], g["indptr"][:]),
+        shape=(n_feat, n_cells)).T.tocsr()
+    cell_ids = [b for b in g["barcodes"][:].astype(str)]
+  return _sco_from_parsed(X, cell_ids, feat_names, np.asarray(feat_types),
+                          name or os.path.splitext(os.path.basename(path))[0],
+                          filtered_genes)
+
+
 def read_dataset10x(name: str,
                     filtered_cells: bool = True,
                     filtered_genes: bool = True,
@@ -125,25 +221,8 @@ def read_dataset10x(name: str,
     with open(done_marker, "w") as f:
       f.write(os.path.basename(url))
 
-  mtx = _find(extract_dir, {"matrix.mtx", "matrix.mtx.gz"})
-  barcodes = _find(extract_dir, {"barcodes.tsv", "barcodes.tsv.gz"})
-  feats = _find(extract_dir, {"features.tsv", "features.tsv.gz",
-                              "genes.tsv", "genes.tsv.gz",
-                              "peaks.bed", "peaks.bed.gz"})
-  assert mtx and barcodes and feats, f"Incomplete 10x archive in {extract_dir}"
-  X = sp_io.mmread(mtx).T.tocsr().astype(np.float32)  # cells × features
-  cell_ids = [r[0] for r in _read_text(barcodes)]
-  feat_rows = _read_text(feats)
-  if kind == "cell-atac" and feats.endswith((".bed", ".bed.gz")):
-    feat_names = [f"{r[0]}:{r[1]}:{r[2]}" for r in feat_rows]
-    feat_types = ["Peaks"] * len(feat_names)
-  else:
-    feat_names = [r[1] if len(r) > 1 else r[0] for r in feat_rows]
-    feat_types = [r[2] if len(r) > 2 else "Gene Expression"
-                  for r in feat_rows]
-
-  feat_types = np.asarray(feat_types)
-  feat_names = np.asarray(feat_names)
+  X, cell_ids, feat_names, feat_types = _parse_10x_dir(
+      extract_dir, atac=(kind == "cell-atac"))
   is_adt = feat_types == "Antibody Capture"
   main_omic = OMIC.atac if kind == "cell-atac" else OMIC.transcriptomic
   X_main = X[:, ~is_adt] if is_adt.any() else X
