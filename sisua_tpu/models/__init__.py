@@ -24,6 +24,7 @@ from .ldvae import LDVAE
 from .module import SCVIModule, VAEModule, VAEOutput
 from .objective import compute_loss, elbo_terms
 from .scale import SCALAR, SCALE
+from .scanvi import SCANVI, SCANVIModule
 from .scscope import SCScope, SCScopeModule
 from .scvi import SCVI
 from .totalvi import TotalVI, TotalVIModule
@@ -31,8 +32,8 @@ from .vae import MISA, SISUA, VAE
 
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
-    "SCVI", "LDVAE", "TotalVI", "TotalVIModule", "SCALE", "SCALAR", "FVAE",
-    "SemiFVAE",
+    "SCVI", "LDVAE", "SCANVI", "SCANVIModule", "TotalVI", "TotalVIModule",
+    "SCALE", "SCALAR", "FVAE", "SemiFVAE",
     "SCScope", "SCScopeModule",
     "get_model", "get_all_models", "load_model",
     "NetConf", "RVmeta", "Interpolation", "interpolation",

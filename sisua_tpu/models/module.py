@@ -230,8 +230,14 @@ class SCVIModule(VAEModule):
       params.append(self.px_dropout(d).astype(jnp.float32))
     flat = jnp.concatenate(params, axis=-1)
     pX = self.output_heads[0](flat)
-    pY = tuple(head(d) for head in self.output_heads[1:])
+    pY = self._label_heads(d, z, training=training)
     return (pX,) + pY
+
+  def _label_heads(self, d: Array, z: Array, training: bool = False):
+    """Extra (semi-supervised) heads decode from the shared hidden ``d``
+    (reference scvi.py:170). SCANVI reroutes these through its latent-space
+    classifier (``scanvi.py``)."""
+    return tuple(head(d) for head in self.output_heads[1:])
 
   def __call__(self, x: Array, library: Optional[Array] = None,
                training: bool = False,
