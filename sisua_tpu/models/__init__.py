@@ -23,6 +23,7 @@ from .fvae import FVAE, SemiFVAE
 from .ldvae import LDVAE
 from .module import SCVIModule, VAEModule, VAEOutput
 from .objective import compute_loss, elbo_terms
+from .peakvi import PEAKVI, PEAKVIModule
 from .scale import SCALAR, SCALE
 from .scanvi import SCANVI, SCANVIModule
 from .scscope import SCScope, SCScopeModule
@@ -32,7 +33,8 @@ from .vae import MISA, SISUA, VAE
 
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
-    "SCVI", "LDVAE", "SCANVI", "SCANVIModule", "TotalVI", "TotalVIModule",
+    "SCVI", "LDVAE", "SCANVI", "SCANVIModule", "PEAKVI", "PEAKVIModule",
+    "TotalVI", "TotalVIModule",
     "SCALE", "SCALAR", "FVAE", "SemiFVAE",
     "SCScope", "SCScopeModule",
     "get_model", "get_all_models", "load_model",

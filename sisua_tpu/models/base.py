@@ -409,7 +409,7 @@ class SingleCellModel:
       out = self.module.apply(variables, x, rngs=rngs, **kwargs)
       new_bs = batch_stats
     loss, metrics = compute_loss(
-        out, batch["inputs"], mask=batch.get("mask"), beta=beta,
+        out, self._loss_targets(batch), mask=batch.get("mask"), beta=beta,
         alpha=self.alpha, analytic=self.analytic,
         mask_outputs=self.mask_outputs if training else False,
         mask_renorm=self.mask_renorm if training else False)
@@ -423,6 +423,11 @@ class SingleCellModel:
   def _extra_loss(self, params, aux_params, out: VAEOutput, batch, key,
                   training: bool):
     return None  # FactorVAE adds the γ·TC term
+
+  def _loss_targets(self, batch):
+    """Likelihood targets. Hook for models whose likelihood is defined on a
+    transform of the raw omic (PeakVI binarizes accessibility counts)."""
+    return batch["inputs"]
 
   def _masked_module_input(self, batch, training: bool):
     """Training-time module input. Hook for models whose ENCODER consumes a
