@@ -134,6 +134,9 @@ class SCANVI(SCVI):
 
   mask_outputs = True
   module_cls = SCANVIModule
+  #: experimenter/CLI output selection: SCANVI supervises the cell-type
+  #: omic only (not every label omic the dataset carries)
+  supervised_omics = ("celltype",)
 
   def __init__(self,
                outputs,

@@ -330,6 +330,12 @@ class SisuaExperimenter(Experimenter):
     is_semi = getattr(cls, "mask_outputs", False)
     if not is_semi:
       outputs = outputs[:1]
+    else:
+      # models that supervise specific omics (SCANVI → celltype) keep the
+      # main omic plus only those; None → every configured label omic
+      sup = getattr(cls, "supervised_omics", None)
+      if sup is not None:
+        outputs = [outputs[0]] + [o for o in outputs[1:] if o.name in sup]
     encoder = parse_netconf(model_cfg.pop("encoder", {"units": [64, 64]}),
                             "encoder")
     decoder = parse_netconf(model_cfg.pop("decoder", {"units": [64, 64]}),

@@ -116,3 +116,42 @@ def test_scanvi_annotation_beats_majority():
   # measured on this simulator: 0.86 full, 0.66 at 10% (majority 0.13)
   assert accs[1.0] > 0.7, accs
   assert accs[0.1] > max(0.4, 2 * majority), accs
+
+
+def test_scanvi_from_experimenter_config(tmp_path):
+  """CLI/experimenter path: SCANVI selects [main omic, celltype] from the
+  per-omic variables config (supervised_omics filter), skipping proteomic."""
+  import yaml
+  from sisua_tpu.train.experimenter import SisuaExperimenter
+  cfg_path = tmp_path / "cfg.yaml"
+  base = {
+      "verbose": False,
+      "model": {"name": "scanvi", "log_norm": True, "beta": 1.0,
+                "alpha": 50.0,
+                "encoder": {"units": [16], "batchnorm": True},
+                "decoder": {"units": [16]}},
+      "dataset": {"name": "synthetic", "train_percent": 0.8,
+                  "labels_percent": 0.3, "batch_size": 128,
+                  "dropout_rate": 0.2, "retain_rate": 0.2},
+      "variables": {
+          "latents": {"event_shape": 6, "posterior": "diag"},
+          "transcriptomic": {"posterior": "zinbd"},
+          "proteomic": {"posterior": "nb"},
+          "celltype": {"posterior": "onehot"}},
+      "train": {"optimizer": "adam", "learning_rate": 1e-3,
+                "valid_freq": 0, "clipnorm": 100, "epochs": 2,
+                "max_iter": -1, "earlystop_patience": 20},
+  }
+  with open(cfg_path, "w") as f:
+    yaml.safe_dump(base, f)
+  exp = SisuaExperimenter(save_path=str(tmp_path / "exp"),
+                          config_path=str(cfg_path))
+  scores = exp.run_config(exp.load_config())
+  assert any(k.startswith("llk") for k in scores)
+  found = exp.get_models("model.name=scanvi", load_models=True)
+  assert len(found) == 1
+  model = found[0][1]
+  assert isinstance(model, SCANVI)
+  names = [rv.name for rv in model.outputs]
+  assert names[0] == "transcriptomic" and names[1] == "celltype"
+  assert "proteomic" not in names
