@@ -549,8 +549,15 @@ class SingleCellModel:
           hbm_budget_bytes: Optional[int] = None,
           profile_dir: Optional[str] = None,
           mc_samples: int = 1,
+          freeze: Sequence[str] = (),
           verbose: bool = False) -> "SingleCellModel":
     """Compile + train (the reference's fit combo :213-236).
+
+    ``freeze=('decoder', 'output_head_rna', …)``: parameters whose path
+    contains a component starting with any of these prefixes receive ZERO
+    updates (optax.masked) — the transfer-learning primitive behind
+    ``fit_query``. Switching the freeze set between fit calls re-initializes
+    the optimizer state (its structure depends on the mask).
 
     ``scan_steps=k`` fuses k train steps into one executable via lax.scan
     (one host→device transfer per k steps — recommended on TPU; per-epoch
@@ -597,8 +604,21 @@ class SingleCellModel:
                       mesh=mesh, hbm_budget_bytes=hbm_budget_bytes,
                       verbose=verbose)
     tx = trainer.make_optimizer()
-    if self._state.opt_state is None:
+    freeze = (freeze,) if isinstance(freeze, str) else tuple(freeze)
+    if freeze:
+      import optax
+      import jax.tree_util as jtu
+      def _trainable(path, _):
+        comps = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        return not any(c.startswith(f) for c in comps for f in freeze)
+      mask = jtu.tree_map_with_path(_trainable, self._state.params)
+      n_frozen = sum(not m for m in jax.tree.leaves(mask))
+      assert n_frozen, f"freeze={freeze} matched no parameters"
+      tx = optax.masked(tx, mask)
+    if (self._state.opt_state is None
+        or getattr(self, "_last_freeze", ()) != freeze):
       self._state = self._state.replace(opt_state=tx.init(self._state.params))
+    self._last_freeze = freeze
     trainer.step_core = self.make_train_step_core(tx)
     trainer.eval_fn = self.make_eval_step()
     ckpt_fn = None
@@ -627,6 +647,29 @@ class SingleCellModel:
       self.trainer.step_core = trainer.step_core
       self.trainer.eval_fn = trainer.eval_fn
     return self
+
+  def fit_query(self, query, train_keys: Sequence[str] = ("encoder",
+                                                          "latent_head"),
+                **fit_kwargs) -> "SingleCellModel":
+    """scArches-style reference mapping (Lotfollahi et al. 2022 surgery,
+    scvi-tools ``load_query_data`` semantics): adapt the INFERENCE network
+    to a query dataset while the generative model stays frozen, so query
+    cells embed into the reference latent space without distorting it.
+
+    Everything except parameters under ``train_keys`` prefixes (default:
+    the encoders and latent heads) is frozen. With batch conditioning
+    (``n_batch`` capacity remaining), unseen query ``obs[batch_key]``
+    levels are appended automatically and condition the frozen decoder.
+    Accepts every ``fit`` kwarg."""
+    self._ensure_initialized()
+    train_keys = tuple(train_keys)
+    frozen = tuple(sorted(
+        str(k) for k in self._state.params.keys()
+        if not str(k).startswith(train_keys)))
+    assert frozen and len(frozen) < len(self._state.params), (
+        f"train_keys={train_keys} must split the parameter tree; "
+        f"top-level keys: {sorted(map(str, self._state.params.keys()))}")
+    return self.fit(query, freeze=frozen, **fit_kwargs)
 
   @property
   def history(self) -> Dict[str, List[float]]:
