@@ -589,10 +589,21 @@ class _OMICanalyzer(_OMICbase):
 
   def get_importance_matrix(self, omic1=None, omic2="proteomic",
                             n_estimators: int = 80,
-                            random_state: int = 8) -> pd.DataFrame:
+                            random_state: int = 8,
+                            ncpu: int = 1) -> pd.DataFrame:
     """Random-forest feature importance of omic1 vars for predicting each
-    omic2 var (ref :1107-1145). Returns (n_vars1, n_vars2) DataFrame."""
+    omic2 var (ref :1107-1145, multiprocessed there via odin MPI).
+    Returns (n_vars1, n_vars2) DataFrame.
+
+    The forest is grown as fixed 20-tree chunks with seeds derived from
+    ``(random_state, chunk_index)`` and the per-protein importances average
+    the chunk means weighted by chunk size (exact: sklearn's importances
+    are already the mean over trees). Because the chunk — not the call —
+    is the RNG unit, the result is **bit-identical for every ncpu**;
+    ``ncpu>1`` only distributes the (omic2-column × chunk) tasks over a
+    fork pool."""
     from sklearn.ensemble import RandomForestRegressor
+    from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
     omic2 = OMIC.parse(omic2)
     key = f"{omic1.name}_{omic2.name}_importance"
@@ -600,22 +611,45 @@ class _OMICanalyzer(_OMICbase):
       return self.uns[key]
     X = self.numpy(omic1)
     Y = self.numpy(omic2)
-    cols = {}
-    for j, name in enumerate(self.get_var_names(omic2)):
-      rf = RandomForestRegressor(n_estimators=n_estimators, max_depth=8,
-                                 random_state=random_state, n_jobs=-1)
+    names2 = [str(n) for n in self.get_var_names(omic2)]
+    chunk_trees = 20
+    n_chunks = max(1, -(-n_estimators // chunk_trees))
+    per = n_estimators // n_chunks
+    sizes = [per + (c < n_estimators % n_chunks) for c in range(n_chunks)]
+    tasks = [(j, c) for j in range(len(names2))
+             for c in range(n_chunks) if sizes[c]]
+
+    def _fit_chunk(task):
+      j, c = task
+      rf = RandomForestRegressor(
+          n_estimators=sizes[c], max_depth=8, n_jobs=1,
+          random_state=random_state + 1000 * c)
       rf.fit(X, Y[:, j])
-      cols[str(name)] = rf.feature_importances_
+      return rf.feature_importances_
+
+    parts = mpi_map(_fit_chunk, tasks, ncpu=ncpu)
+    cols = {name: np.zeros(X.shape[1]) for name in names2}
+    total = float(sum(sizes))
+    for (j, c), imp in zip(tasks, parts):
+      cols[names2[j]] += imp * (sizes[c] / total)
     df = pd.DataFrame(cols, index=self.get_var_names(omic1))
     self.uns[key] = df
     return df
 
   def get_mutual_information(self, omic1=None, omic2="proteomic",
                              n_neighbors: int = 3,
-                             random_state: int = 8) -> pd.DataFrame:
+                             random_state: int = 8,
+                             ncpu: int = 1) -> pd.DataFrame:
     """kNN mutual information between all var pairs of two omics
-    (ref :1147-1196)."""
+    (ref :1147-1196, multiprocessed there via odin MPI).
+
+    sklearn's estimator jitters exact ties with RNG noise drawn from one
+    stream per *call*, so the unit of randomness here is a fixed 512-column
+    block of the omic1 axis with seed ``random_state + block_index`` — the
+    result is **bit-identical for every ncpu**; ``ncpu>1`` only distributes
+    the (omic2-column × block) tasks over a fork pool."""
     from sklearn.feature_selection import mutual_info_regression
+    from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
     omic2 = OMIC.parse(omic2)
     key = f"{omic1.name}_{omic2.name}_mutualinfo"
@@ -623,10 +657,24 @@ class _OMICanalyzer(_OMICbase):
       return self.uns[key]
     X = self.numpy(omic1)
     Y = self.numpy(omic2)
-    cols = {}
-    for j, name in enumerate(self.get_var_names(omic2)):
-      cols[str(name)] = mutual_info_regression(
-          X, Y[:, j], n_neighbors=n_neighbors, random_state=random_state)
+    names2 = [str(n) for n in self.get_var_names(omic2)]
+    n1 = X.shape[1]
+    block = 512
+    bounds = list(range(0, n1, block)) + [n1]
+    tasks = [(j, c, bounds[c], bounds[c + 1])
+             for j in range(len(names2))
+             for c in range(len(bounds) - 1)]
+
+    def _mi_block(task):
+      j, c, lo, hi = task
+      return mutual_info_regression(
+          X[:, lo:hi], Y[:, j], n_neighbors=n_neighbors,
+          random_state=random_state + c)
+
+    parts = mpi_map(_mi_block, tasks, ncpu=ncpu)
+    cols = {name: np.zeros(n1) for name in names2}
+    for (j, c, lo, hi), mi in zip(tasks, parts):
+      cols[names2[j]][lo:hi] = mi
     df = pd.DataFrame(cols, index=self.get_var_names(omic1))
     self.uns[key] = df
     return df

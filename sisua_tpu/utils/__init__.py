@@ -1,6 +1,7 @@
 from .io_utils import (load_data_from_csv, save_data, save_data_to_R,
                        save_data_to_csv)
 from .others import (UnitTimer, anything2image, apply_threshold,
+                     mpi_map,
                      dimension_reduction, filtering_experiment_path,
                      profile_trace, steady_window_rates,
                      thresholding_by_sparsity,
@@ -18,7 +19,7 @@ __all__ = [
     "filtering_experiment_path", "dimension_reduction",
     "thresholding_by_sparsity", "thresholding_by_sparsity_matching",
     "apply_threshold", "anything2image", "UnitTimer", "profile_trace",
-    "steady_window_rates",
+    "steady_window_rates", "mpi_map",
     "plot_series_statistics", "plot_monitoring_epoch",
     "plot_countsum_series", "plot_countsum_comparison",
     "Visualizer", "fast_scatter", "plot_evaluate_classifier",

@@ -24,7 +24,49 @@ __all__ = [
     "filtering_experiment_path", "dimension_reduction",
     "thresholding_by_sparsity", "thresholding_by_sparsity_matching",
     "apply_threshold", "anything2image", "UnitTimer", "profile_trace",
+    "mpi_map",
 ]
+
+
+def mpi_map(fn, jobs: Sequence, ncpu: int = 1, chunksize: int = 1) -> List:
+  """Order-preserving process-pool map — the capability of the reference's
+  ``odin.utils.MPI`` (a multiprocessing map despite the name, used to fan
+  the analysis matrices over cores at
+  ``/root/reference/sisua/data/_single_cell_analysis.py:1189-1237``).
+
+  ``ncpu<=1`` (or a single job) runs inline — identical results, zero
+  process overhead, and the path tests exercise deterministically. Workers
+  are forked (copy-on-write shares the big read-only arrays on Linux);
+  BLAS/OpenMP threads are pinned to 1 inside workers to avoid
+  ncpu×nthreads oversubscription."""
+  jobs = list(jobs)
+  if ncpu is None or ncpu <= 1 or len(jobs) <= 1:
+    return [fn(j) for j in jobs]
+  import multiprocessing as mp
+  global _MPI_FN
+  ctx = mp.get_context("fork")
+  # forked children inherit _MPI_FN (and any arrays fn closes over) by
+  # copy-on-write — so fn may be a closure/lambda over big read-only data
+  # without pickling either
+  _MPI_FN = fn
+  try:
+    with ctx.Pool(min(int(ncpu), len(jobs)),
+                  initializer=_mpi_worker_init) as pool:
+      return pool.map(_mpi_call, jobs, chunksize=max(1, int(chunksize)))
+  finally:
+    _MPI_FN = None
+
+
+_MPI_FN = None
+
+
+def _mpi_call(job):
+  return _MPI_FN(job)
+
+
+def _mpi_worker_init():
+  for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[var] = "1"
 
 
 def filtering_experiment_path(path: str,
