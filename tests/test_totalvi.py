@@ -163,3 +163,27 @@ def test_totalvi_mask_protein_fit(splits, tmp_path):
   m.save_weights(str(tmp_path / "tvis"))
   m2 = load_model(str(tmp_path / "tvis"))
   assert m2.mask_protein and m2.mask_outputs
+
+
+def test_totalvi_low_budget_warns_without_renorm(splits):
+  """VERDICT r3 #7: mask_protein at labels_percent<0.1 without mask_renorm
+  is the measured-collapse configuration (RESULTS.md 'Low-label protocol')
+  — fit must warn. With mask_renorm=True (or a ≥10% budget) it must not."""
+  train, _ = splits
+  n_prot = train.get_dim("proteomic")
+  outs = lambda: [RVmeta(train.n_vars, "nbd", name="rna"),  # noqa: E731
+                  RVmeta(n_prot, "nbd", name="adt")]
+  enc = {"units": [16]}
+  m = TotalVI(outs(), encoder=enc, mask_protein=True)
+  with pytest.warns(UserWarning, match="collapse"):
+    m.fit(train, epochs=1, batch_size=64, labels_percent=0.02,
+          valid_freq=0, patience=0)
+  import warnings as _w
+  m2 = TotalVI(outs(), encoder=enc, mask_protein=True, mask_renorm=True)
+  m3 = TotalVI(outs(), encoder=enc, mask_protein=True)
+  with _w.catch_warnings():
+    _w.simplefilter("error", UserWarning)
+    m2.fit(train, epochs=1, batch_size=64, labels_percent=0.02,
+           valid_freq=0, patience=0)
+    m3.fit(train, epochs=1, batch_size=64, labels_percent=0.3,
+           valid_freq=0, patience=0)
