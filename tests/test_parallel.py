@@ -310,6 +310,92 @@ def test_mesh_state_cache_tracks_state_identity(mesh, splits, small_nets):
   assert l1 != l2            # and are not the stale first placement
 
 
+@pytest.mark.slow
+def test_sisua_masked_multitask_on_mesh_matches_single_device(splits,
+                                                              small_nets):
+  """SISUA's semi-supervised masked multitask loss under dp×tp: the
+  per-example Bernoulli(labels_percent) mask (reference
+  ``_single_cell_base.py:577-593``) is the one batch entry with per-cell
+  scalar sharding semantics. The mesh run must reproduce the single-device
+  loss trajectory — a mask replicated or resampled per shard changes the
+  objective and fails this."""
+  train, _ = splits
+  P = train.get_dim("proteomic")
+
+  def run(mesh):
+    m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+               RVmeta(P, "nb", name="adt")], alpha=10.0, seed=7,
+              **small_nets)
+    m.fit(train, epochs=3, batch_size=64, labels_percent=0.5,
+          device_cache=True, mesh=mesh, valid_freq=0, patience=0)
+    return m.history["loss"]
+
+  l_single = run(None)
+  l_mesh = run(create_mesh(n_data=4, n_model=2))
+  assert np.isfinite(l_mesh).all() and l_mesh[-1] < l_mesh[0]
+  np.testing.assert_allclose(l_mesh, l_single, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_totalvi_mask_protein_on_mesh_matches_single_device(splits):
+  """TotalVI's ``mask_protein`` path (masked ADT likelihood + zeroed encoder
+  slice for unlabeled cells) must survive dp×tp sharding: same loss
+  trajectory as the single-device run under a 0.5 label budget."""
+  from sisua_tpu.models import TotalVI
+  train, _ = splits
+  P = train.get_dim("proteomic")
+
+  def run(mesh):
+    m = TotalVI([RVmeta(train.n_vars, "nbd", name="rna"),
+                 RVmeta(P, "nbd", name="adt")], seed=7, mask_protein=True)
+    m.fit(train, epochs=3, batch_size=64, labels_percent=0.5,
+          device_cache=True, mesh=mesh, valid_freq=0, patience=0)
+    return m.history["loss"]
+
+  l_single = run(None)
+  l_mesh = run(create_mesh(n_data=4, n_model=2))
+  assert np.isfinite(l_mesh).all()
+  np.testing.assert_allclose(l_mesh, l_single, rtol=2e-2)
+
+
+def test_sisua_mask_gates_loss_on_mesh(mesh, splits, small_nets):
+  """Fast-tier guard: on the mesh, the mask entry must actually gate the
+  label-head likelihood — an all-ones mask and a mixed 0/1 mask on the same
+  SISUA batch give different losses (a dropped/replicated mask makes them
+  equal)."""
+  import jax.numpy as jnp
+  from sisua_tpu.parallel import shard_params
+  train, _ = splits
+  P = train.get_dim("proteomic")
+  m = SISUA([RVmeta(train.n_vars, "zinb", name="rna"),
+             RVmeta(P, "nb", name="adt")], alpha=10.0, seed=7, **small_nets)
+  m._ensure_initialized()
+  state = m.state
+  params = shard_params(state.params, mesh)
+  bs = 64
+  batch = {
+      "inputs": [train.numpy()[:bs].astype(np.float32),
+                 train.numpy("proteomic")[:bs].astype(np.float32)],
+      "mask": (np.arange(bs) % 2).astype(np.float32),
+  }
+  batch = shard_batch(batch, mesh)
+  key = jax.random.PRNGKey(5)
+  loss_fn = jax.jit(lambda p, b: m._loss(
+      p, state.batch_stats, b, key, 1.0, training=True,
+      aux_params=state.aux_params)[0])
+  ones = dict(batch, mask=shard_batch(
+      {"mask": np.ones((bs,), np.float32)}, mesh)["mask"])
+  with mesh:
+    l_mixed = float(loss_fn(params, batch))
+    l_ones = float(loss_fn(params, ones))
+  assert np.isfinite(l_mixed) and np.isfinite(l_ones)
+  assert abs(l_mixed - l_ones) > 1e-6, (
+      f"mask did not gate the multitask loss on the mesh: {l_mixed}")
+  # the mask shard is the dp-split slice of the cell axis
+  mk = batch["mask"]
+  assert mk.sharding.shard_shape(mk.shape)[0] == bs // 8, mk.sharding
+
+
 def test_epoch_layout_identity_on_mesh(mesh):
   """permslice must see the SAME batches as gather on a >1-device data
   mesh too, and its epoch body must compile with the mesh sharding
