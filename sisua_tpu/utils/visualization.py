@@ -42,7 +42,15 @@ class Visualizer:
     return self._figures
 
   def add_figure(self, name: str, fig: plt.Figure) -> "Visualizer":
+    old = self.figures.get(name)
+    if old is not None and old is not fig:
+      plt.close(old)  # replacing a name must not leak the old canvas
     self.figures[name] = fig
+    # detach from pyplot's global registry: 30-figure grids (plot_all
+    # full=True) otherwise trip the >20-open-figures RuntimeWarning and pin
+    # every canvas until save. The Figure object stays alive in the sink
+    # and fig.savefig still renders through its Agg canvas.
+    plt.close(fig)
     return self
 
   def save_figures(self,
