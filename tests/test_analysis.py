@@ -47,6 +47,7 @@ def test_posterior_analysis_dataset(posterior):
   assert set(posterior.criticizers) == {"proteomic", "celltype"}
 
 
+@pytest.mark.smoke
 def test_posterior_llk_four_way(posterior):
   llk = posterior.cal_llk()
   assert len(llk) == 4

@@ -13,6 +13,7 @@ def test_registry_size():
   assert len(get_dataset_meta()) >= 70
 
 
+@pytest.mark.smoke
 def test_split_copy_equality(sco):
   train, test = sco.split(0.8, seed=7)
   assert train.n_obs + test.n_obs == sco.n_obs

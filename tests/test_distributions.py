@@ -16,6 +16,7 @@ import sisua_tpu.dist as D
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.smoke
 def test_nb_logpmf_matches_scipy():
   x = np.random.default_rng(0).poisson(3, (16, 6)).astype(np.float32)
   nb = D.NegativeBinomial(total_count=jnp.float32(5.0),
@@ -37,6 +38,7 @@ def test_nbd_logpmf_matches_scipy():
   assert np.isclose(float(nbd.variance()), 4.0 + 16.0 / 2.0)
 
 
+@pytest.mark.smoke
 def test_zero_inflated_logpmf():
   x = np.array([[0.0, 1.0, 5.0]], np.float32)
   nbd = D.NegativeBinomialDisp(loc=jnp.float32(4.0), disp=jnp.float32(2.0))

@@ -15,6 +15,8 @@ import pytest
 from scipy import io as sp_io
 from scipy import sparse
 
+pytestmark = pytest.mark.smoke  # entire file is sub-second parse-path checks
+
 from sisua_tpu.data.utils import (load_from_dataset, md5_checksum,
                                   read_compressed, save_to_dataset)
 

@@ -31,6 +31,7 @@ def test_registry():
     get_model("nope")
 
 
+@pytest.mark.smoke
 def test_vae_fit_predict(splits, small_nets):
   train, test = splits
   vae = VAE(RVmeta(train.n_vars, "zinb", name="rna"),

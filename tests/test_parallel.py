@@ -18,12 +18,14 @@ def mesh():
   return create_mesh()
 
 
+@pytest.mark.smoke
 def test_mesh_shape(mesh):
   assert dict(mesh.shape) == {"data": 8, "model": 1}
   with pytest.raises(AssertionError):
     create_mesh(n_data=3, n_model=2)
 
 
+@pytest.mark.smoke
 def test_batch_sharded_across_devices(mesh, sco):
   feeder = sco.create_dataset(batch_size=128)
   batch = next(iter(feeder))
@@ -134,6 +136,7 @@ def test_device_cached_mesh_rejects_odd_batch(splits, small_nets):
           valid_freq=0, patience=0)
 
 
+@pytest.mark.smoke
 def test_mesh_inference_matches_single_device(mesh, splits, small_nets):
   """Serving-side data parallelism: predict_mean / compute_llk / predict
   with ``mesh=`` must (a) shard the params across all 8 devices and (b)
