@@ -2,8 +2,13 @@
 
 Capability parity with ``/root/reference/sisua/data/data_loader/
 pbmcecc.py:22``: a second PBMC CITE-seq cohort used for cross-dataset
-evaluation, with the same ly/my subsets. Built from the public 10x pbmc4k
-run (a disjoint donor) through the same derivation pipeline as pbmc8k.
+evaluation, with the same ly/my subsets.
+
+Acquisition order mirrors pbmc8k.py: (1) the author-preprocessed 'ly'
+bundle on public unauthenticated S3 (real ADT; the reference publishes only
+the lymphoid subset — pbmcecc.py:17-19 sets my/full URLs to None), then
+(2) an offline rebuild from the public 10x pbmc4k run (a disjoint donor)
+through the same derivation pipeline as pbmc8k.
 """
 
 from __future__ import annotations
@@ -16,8 +21,14 @@ from ..const import OMIC, MARKER_ADT_GENE
 from ..dataset import SingleCellOMIC
 from ..path import DATA_DIR
 from ..utils import load_from_dataset, save_to_dataset, validate_data_dir
-from .pbmc8k import _LYMPHOID_MARKERS, _MYELOID_MARKERS
+from .pbmc8k import (_LYMPHOID_MARKERS, _MYELOID_MARKERS,
+                     _fetch_author_bundle, _sco_from_author_cache)
 from .tenx import read_dataset10x
+
+# reference pbmcecc.py:17 (base64-wrapped there); only 'ly' is published
+_AUTHOR_BUNDLES = {
+    "ly": "https://s3.amazonaws.com/ai-datasets/pbmcecc_ly.npz",
+}
 
 __all__ = ["read_PBMCeec"]
 
@@ -32,6 +43,9 @@ def read_PBMCeec(subset: str = "ly",
       DATA_DIR,
       f"pbmcecc_{subset}{'' if filtered_genes else 'all'}_preprocessed")
   if not validate_data_dir(cache) or override:
+    if _fetch_author_bundle(_AUTHOR_BUNDLES, subset, filtered_genes, cache,
+                            verbose):
+      return _sco_from_author_cache(cache, f"pbmcecc_{subset}")
     base = read_dataset10x("pbmc4k", filtered_genes=filtered_genes,
                            override=override, verbose=verbose)
     X = base.numpy(OMIC.transcriptomic)
@@ -47,6 +61,8 @@ def read_PBMCeec(subset: str = "ly",
                     y_col=np.array(["lymphoid", "myeloid"]),
                     rowname=np.asarray(base.obs_names, str)[keep],
                     print_log=verbose)
+  if os.path.isfile(os.path.join(cache, "cell_types.npz")):
+    return _sco_from_author_cache(cache, f"pbmcecc_{subset}")
   X, X_col, X_row, y, y_col = load_from_dataset(cache)
   sco = SingleCellOMIC(X, cell_id=X_row, gene_id=X_col,
                        omic=OMIC.transcriptomic, name=f"pbmcecc_{subset}")

@@ -40,12 +40,20 @@ def _fake_pbmc_base(n_ly=8, n_my=5, seed=0):
   return sco, n_ly, n_my
 
 
+def _offline(monkeypatch, mod):
+  """Force the author-bundle fetch onto its offline branch (no urllib)."""
+  def _no_net(url, outpath, **kw):
+    raise RuntimeError(f"offline test: refused download of {url}")
+  monkeypatch.setattr(mod, "download_file", _no_net, raising=False)
+
+
 @pytest.mark.parametrize("subset,expected", [("ly", 8), ("my", 5),
                                              ("full", 13)])
 def test_pbmc8k_parse_path(tmp_path, monkeypatch, subset, expected):
   import sisua_tpu.data.loaders.pbmc8k as pb
   base, n_ly, n_my = _fake_pbmc_base()
   monkeypatch.setattr(pb, "DATA_DIR", str(tmp_path))
+  _offline(monkeypatch, pb)
   monkeypatch.setattr(pb, "read_dataset10x",
                       lambda name, **kw: base)
   sco = pb.read_PBMC8k(subset=subset, verbose=False)
@@ -82,6 +90,7 @@ def test_pbmc8k_preplaced_adt_table(tmp_path, monkeypatch):
   save_to_dataset(os.path.join(str(tmp_path), "pbmc8k_adt"), adt,
                   ["CD3", "CD19p", "CD14p"], print_log=False)
   monkeypatch.setattr(pb, "DATA_DIR", str(tmp_path))
+  _offline(monkeypatch, pb)
   monkeypatch.setattr(pb, "read_dataset10x", lambda name, **kw: base)
   sco = pb.read_PBMC8k(subset="full", verbose=False)
   assert sco.get_dim("proteomic") == 3
@@ -89,14 +98,117 @@ def test_pbmc8k_preplaced_adt_table(tmp_path, monkeypatch):
 
 
 def test_pbmcecc_parse_path(tmp_path, monkeypatch):
+  import sisua_tpu.data.loaders.pbmc8k as pb
   import sisua_tpu.data.loaders.pbmcecc as pe
   base, n_ly, n_my = _fake_pbmc_base(seed=3)
   monkeypatch.setattr(pe, "DATA_DIR", str(tmp_path))
+  _offline(monkeypatch, pb)  # _fetch_author_bundle lives in pbmc8k
   monkeypatch.setattr(pe, "read_dataset10x", lambda name, **kw: base)
   sco = pe.read_PBMCeec(subset="ly", verbose=False)
   assert sco.n_obs == n_ly
   assert "proteomic" in sco.omics  # marker surrogate
   assert sco.name.startswith("pbmcecc_ly")
+
+
+# ------------------------------------------------- author bundles (real ADT)
+
+def _author_npz(path, n, seed, full=False):
+  """Materialize a fake author-preprocessed bundle in the reference's npz
+  schema (pbmc8k.py:60-100): ly/my carry X_filt/X_full [+_col], full
+  carries X/X_col; both carry X_row + the real protein table y/y_col."""
+  rng = np.random.default_rng(seed)
+  genes = np.array(["CD3D", "LYZ", "ACTB", "DEADGENE", "GAPDH"])
+  X = rng.poisson(2, (n, len(genes))).astype(np.float32) + 1.0
+  X[:, 3] = 0.0  # all-zero column must be dropped
+  y = rng.poisson(20, (n, 3)).astype(np.float32)
+  y_col = np.array(["CD3", "CD4", "CD8"])
+  rows = np.array([f"CELL{seed}_{i}" for i in range(n)])
+  if full:
+    np.savez(path, X=X, X_col=genes, X_row=rows, y=y, y_col=y_col)
+  else:
+    np.savez(path, X_filt=X[:, :3], X_filt_col=genes[:3], X_full=X,
+             X_full_col=genes, X_row=rows, y=y, y_col=y_col)
+  return X, y, y_col, rows
+
+
+def _serve_downloads(monkeypatch, mod, files):
+  """download_file stand-in serving pre-materialized files by basename."""
+  def fake(url, outpath, **kw):
+    base = os.path.basename(url)
+    if base not in files:
+      raise RuntimeError(f"no such bundle: {url}")
+    return str(files[base])
+  monkeypatch.setattr(mod, "download_file", fake)
+
+
+def test_pbmc8k_author_bundle_real_adt(tmp_path, monkeypatch):
+  """Networked path: the public S3 npz bundle yields REAL per-cell ADT (no
+  surrogate flag), lymphoid progenitor labels, zero-column drop, and a
+  cache that reloads without re-downloading."""
+  import sisua_tpu.data.loaders.pbmc8k as pb
+  npz = tmp_path / "pbmc8k_ly.npz"
+  X, y, y_col, rows = _author_npz(str(npz), n=9, seed=1)
+  monkeypatch.setattr(pb, "DATA_DIR", str(tmp_path / "data"))
+  monkeypatch.setattr(pb, "DOWNLOAD_DIR", str(tmp_path / "dl"))
+  monkeypatch.setattr(pb, "read_dataset10x", _raise_if_called)
+  _serve_downloads(monkeypatch, pb, {"pbmc8k_ly.npz": npz})
+  sco = pb.read_PBMC8k(subset="ly", verbose=False)
+  assert sco.n_obs == 9
+  # filtered genes minus the all-zero column
+  assert list(sco.var_names) == ["CD3D", "LYZ", "ACTB"]
+  np.testing.assert_allclose(sco.numpy(OMIC.proteomic), y)
+  assert list(sco.get_var_names(OMIC.proteomic)) == list(y_col)
+  assert "proteomic_is_surrogate" not in sco.uns
+  prog = sco.numpy(OMIC.progenitor)
+  names = list(sco.get_var_names(OMIC.progenitor))
+  np.testing.assert_allclose(prog[:, names.index("lymphoid")], 1.0)
+  # cache hit: no download, no 10x rebuild
+  _offline(monkeypatch, pb)
+  sco2 = pb.read_PBMC8k(subset="ly", verbose=False)
+  np.testing.assert_allclose(sco2.numpy(OMIC.proteomic), y)
+
+
+def test_pbmc8k_author_bundle_full_lineage(tmp_path, monkeypatch):
+  """The full bundle derives ly/my membership from the ly bundle's rows
+  (reference pbmc8k.py:77)."""
+  import sisua_tpu.data.loaders.pbmc8k as pb
+  full_npz = tmp_path / "pbmc8k_full.npz"
+  _, y, _, rows = _author_npz(str(full_npz), n=12, seed=2, full=True)
+  ly_npz = tmp_path / "pbmc8k_ly.npz"
+  # the ly bundle's rows are the first 7 cells of the full run
+  rng = np.random.default_rng(3)
+  np.savez(str(ly_npz), X_filt=rng.poisson(1, (7, 2)).astype(np.float32),
+           X_filt_col=np.array(["CD3D", "ACTB"]),
+           X_full=rng.poisson(1, (7, 2)).astype(np.float32),
+           X_full_col=np.array(["CD3D", "ACTB"]),
+           X_row=rows[:7], y=y[:7], y_col=np.array(["CD3", "CD4", "CD8"]))
+  monkeypatch.setattr(pb, "DATA_DIR", str(tmp_path / "data"))
+  monkeypatch.setattr(pb, "DOWNLOAD_DIR", str(tmp_path / "dl"))
+  monkeypatch.setattr(pb, "read_dataset10x", _raise_if_called)
+  _serve_downloads(monkeypatch, pb, {"pbmc8k_full.npz": full_npz,
+                                     "pbmc8k_ly.npz": ly_npz})
+  sco = pb.read_PBMC8k(subset="full", verbose=False)
+  assert sco.n_obs == 12
+  prog = sco.numpy(OMIC.progenitor)
+  names = list(sco.get_var_names(OMIC.progenitor))
+  np.testing.assert_allclose(prog[:7, names.index("lymphoid")], 1.0)
+  np.testing.assert_allclose(prog[7:, names.index("myeloid")], 1.0)
+  np.testing.assert_allclose(sco.numpy(OMIC.proteomic), y)
+
+
+def test_pbmcecc_author_bundle_real_adt(tmp_path, monkeypatch):
+  import sisua_tpu.data.loaders.pbmc8k as pb
+  import sisua_tpu.data.loaders.pbmcecc as pe
+  npz = tmp_path / "pbmcecc_ly.npz"
+  _, y, _, _ = _author_npz(str(npz), n=6, seed=4)
+  monkeypatch.setattr(pe, "DATA_DIR", str(tmp_path / "data"))
+  monkeypatch.setattr(pb, "DOWNLOAD_DIR", str(tmp_path / "dl"))
+  monkeypatch.setattr(pe, "read_dataset10x", _raise_if_called)
+  _serve_downloads(monkeypatch, pb, {"pbmcecc_ly.npz": npz})
+  sco = pe.read_PBMCeec(subset="ly", verbose=False)
+  assert sco.n_obs == 6
+  np.testing.assert_allclose(sco.numpy(OMIC.proteomic), y)
+  assert "proteomic_is_surrogate" not in sco.uns
 
 
 # ---------------------------------------------------------------- leukemia
