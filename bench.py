@@ -20,7 +20,17 @@ adds transient stalls uncorrelated with the workload, so the spread
 (min..max) is reported alongside; the median is the headline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"n_windows", "spread"}.
+"n_windows", "spread", "sentinel_rate", "sentinel_ratio"}.
+
+Sentinel protocol (VERDICT r3 #9): the tunnel to the remote-attached chip
+swings repeated identical runs by ±30% across sessions, so raw cells/sec
+deltas between rounds are noise below that. Each bench run therefore also
+measures a FROZEN pure-JAX probe workload (``_sentinel_rate`` — pinned
+shapes/dtype/steps, independent of all sisua_tpu code, never to be edited)
+immediately before and after the main measurement in the same session.
+``sentinel_ratio`` = headline / median(sentinel windows) is the
+variance-robust statistic: round-over-round framework changes move the
+ratio; tunnel/hardware drift moves numerator and denominator together.
 """
 
 from __future__ import annotations
@@ -42,6 +52,55 @@ EPOCHS = int(os.environ.get("BENCH_EPOCHS", 48))
 METRICS_INTERVAL = int(os.environ.get("BENCH_METRICS_INTERVAL", 8))
 
 
+def _sentinel_rate():
+  """FROZEN probe: fixed-shape MLP fwd+bwd chain on-device, cells/sec.
+
+  DO NOT EDIT — cross-round comparability depends on this workload staying
+  bit-identical. Pure jax, no sisua_tpu imports: 2-layer 512-wide f32 MLP,
+  batch 128 × 500 features, 400 fused steps per window via lax.scan,
+  fetch-synced (block_until_ready over the tunnel acks dispatch without
+  awaiting execution — see RESULTS.md). Returns the median window rate in
+  probe-cells/sec over 3 steady windows (first window dropped: compile).
+  """
+  import time
+
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from jax import lax, random
+
+  B, F, H, STEPS = 128, 500, 512, 400
+  k0, k1, k2, k3 = random.split(random.PRNGKey(5218), 4)
+  params = (random.normal(k0, (F, H), jnp.float32) * 0.05,
+            random.normal(k1, (H, H), jnp.float32) * 0.05,
+            random.normal(k2, (H, F), jnp.float32) * 0.05)
+  x = random.normal(k3, (B, F), jnp.float32)
+
+  def loss_fn(p, xb):
+    w0, w1, w2 = p
+    h = jnp.tanh(xb @ w0)
+    h = jnp.tanh(h @ w1)
+    return jnp.mean((h @ w2 - xb) ** 2)
+
+  @jax.jit
+  def window(p):
+    def step(p, _):
+      l, g = jax.value_and_grad(loss_fn)(p, x)
+      return tuple(w - 1e-3 * gw for w, gw in zip(p, g)), l
+    p, losses = lax.scan(step, p, None, length=STEPS)
+    return p, losses[-1]
+
+  rates = []
+  for i in range(4):
+    t0 = time.perf_counter()
+    params, last = window(params)
+    float(last)  # fetch = the only reliable sync over the tunnel
+    dt = time.perf_counter() - t0
+    if i > 0:  # window 0 contains compilation
+      rates.append(B * STEPS / dt)
+  return float(np.median(rates))
+
+
 def main():
   import numpy as np
   from sisua_tpu.data import generate_synthetic
@@ -49,6 +108,8 @@ def main():
 
   sco = generate_synthetic(n_cells=N_CELLS, n_genes=N_GENES,
                            n_proteins=N_PROTEINS, seed=5218)
+
+  sentinel_pre = _sentinel_rate()
 
   model = SCVI(RVmeta(N_GENES, "zinbd", name="rna"),
                latents=RVmeta(16, "diag", name="latents"))
@@ -70,6 +131,8 @@ def main():
   steady = steady_window_rates(model.history["cells_per_sec"],
                                EPOCHS, METRICS_INTERVAL)
   cells_per_sec = float(np.median(steady))
+  sentinel_post = _sentinel_rate()
+  sentinel = float(np.median([sentinel_pre, sentinel_post]))
   result = {
       "metric": "scvi_train_cells_per_sec_per_chip",
       "value": round(cells_per_sec, 1),
@@ -78,6 +141,10 @@ def main():
       "n_windows": len(steady),
       "spread": [round(float(np.min(steady)), 1),
                  round(float(np.max(steady)), 1)],
+      # frozen-probe normalization: compare THIS across rounds, not value
+      "sentinel_rate": round(sentinel, 1),
+      "sentinel_pre_post": [round(sentinel_pre, 1), round(sentinel_post, 1)],
+      "sentinel_ratio": round(cells_per_sec / sentinel, 4),
   }
   print(json.dumps(result))
   return result
