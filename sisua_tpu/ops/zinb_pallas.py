@@ -66,6 +66,26 @@ def _lgamma_lanczos(x):
   return _HALF_LOG_2PI + (x - 0.5) * jnp.log(t) - t + jnp.log(a)
 
 
+def _lgamma_stirling(x):
+  """lgamma for x > 0 via shift-8 + Stirling (vector ops only; ~1e-6 rel).
+
+  lgamma(x) = lgamma(x+8) − log Π_{k<8}(x+k); Stirling at y = x+8 ≥ 8.
+  The product is normalized by y⁻¹ per factor (Π(x+k)/y ∈ (~1e-12, 1])
+  so f32 never overflows even at x ~ 1e6, folding the y⁸ back in as
+  (y−8.5)·log y. Cost: 1 divide + 2 logs + ~25 mul/add — the Lanczos
+  evaluation needs 8 divides + 2 logs, and VPU divides are multi-op
+  (reciprocal + Newton), which the kernel probe measures as the
+  difference (benchmarks/kernel_probe.py)."""
+  y = x + 8.0
+  inv = 1.0 / y
+  p = ((x * inv) * ((x + 1.0) * inv) * ((x + 2.0) * inv)
+       * ((x + 3.0) * inv) * ((x + 4.0) * inv) * ((x + 5.0) * inv)
+       * ((x + 6.0) * inv) * ((x + 7.0) * inv))
+  inv2 = inv * inv
+  series = inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 * (1.0 / 1260.0)))
+  return ((y - 8.5) * jnp.log(y) - y + _HALF_LOG_2PI - jnp.log(p) + series)
+
+
 def _lgamma_ref(x):
   return jax.lax.lgamma(x)
 
@@ -110,11 +130,26 @@ def pallas_available() -> bool:
 _LGAMMA = _lgamma_ref
 
 
-# Column tile: bounds the VMEM working set (the Lanczos evaluation holds
+def _kernel_lgamma():
+  """The lgamma evaluated INSIDE Pallas kernels (read at trace time).
+  Both are f32-accurate to ~2e-6 rel (test_ops pins each); the choice is
+  a measured perf call — see benchmarks/kernel_probe.py."""
+  name = os.environ.get("SISUA_TPU_LGAMMA", "stirling")
+  return _lgamma_lanczos if name == "lanczos" else _lgamma_stirling
+
+
+# Tile sizes: bound the VMEM working set (the lgamma evaluation holds
 # ~a dozen (block_b × block_d) f32 temporaries; 8×4096×4B ≈ 128 KB each
 # keeps the whole block far under the 16 MB scoped-VMEM limit even for
-# 33k-gene full-transcriptome heads).
-_BLOCK_D = 4096
+# 33k-gene full-transcriptome heads). Env-overridable for the kernel
+# probe's tile sweep (benchmarks/kernel_probe.py).
+_BLOCK_D = int(os.environ.get("SISUA_TPU_BLOCK_D", 4096))
+
+
+def _block_b(b: int) -> int:
+  """Row-tile height: the env override when it divides the batch, else 8."""
+  bb = int(os.environ.get("SISUA_TPU_BLOCK_B", 8))
+  return bb if bb > 0 and b % bb == 0 else 8
 
 
 def _make_kernel(d: int, block_b: int, constrained: bool):
@@ -128,9 +163,9 @@ def _make_kernel(d: int, block_b: int, constrained: bool):
   def kernel(x_ref, count_ref, logits_ref, gate_ref, out_ref):
     j = pl.program_id(1)
     x = x_ref[:]
-    # Mosaic has no lgamma primitive — use the Lanczos evaluation
+    # Mosaic has no lgamma primitive — use the vector-ops evaluation
     lp = _zinb_elem(x, count_ref[:], logits_ref[:], gate_ref[:],
-                    constrained, lgamma=_lgamma_lanczos)
+                    constrained, lgamma=_kernel_lgamma())
     # mask padded gene columns (global column index vs true width d)
     col = j * block_d + jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
     lp = jnp.where(col < d, lp, 0.0)
@@ -305,10 +340,9 @@ def _zinb_rowsum(x, count_raw, logits, gate, constrained):
   if not pallas_available() or not full:
     return _rowsum_ref(x, count_raw, logits, gate, constrained)
   b, d = x.shape
-  block_b = 8
-  if b % block_b != 0:
+  if b % 8 != 0:
     return _rowsum_ref(x, count_raw, logits, gate, constrained)
-  call = _make_kernel(d, block_b, constrained)
+  call = _make_kernel(d, _block_b(b), constrained)
   return call(x, count_raw, logits, gate)
 
 
@@ -339,7 +373,7 @@ def _zinb_bwd(constrained, res, g):
           and jnp.shape(logits) == x.shape
           and jnp.shape(gate) == x.shape)
   if full and pallas_available() and x.shape[0] % 8 == 0:
-    call = _make_bwd_kernel(x.shape[1], 8, constrained)
+    call = _make_bwd_kernel(x.shape[1], _block_b(x.shape[0]), constrained)
     d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
     return None, d_cr, d_l, d_g
   d_r, d_l, d_g = _zinb_grads_elem(x, count_raw, logits, gate, constrained)

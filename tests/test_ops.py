@@ -6,18 +6,23 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sisua_tpu.ops.zinb_pallas import (_lgamma_lanczos, _rowsum_ref,
-                                       _zinb_elem, nb_log_prob_rowsum,
+from sisua_tpu.ops.zinb_pallas import (_lgamma_lanczos, _lgamma_stirling,
+                                       _rowsum_ref, _zinb_elem,
+                                       nb_log_prob_rowsum,
                                        zinb_log_prob_rowsum)
 
 
-def test_lanczos_lgamma_accuracy():
+@pytest.mark.parametrize("lgamma", [_lgamma_lanczos, _lgamma_stirling],
+                         ids=["lanczos", "stirling"])
+def test_kernel_lgamma_accuracy(lgamma):
   # include tiny arguments: the old series computed z = x−1 then z+i, and
-  # (1e-8 − 1) + 1 rounds to exactly 0 in f32 → division by zero → +inf
+  # (1e-8 − 1) + 1 rounds to exactly 0 in f32 → division by zero → +inf.
+  # The Stirling variant's normalized shift product must also survive both
+  # extremes (overflow at large x, underflow of Π(x+k)/y at tiny x).
   x = jnp.asarray(np.concatenate([
       [1e-8, 1e-6, 1e-4, 1e-2, 0.1, 0.5],
       np.linspace(0.01, 10, 300), np.linspace(10, 1e6, 300)]), jnp.float32)
-  got = np.asarray(_lgamma_lanczos(x))
+  got = np.asarray(lgamma(x))
   assert np.isfinite(got).all()
   rel = np.abs(got - np.asarray(jax.lax.lgamma(x)))
   rel /= np.maximum(np.abs(np.asarray(jax.lax.lgamma(x))), 1.0)
