@@ -221,15 +221,30 @@ class SCVIModule(VAEModule):
         self.px_scale(d).astype(jnp.float32), axis=-1)
     px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
     px_rate = jnp.exp(l) * px_scale
+    zi = self.outputs[0].is_zero_inflated and self.inflation == "full"
     if self.dispersion == "full":
       px_r = jnp.exp(self.px_r(d).astype(jnp.float32))
+      params = [px_rate, px_r]
+      if zi:
+        params.append(self.px_dropout(d).astype(jnp.float32))
+      flat = jnp.concatenate(params, axis=-1)
+      pX = self.output_heads[0](flat)
     else:
-      px_r = jnp.broadcast_to(jnp.exp(self.px_r_single), px_rate.shape)
-    params = [px_rate, px_r]
-    if self.outputs[0].is_zero_inflated and self.inflation == "full":
-      params.append(self.px_dropout(d).astype(jnp.float32))
-    flat = jnp.concatenate(params, axis=-1)
-    pX = self.output_heads[0](flat)
+      # shared dispersion stays a per-gene (1, D) row — never broadcast to
+      # (B, D): the fused likelihood kernel broadcasts it in VMEM and
+      # reduces its gradient in-kernel (2.2× faster fwd+bwd at 1024×33k,
+      # benchmarks/results_kernel_probe.md), where a materialized
+      # broadcast costs a full HBM write+read plus a (B, D) gradient
+      # field. Built directly (the head's flat-concat protocol needs
+      # same-shape params); _positive is identity here (constrained).
+      px_r = jnp.exp(self.px_r_single)[None].astype(jnp.float32)
+      nb = D.NegativeBinomialDisp(loc=px_rate, disp=px_r)
+      if zi:
+        gate = self.px_dropout(d).astype(jnp.float32)
+        pX = D.Independent(D.ZeroInflated(count_distribution=nb,
+                                          gate_logits=gate), 1)
+      else:
+        pX = D.Independent(nb, 1)
     pY = self._label_heads(d, z, training=training)
     return (pX,) + pY
 

@@ -95,16 +95,18 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
     if kind is not None:
       from ..ops import zinb_pallas as zp
       if zp.pallas_available():
+        # native shapes pass straight through: per-gene parameters (SCVI's
+        # (D,) dispersion) are broadcast inside the kernel's VMEM tiles and
+        # their gradients reduced in-kernel — never materialized as (B, D)
+        # HBM arrays (the old broadcast_to here cost a full write+read per
+        # operand plus a (B, D) gradient write the XLA reducer re-read)
         if kind == "logits":
-          r = jnp.broadcast_to(count.total_count, x.shape)
-          logits = jnp.broadcast_to(count.logits, x.shape)
+          r, logits = count.total_count, count.logits
         else:
-          r = jnp.broadcast_to(count.disp, x.shape)
-          logits = zp._disp_to_logits(jnp.broadcast_to(count.loc, x.shape),
-                                      r)
+          r = count.disp
+          logits = zp._disp_to_logits(count.loc, r)
         if zi:
-          gate = jnp.broadcast_to(base.gate_logits, x.shape)
-          return zp.zinb_log_prob_rowsum(x, r, logits, gate,
+          return zp.zinb_log_prob_rowsum(x, r, logits, base.gate_logits,
                                          constrained=True)
         return zp.nb_log_prob_rowsum(x, r, logits, constrained=True)
   return dist.log_prob(x)

@@ -139,11 +139,11 @@ def _kernel_lgamma():
 
 
 # Tile sizes: bound the VMEM working set (the lgamma evaluation holds
-# ~a dozen (block_b × block_d) f32 temporaries; 8×4096×4B ≈ 128 KB each
-# keeps the whole block far under the 16 MB scoped-VMEM limit even for
-# 33k-gene full-transcriptome heads). Env-overridable for the kernel
-# probe's tile sweep (benchmarks/kernel_probe.py).
-_BLOCK_D = int(os.environ.get("SISUA_TPU_BLOCK_D", 4096))
+# ~a dozen (block_b × block_d) f32 temporaries). 2048 is the measured
+# optimum of the 1024×33k fwd+bwd tile sweep (benchmarks/
+# results_kernel_probe.md: 6.0 ms at 8×2048 vs 6.4 ms at the old 8×4096;
+# ≥64×4096 overflows VMEM). Env-overridable for the probe's sweep.
+_BLOCK_D = int(os.environ.get("SISUA_TPU_BLOCK_D", 2048))
 
 
 def _block_b(b: int) -> int:
@@ -152,7 +152,13 @@ def _block_b(b: int) -> int:
   return bb if bb > 0 and b % bb == 0 else 8
 
 
-def _make_kernel(d: int, block_b: int, constrained: bool):
+def _make_kernel(d: int, block_b: int, constrained: bool,
+                 pg=(False, False, False)):
+  """Fused forward. ``pg`` flags each parameter (count, logits, gate) as
+  per-gene — a (1, D) row the kernel broadcasts IN VMEM instead of the
+  caller materializing a (B, D) copy in HBM (saves one full-array
+  write+read per broadcast operand; SCVI's per-gene dispersion is the
+  production case, reference ``scvi/models/vae.py`` px_r)."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
@@ -178,6 +184,13 @@ def _make_kernel(d: int, block_b: int, constrained: bool):
     def _acc():
       out_ref[:] += partial
 
+  def elem_spec(per_gene):
+    if per_gene:
+      return pl.BlockSpec((1, block_d), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    return pl.BlockSpec((block_b, block_d), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+
   def call(x, count_raw, logits, gate):
     b = x.shape[0]
     pad_cols = d_pad - d
@@ -188,8 +201,7 @@ def _make_kernel(d: int, block_b: int, constrained: bool):
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((block_b, block_d), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM)] * 4,
+        in_specs=[elem_spec(False)] + [elem_spec(p) for p in pg],
         out_specs=pl.BlockSpec((block_b, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
     )(pad(x), pad(count_raw), pad(logits), pad(gate))
@@ -282,67 +294,111 @@ def _zinb_grads_elem(x, count_raw, logits, gate, constrained: bool):
           jnp.where(iszero, dzero_dg, dpos_dg))
 
 
-def _make_bwd_kernel(d: int, block_b: int, constrained: bool):
+def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
+                     pg=(False, False, False)):
   """Fused backward: the three elementwise gradient fields in one pass
   (the XLA digamma pair over b×d elements was ~40% of the wide-gene
-  step; in-kernel it rides the same tiling as the forward)."""
+  step; in-kernel it rides the same tiling as the forward).
+
+  The kernel is HBM-write-bound (benchmarks/results_kernel_probe.md:
+  ~28 B/element ≈ the measured elementwise floor), so per-gene (``pg``)
+  parameters get their gradient REDUCED over rows inside the kernel —
+  a (1, D) output instead of a (B, D) field XLA would write out and then
+  re-read just to sum it. With any per-gene operand the grid is
+  (columns, rows): rows iterate innermost, so each (1, block_d)
+  accumulator's revisits are consecutive and it stays resident in VMEM
+  for its entire reduction (the Mosaic-supported pattern — the forward's
+  row-sum accumulates over inner columns the same way)."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
   block_d = min(_BLOCK_D, ((d + 127) // 128) * 128)
   n_col = -(-d // block_d)
   d_pad = n_col * block_d
+  any_pg = any(pg)
 
   def kernel(x_ref, count_ref, logits_ref, gate_ref, g_ref,
              dcr_ref, dl_ref, dg_ref):
     d_cr, d_l, d_g = _zinb_grads_elem(
         x_ref[:], count_ref[:], logits_ref[:], gate_ref[:], constrained)
     g = g_ref[:]  # (block_b, 1) per-row cotangent
-    dcr_ref[:] = g * d_cr
-    dl_ref[:] = g * d_l
-    dg_ref[:] = g * d_g
+    i = pl.program_id(1) if any_pg else pl.program_id(0)
+    for per_gene, ref, field in ((pg[0], dcr_ref, d_cr),
+                                 (pg[1], dl_ref, d_l),
+                                 (pg[2], dg_ref, d_g)):
+      if per_gene:
+        partial = jnp.sum(g * field, axis=0, keepdims=True)
+        @pl.when(i == 0)
+        def _init(ref=ref, partial=partial):
+          ref[:] = partial
+        @pl.when(i != 0)
+        def _acc(ref=ref, partial=partial):
+          ref[:] += partial
+      else:
+        ref[:] = g * field
 
   def call(x, count_raw, logits, gate, g):
     b = x.shape[0]
     pad_cols = d_pad - d
     def pad(a):
       return jnp.pad(a, ((0, 0), (0, pad_cols))) if pad_cols else a
-    grid = (max(1, b // block_b), n_col)
-    elem_spec = pl.BlockSpec((block_b, block_d), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((block_b, 1), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((b, d_pad), jnp.float32)
-    d_cr, d_l, d_g = pl.pallas_call(
+    n_row = max(1, b // block_b)
+    if any_pg:
+      grid = (n_col, n_row)   # rows innermost: per-gene accumulation dim
+      ij = lambda fn: (lambda j, i: fn(i, j))
+    else:
+      grid = (n_row, n_col)
+      ij = lambda fn: fn
+
+    def spec(shape, fn):
+      return pl.BlockSpec(shape, ij(fn), memory_space=pltpu.VMEM)
+
+    full_spec = spec((block_b, block_d), lambda i, j: (i, j))
+    gene_spec = spec((1, block_d), lambda i, j: (0, j))
+    row_spec = spec((block_b, 1), lambda i, j: (i, 0))
+    full_shape = jax.ShapeDtypeStruct((b, d_pad), jnp.float32)
+    gene_shape = jax.ShapeDtypeStruct((1, d_pad), jnp.float32)
+    grads = pl.pallas_call(
         kernel,
-        out_shape=(shape, shape, shape),
+        out_shape=tuple(gene_shape if p else full_shape for p in pg),
         grid=grid,
-        in_specs=[elem_spec] * 4 + [row_spec],
-        out_specs=(elem_spec, elem_spec, elem_spec),
+        in_specs=[full_spec] + [gene_spec if p else full_spec for p in pg]
+                 + [row_spec],
+        out_specs=tuple(gene_spec if p else full_spec for p in pg),
     )(pad(x), pad(count_raw), pad(logits), pad(gate), g[:, None])
     if pad_cols:
-      d_cr, d_l, d_g = d_cr[:, :d], d_l[:, :d], d_g[:, :d]
-    return d_cr, d_l, d_g
+      grads = tuple(a[:, :d] for a in grads)
+    return grads
 
   return call
 
 
+def _pg_flags(x, count_raw, logits, gate):
+  """Per-operand layout flags for the fused kernels, or None if some
+  operand shape is outside (B, D) / per-gene (1, D)."""
+  b, d = x.shape
+  flags = []
+  for p in (count_raw, logits, gate):
+    s = jnp.shape(p)
+    if s == (b, d):
+      flags.append(False)
+    elif s == (1, d):
+      flags.append(True)
+    else:
+      return None
+  return tuple(flags)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _zinb_rowsum(x, count_raw, logits, gate, constrained):
-  # the fused kernel needs FULL-shape parameters (its BlockSpecs tile
-  # (B, D) operands); broadcast shapes like per-gene dispersion (D,) fall
-  # back to the XLA path, which handles broadcasting — mirroring the
-  # backward path's 'full' guard
-  full = (x.ndim == 2
-          and jnp.shape(count_raw) == x.shape
-          and jnp.shape(logits) == x.shape
-          and jnp.shape(gate) == x.shape)
-  if not pallas_available() or not full:
+  # the fused kernel tiles (B, D) operands and broadcasts per-gene (1, D)
+  # rows in VMEM; any other broadcast shape falls back to the XLA path,
+  # which handles general broadcasting — mirroring the backward's guard
+  pg = _pg_flags(x, count_raw, logits, gate) if x.ndim == 2 else None
+  if not pallas_available() or pg is None or x.shape[0] % 8 != 0:
     return _rowsum_ref(x, count_raw, logits, gate, constrained)
   b, d = x.shape
-  if b % 8 != 0:
-    return _rowsum_ref(x, count_raw, logits, gate, constrained)
-  call = _make_kernel(d, _block_b(b), constrained)
+  call = _make_kernel(d, _block_b(b), constrained, pg)
   return call(x, count_raw, logits, gate)
 
 
@@ -366,14 +422,15 @@ def _unbroadcast(grad, shape):
 
 def _zinb_bwd(constrained, res, g):
   """Hand-derived elementwise gradients (see _zinb_grads_elem); fused into
-  a Pallas kernel when the forward also ran fused."""
+  a Pallas kernel when the forward also ran fused. Per-gene (1, D)
+  parameters get their gradient reduced over rows INSIDE the kernel —
+  see _make_bwd_kernel."""
   x, count_raw, logits, gate = res
-  full = (x.ndim == 2 and g.ndim == 1
-          and jnp.shape(count_raw) == x.shape
-          and jnp.shape(logits) == x.shape
-          and jnp.shape(gate) == x.shape)
-  if full and pallas_available() and x.shape[0] % 8 == 0:
-    call = _make_bwd_kernel(x.shape[1], _block_b(x.shape[0]), constrained)
+  pg = (_pg_flags(x, count_raw, logits, gate)
+        if x.ndim == 2 and g.ndim == 1 else None)
+  if pg is not None and pallas_available() and x.shape[0] % 8 == 0:
+    call = _make_bwd_kernel(x.shape[1], _block_b(x.shape[0]), constrained,
+                            pg)
     d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
     return None, d_cr, d_l, d_g
   d_r, d_l, d_g = _zinb_grads_elem(x, count_raw, logits, gate, constrained)
@@ -387,10 +444,26 @@ def _zinb_bwd(constrained, res, g):
 _zinb_rowsum.defvjp(_zinb_fwd, _zinb_bwd)
 
 
+def _norm_param(p, x):
+  """Canonicalize a parameter to (B, D) or per-gene (1, D) next to a 2-D
+  ``x`` so the fused kernels can broadcast it in VMEM; other shapes pass
+  through to the jnp fallback's general broadcasting."""
+  p = jnp.asarray(p)
+  if x.ndim == 2:
+    if p.ndim == 1 and p.shape[0] == x.shape[1]:
+      return p[None]
+    if p.ndim == 0:
+      return jnp.full((1, x.shape[1]), p, p.dtype)
+  return p
+
+
 def zinb_log_prob_rowsum(x, count_raw, logits, gate_logits,
                          constrained: bool = False):
-  """Per-row Σ_genes ZINB log-pmf; fused on TPU, jnp fallback elsewhere."""
-  return _zinb_rowsum(x, count_raw, logits, gate_logits, constrained)
+  """Per-row Σ_genes ZINB log-pmf; fused on TPU, jnp fallback elsewhere.
+  Parameters may be (B, D), per-gene (D,)/(1, D), or scalar — per-gene
+  operands are broadcast inside the kernel, never materialized in HBM."""
+  return _zinb_rowsum(x, _norm_param(count_raw, x), _norm_param(logits, x),
+                      _norm_param(gate_logits, x), constrained)
 
 
 # Effective −∞ for the no-inflation gate. Must be far below any reachable
@@ -404,9 +477,13 @@ _NB_GATE = -1e30
 
 def nb_log_prob_rowsum(x, count_raw, logits, constrained: bool = False):
   """Gate-free NB variant (gate −∞ ⇒ no inflation): reuse the ZINB kernel
-  with an effectively −∞ gate (see _NB_GATE)."""
-  gate = jnp.full_like(logits, _NB_GATE)
-  return _zinb_rowsum(x, count_raw, logits, gate, constrained)
+  with an effectively −∞ gate (see _NB_GATE). The gate is a per-gene
+  (1, D) constant row, so it costs one VMEM row instead of a (B, D) HBM
+  operand in the forward and a (B, D) gradient write in the backward."""
+  gate = (jnp.full((1, x.shape[-1]), _NB_GATE, jnp.float32)
+          if x.ndim == 2 else jnp.full_like(logits, _NB_GATE))
+  return _zinb_rowsum(x, _norm_param(count_raw, x), _norm_param(logits, x),
+                      gate, constrained)
 
 
 def _disp_to_logits(mu, theta, eps: float = 1e-8):

@@ -276,8 +276,9 @@ def test_disp_parameterization_remap_exact():
 
 
 def test_rowsum_broadcast_params_fall_back():
-  """Per-gene dispersion (theta shape (D,)) must route to the XLA fallback,
-  not crash the pallas kernel path (review finding)."""
+  """Per-gene dispersion (theta shape (D,)) must give the same rowsum as a
+  full (B, D) broadcast — on TPU via the in-kernel per-gene path, on CPU
+  via the jnp fallback's broadcasting."""
   from sisua_tpu.ops import zinb_pallas as zp
   rng = np.random.default_rng(0)
   x = jnp.asarray(rng.poisson(3.0, (16, 12)).astype(np.float32))
@@ -287,6 +288,57 @@ def test_rowsum_broadcast_params_fall_back():
   full = zp.nbd_log_prob_rowsum(x, mu, jnp.broadcast_to(theta, x.shape))
   np.testing.assert_allclose(np.asarray(out), np.asarray(full),
                              rtol=1e-5, atol=1e-5)
+
+
+def test_rowsum_per_gene_value_and_grad_layouts():
+  """Per-gene (D,)/(1, D) and scalar parameter layouts must match the full
+  (B, D) broadcast in BOTH value and gradients, with per-gene gradients
+  landing back in the per-gene shape (the in-kernel reduction contract:
+  d(1,D) == row-sum of the full d(B,D))."""
+  from sisua_tpu.ops import zinb_pallas as zp
+  rng = np.random.default_rng(11)
+  B, Dm = 16, 24
+  x = jnp.asarray(rng.poisson(2.0, (B, Dm)).astype(np.float32))
+  x = x.at[:, :6].set(0.0)
+  lg_full = jnp.asarray(rng.normal(0, 1, (B, Dm)).astype(np.float32))
+  gt_full = jnp.asarray(rng.normal(0, 1, (B, Dm)).astype(np.float32))
+  ct = jnp.asarray(rng.normal(0, 1, (B,)).astype(np.float32))
+
+  for constrained in (False, True):
+    cr_row = jnp.asarray(
+        (rng.gamma(2, 1, (Dm,)) if constrained
+         else rng.normal(0, 1, (Dm,))).astype(np.float32))
+
+    def f_row(c):
+      return jnp.vdot(zp.zinb_log_prob_rowsum(x, c, lg_full, gt_full,
+                                              constrained), ct)
+
+    def f_full(c):
+      return jnp.vdot(zp.zinb_log_prob_rowsum(
+          x, jnp.broadcast_to(c, x.shape), lg_full, gt_full, constrained),
+          ct)
+
+    np.testing.assert_allclose(float(f_row(cr_row)), float(f_full(cr_row)),
+                               rtol=1e-5)
+    g_row = jax.grad(f_row)(cr_row)
+    g_full = jax.grad(f_full)(cr_row)
+    assert g_row.shape == (Dm,)
+    np.testing.assert_allclose(np.asarray(g_row), np.asarray(g_full),
+                               rtol=2e-4, atol=1e-5,
+                               err_msg=f"constrained={constrained}")
+
+  # scalar + (1, D) layouts through the NB wrapper (per-gene constant gate)
+  th_scalar = jnp.float32(1.3)
+  a = zp.nb_log_prob_rowsum(x, th_scalar, lg_full, constrained=True)
+  b = zp.nb_log_prob_rowsum(x, jnp.full_like(x, th_scalar), lg_full,
+                            constrained=True)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+  c = zp.zinb_log_prob_rowsum(x, th_scalar, lg_full,
+                              gt_full[:1], constrained=True)
+  d = zp.zinb_log_prob_rowsum(x, jnp.full_like(x, th_scalar), lg_full,
+                              jnp.broadcast_to(gt_full[:1], x.shape),
+                              constrained=True)
+  np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-5)
 
 
 def test_int16_exact_int_min():
