@@ -36,7 +36,8 @@ PEAK_F32 = PEAK_BF16 / 2
 PEAK_HBM = 819e9
 
 
-def build_env(n_genes, batch, trunk, table_rows, latent=16, seed=0):
+def build_env(n_genes, batch, trunk, table_rows, latent=16, seed=0,
+              dispersion="full"):
   """Model + optimizer state + device-resident table, reused across the
   inner-length variants of one regime."""
   import jax
@@ -51,6 +52,7 @@ def build_env(n_genes, batch, trunk, table_rows, latent=16, seed=0):
                encoder=NetConf((trunk,), batchnorm=True),
                encoder_l=NetConf((64,)),
                decoder=NetConf((trunk,), batchnorm=True),
+               dispersion=dispersion,
                seed=seed)
   model._ensure_initialized()
   tx = optax.chain(optax.clip_by_global_norm(100.0), optax.adam(1e-3))
@@ -122,10 +124,11 @@ def cost_per_step(env, batch, table_rows):
   return flops, byts
 
 
-def measure(name, n_genes, batch, trunk, windows, inner, table_rows):
+def measure(name, n_genes, batch, trunk, windows, inner, table_rows,
+            dispersion="full"):
   import jax
   import numpy as np
-  env = build_env(n_genes, batch, trunk, table_rows)
+  env = build_env(n_genes, batch, trunk, table_rows, dispersion=dispersion)
   n_params = env[4]
   flops, byts = cost_per_step(env, batch, table_rows)
   # analytic HBM floor per step: the gathered rows + one adam param pass
@@ -170,7 +173,7 @@ def main(argv=None):
   p = argparse.ArgumentParser("roofline")
   p.add_argument("--windows", type=int, default=5)
   p.add_argument("--out", default="/tmp/roofline.md")
-  p.add_argument("--regimes", default="headline,1m,wide,sweep")
+  p.add_argument("--regimes", default="headline,1m,wide,sweep,widepg")
   args = p.parse_args(argv)
   want = set(args.regimes.split(","))
 
@@ -190,6 +193,16 @@ def main(argv=None):
     for b in (1024, 2048):
       rows.append(measure(f"wide {b}x33k", 33_000, b, 128,
                           args.windows, inner=8, table_rows=8_192))
+  if "widepg" in want:
+    # scvi-tools' default parameterization: ONE dispersion per gene
+    # ('single'). The (D,) row rides the fused kernels' per-gene path
+    # (in-VMEM broadcast + in-kernel gradient reduction) instead of a
+    # materialized (B, D) broadcast — and drops the Dispersion head's
+    # matmul entirely.
+    for b in (512, 1024, 2048):
+      rows.append(measure(f"wide-pg {b}x33k single-disp", 33_000, b, 128,
+                          args.windows, inner=8, table_rows=8_192,
+                          dispersion="single"))
 
   cols = ["regime", "genes", "batch", "params", "flops_per_step",
           "step_ms", "cells_per_sec", "tflops", "pct_peak_f32",
