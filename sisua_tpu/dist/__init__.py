@@ -29,6 +29,7 @@ from .count import (
     Bernoulli,
     NegativeBinomial,
     NegativeBinomialDisp,
+    NegativeBinomialDispLog,
     NegativeBinomialMixture,
     Poisson,
     ZeroInflated,
@@ -42,7 +43,8 @@ __all__ = [
     "Gamma", "LogNormal", "MultivariateNormalDiag", "MultivariateNormalTriL",
     "Normal", "VectorDeterministic", "NonzeroMaskedDeterministic",
     "Bernoulli", "NegativeBinomial",
-    "NegativeBinomialDisp", "NegativeBinomialMixture", "Poisson",
+    "NegativeBinomialDisp", "NegativeBinomialDispLog",
+    "NegativeBinomialMixture", "Poisson",
     "ZeroInflated", "Categorical",
     "OneHotCategorical", "MixtureSameFamily",
 ]

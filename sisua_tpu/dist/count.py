@@ -33,6 +33,7 @@ __all__ = [
     "Bernoulli",
     "NegativeBinomial",
     "NegativeBinomialDisp",
+    "NegativeBinomialDispLog",
     "NegativeBinomialMixture",
     "ZeroInflated",
 ]
@@ -201,6 +202,63 @@ class NegativeBinomialDisp(Distribution):
     theta = jnp.broadcast_to(self.disp, shape)
     g = jax.random.gamma(kg, theta) * (self.loc / self.disp)
     return jax.random.poisson(kp, g).astype(jnp.result_type(self.loc))
+
+
+class NegativeBinomialDispLog(Distribution):
+  """``NegativeBinomialDisp`` with the mean carried in LOG space.
+
+  Built by decode paths that know ``log μ`` natively (SCVI's
+  ``log μ = log-library + log_softmax(scale)``): constructing the linear
+  ``loc = exp(l)·softmax(s)`` only for the likelihood to take ``log(loc)``
+  again costs an exp→log round trip in both value-precision and — on the
+  bandwidth-bound wide regime — HBM traffic for the extra (B, D)
+  intermediates. Here the log-pmf uses ``L = log μ − log θ`` (the NB
+  logits) directly:
+
+    log NB(x; μ, θ) = x·L − (x+θ)·softplus(L) + lgammadiff(θ, x) − lgamma(x+1)
+
+  which is scVI's ``log_nb_positive`` rewritten in logits form —
+  identical term-for-term after ``softplus(L) = log(θ+μ) − log θ``.
+  ``loc``/``mean`` are derived lazily for serving paths."""
+
+  log_loc: Array  # log μ
+  disp: Array     # inverse-dispersion θ > 0
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(jnp.shape(self.log_loc),
+                                jnp.shape(self.disp))
+
+  @property
+  def loc(self):
+    return jnp.exp(self.log_loc)
+
+  def log_prob(self, x, eps: float = 1e-8):
+    theta = self.disp
+    logits = self.log_loc - jnp.log(theta + eps)
+    sp = jax.nn.softplus(logits)
+    return (x * logits - (x + theta) * sp
+            + _lgamma_diff(theta, x) - _lgamma(x + 1.0))
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def variance(self):
+    m = self.loc
+    return m + jnp.square(m) / self.disp
+
+  def mode(self):
+    return jnp.where(self.disp > 1.0,
+                     jnp.floor(self.loc * (self.disp - 1.0) / self.disp),
+                     0.0)
+
+  def sample(self, key, sample_shape=()):
+    kg, kp = jax.random.split(key)
+    shape = tuple(sample_shape) + self.batch_shape
+    theta = jnp.broadcast_to(self.disp, shape)
+    g = jax.random.gamma(kg, theta) * jnp.exp(
+        jnp.broadcast_to(self.log_loc, shape) - jnp.log(theta))
+    return jax.random.poisson(kp, g).astype(jnp.result_type(self.log_loc))
 
 
 class NegativeBinomialMixture(Distribution):

@@ -217,12 +217,12 @@ class SCVIModule(VAEModule):
       batch = jnp.full(z.shape[:-1] + (self.n_batch,), 1.0 / self.n_batch,
                        jnp.float32)
     d = self.decoders[0](self._with_batch(z, batch), training=training)
-    px_scale = jax.nn.softmax(
-        self.px_scale(d).astype(jnp.float32), axis=-1)
-    px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
-    px_rate = jnp.exp(l) * px_scale
+    px_scale_logits = self.px_scale(d).astype(jnp.float32)
     zi = self.outputs[0].is_zero_inflated and self.inflation == "full"
     if self.dispersion == "full":
+      px_scale = jax.nn.softmax(px_scale_logits, axis=-1)
+      px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
+      px_rate = jnp.exp(l) * px_scale
       px_r = jnp.exp(self.px_r(d).astype(jnp.float32))
       params = [px_rate, px_r]
       if zi:
@@ -230,15 +230,23 @@ class SCVIModule(VAEModule):
       flat = jnp.concatenate(params, axis=-1)
       pX = self.output_heads[0](flat)
     else:
-      # shared dispersion stays a per-gene (1, D) row — never broadcast to
-      # (B, D): the fused likelihood kernel broadcasts it in VMEM and
-      # reduces its gradient in-kernel (2.2× faster fwd+bwd at 1024×33k,
-      # benchmarks/results_kernel_probe.md), where a materialized
-      # broadcast costs a full HBM write+read plus a (B, D) gradient
-      # field. Built directly (the head's flat-concat protocol needs
-      # same-shape params); _positive is identity here (constrained).
+      # Single dispersion decodes fully in LOG space:
+      #   log μ = L + log_softmax(scale) (floored at log 1e-7, the linear
+      #   path's clip), carried by NegativeBinomialDispLog — the exp·
+      #   softmax → log(μ+eps) round trip of the linear path never
+      #   happens, so between the MeanScale matmul and the fused
+      #   likelihood kernel exactly ONE (B, D) intermediate (the NB
+      #   logits) is materialized.
+      # The dispersion stays a per-gene (1, D) row — never broadcast to
+      # (B, D): the fused kernel broadcasts it in VMEM and reduces its
+      # gradient in-kernel (2.2× faster fwd+bwd at 1024×33k,
+      # benchmarks/results_kernel_probe.md). Built directly (the head's
+      # flat-concat protocol needs same-shape params).
+      log_scale = jnp.maximum(-16.118095,  # log 1e-7
+                              jax.nn.log_softmax(px_scale_logits, axis=-1))
+      log_rate = l + log_scale
       px_r = jnp.exp(self.px_r_single)[None].astype(jnp.float32)
-      nb = D.NegativeBinomialDisp(loc=px_rate, disp=px_r)
+      nb = D.NegativeBinomialDispLog(log_loc=log_rate, disp=px_r)
       if zi:
         gate = self.px_dropout(d).astype(jnp.float32)
         pX = D.Independent(D.ZeroInflated(count_distribution=nb,

@@ -91,7 +91,8 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
     count = base.count_distribution if zi else base
     kind = (
         "logits" if isinstance(count, D.NegativeBinomial) else
-        "disp" if isinstance(count, D.NegativeBinomialDisp) else None)
+        "disp" if isinstance(count, D.NegativeBinomialDisp) else
+        "displog" if isinstance(count, D.NegativeBinomialDispLog) else None)
     if kind is not None:
       from ..ops import zinb_pallas as zp
       if zp.pallas_available():
@@ -102,6 +103,12 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
         # operand plus a (B, D) gradient write the XLA reducer re-read)
         if kind == "logits":
           r, logits = count.total_count, count.logits
+        elif kind == "displog":
+          # log-space decode: logits = log μ − log θ with log μ native —
+          # no exp→log round trip, and XLA fuses this subtraction into the
+          # single (B, D) materialization the kernel reads
+          r = count.disp
+          logits = count.log_loc - jnp.log(r + 1e-8)
         else:
           r = count.disp
           logits = zp._disp_to_logits(count.loc, r)

@@ -209,3 +209,46 @@ def test_nb_mixture_sample_broad_mixing():
   s = d.sample(jax.random.PRNGKey(0), (32,))
   assert s.shape == (32, 5, 4)
   assert not np.allclose(np.asarray(s)[:, 0], np.asarray(s)[:, 1])
+
+
+def test_nbd_log_space_parity():
+  """NegativeBinomialDispLog(log μ, θ) must match NegativeBinomialDisp(μ, θ)
+  in log_prob (plain and zero-inflated), moments, and gradients — it is the
+  same scVI likelihood with the mean carried in log space (the wide-regime
+  decode path materializes one less (B, D) intermediate with it)."""
+  from sisua_tpu.dist import (NegativeBinomialDisp, NegativeBinomialDispLog,
+                              ZeroInflated)
+  rng = np.random.default_rng(3)
+  x = jnp.asarray(rng.poisson(3.0, (8, 16)).astype(np.float32))
+  x = x.at[:, :4].set(0.0)
+  mu = jnp.asarray(rng.gamma(2.0, 2.0, (8, 16)).astype(np.float32))
+  th = jnp.asarray(rng.gamma(3.0, 1.0, (16,)).astype(np.float32))
+  gt = jnp.asarray(rng.normal(0, 1, (8, 16)).astype(np.float32))
+  lin = NegativeBinomialDisp(loc=mu, disp=th)
+  log = NegativeBinomialDispLog(log_loc=jnp.log(mu), disp=th)
+  np.testing.assert_allclose(np.asarray(log.log_prob(x)),
+                             np.asarray(lin.log_prob(x)),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(
+      np.asarray(ZeroInflated(count_distribution=log,
+                              gate_logits=gt).log_prob(x)),
+      np.asarray(ZeroInflated(count_distribution=lin,
+                              gate_logits=gt).log_prob(x)),
+      rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(log.mean()), np.asarray(mu),
+                             rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(log.variance()),
+                             np.asarray(lin.variance()), rtol=1e-5)
+  # gradient parity wrt log μ (chain rule μ·d/dμ for the linear dist)
+  g1 = jax.grad(lambda ll: jnp.sum(
+      NegativeBinomialDispLog(log_loc=ll, disp=th).log_prob(x)))(jnp.log(mu))
+  g2 = jax.grad(lambda m: jnp.sum(
+      NegativeBinomialDisp(loc=m, disp=th).log_prob(x)))(mu)
+  np.testing.assert_allclose(np.asarray(g1), np.asarray(g2 * mu),
+                             rtol=5e-3, atol=1e-4)
+  # sampling statistics track the mean
+  s = log.sample(jax.random.PRNGKey(0), (512,))
+  assert s.shape == (512, 8, 16)
+  np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mu),
+                             atol=4 * float(jnp.sqrt(lin.variance().max()
+                                                     / 512)) + 0.3)
