@@ -30,6 +30,7 @@ from .count import (
     NegativeBinomial,
     NegativeBinomialDisp,
     NegativeBinomialDispLog,
+    NegativeBinomialLog,
     NegativeBinomialMixture,
     Poisson,
     ZeroInflated,
@@ -44,6 +45,7 @@ __all__ = [
     "Normal", "VectorDeterministic", "NonzeroMaskedDeterministic",
     "Bernoulli", "NegativeBinomial",
     "NegativeBinomialDisp", "NegativeBinomialDispLog",
+    "NegativeBinomialLog",
     "NegativeBinomialMixture", "Poisson",
     "ZeroInflated", "Categorical",
     "OneHotCategorical", "MixtureSameFamily",

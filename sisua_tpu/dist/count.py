@@ -34,6 +34,7 @@ __all__ = [
     "NegativeBinomial",
     "NegativeBinomialDisp",
     "NegativeBinomialDispLog",
+    "NegativeBinomialLog",
     "NegativeBinomialMixture",
     "ZeroInflated",
 ]
@@ -258,6 +259,75 @@ class NegativeBinomialDispLog(Distribution):
     theta = jnp.broadcast_to(self.disp, shape)
     g = jax.random.gamma(kg, theta) * jnp.exp(
         jnp.broadcast_to(self.log_loc, shape) - jnp.log(theta))
+    return jax.random.poisson(kp, g).astype(jnp.result_type(self.log_loc))
+
+
+class NegativeBinomialLog(Distribution):
+  """NB with BOTH mean and inverse-dispersion carried in LOG space.
+
+  The per-cell-per-gene ('full') dispersion decode (SCVI/TotalVI RNA,
+  reference ``sisua/models/scvi.py:128-171``) emits ``log θ`` as a raw
+  Dense output and ``log μ = log-library + log_softmax(scale)``; the
+  linear-space construction exponentiated both only for the likelihood to
+  take their logs again (the NB logits are ``log μ − log θ``). In the
+  bandwidth-bound wide-gene regime each of those exp→log round trips
+  costs a (B, D) HBM intermediate. Here the log-pmf is evaluated directly
+  from the log-space parameters:
+
+    L = log μ − log θ       (NB logits — one fused subtraction)
+    log NB(x) = x·L − (x+θ)·softplus(L) + lgammadiff(θ, x) − lgamma(x+1)
+
+  with ``θ = exp(clip(log θ, ±15))`` — the same clipped-exp positive
+  parameterization as the 'zinb' head (``rv._positive``) and the fused
+  kernel's unconstrained mode, so the Pallas route
+  (``ops/zinb_pallas.py`` ``constrained=False``) is bit-consistent: it
+  receives ``log θ`` raw and exponentiates inside VMEM tiles. ``loc`` /
+  ``disp`` are derived lazily for serving paths."""
+
+  log_loc: Array   # log μ
+  log_disp: Array  # log θ (raw, unclipped; θ = exp(clip(·, ±15)))
+
+  _EXP_CLIP = 15.0  # matches rv._EXP_CLIP and zinb_pallas._EXP_CLIP
+
+  @property
+  def batch_shape(self):
+    return jnp.broadcast_shapes(jnp.shape(self.log_loc),
+                                jnp.shape(self.log_disp))
+
+  @property
+  def loc(self):
+    return jnp.exp(self.log_loc)
+
+  @property
+  def disp(self):
+    return jnp.exp(jnp.clip(self.log_disp, -self._EXP_CLIP, self._EXP_CLIP))
+
+  def log_prob(self, x):
+    logits = self.log_loc - self.log_disp
+    theta = self.disp
+    sp = jax.nn.softplus(logits)
+    return (x * logits - (x + theta) * sp
+            + _lgamma_diff(theta, x) - _lgamma(x + 1.0))
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def variance(self):
+    m = self.loc
+    return m + jnp.square(m) / self.disp
+
+  def mode(self):
+    d = self.disp
+    return jnp.where(d > 1.0, jnp.floor(self.loc * (d - 1.0) / d), 0.0)
+
+  def sample(self, key, sample_shape=()):
+    kg, kp = jax.random.split(key)
+    shape = tuple(sample_shape) + self.batch_shape
+    theta = jnp.broadcast_to(self.disp, shape)
+    log_ratio = self.log_loc - jnp.clip(self.log_disp, -self._EXP_CLIP,
+                                        self._EXP_CLIP)
+    g = jax.random.gamma(kg, theta) * jnp.exp(
+        jnp.broadcast_to(log_ratio, shape))
     return jax.random.poisson(kp, g).astype(jnp.result_type(self.log_loc))
 
 

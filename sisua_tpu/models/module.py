@@ -220,15 +220,25 @@ class SCVIModule(VAEModule):
     px_scale_logits = self.px_scale(d).astype(jnp.float32)
     zi = self.outputs[0].is_zero_inflated and self.inflation == "full"
     if self.dispersion == "full":
-      px_scale = jax.nn.softmax(px_scale_logits, axis=-1)
-      px_scale = jnp.clip(px_scale, 1e-7, 1.0 - 1e-7)
-      px_rate = jnp.exp(l) * px_scale
-      px_r = jnp.exp(self.px_r(d).astype(jnp.float32))
-      params = [px_rate, px_r]
+      # Per-cell-per-gene dispersion decodes fully in LOG space, like the
+      # single-dispersion branch below: log μ = L + log_softmax(scale)
+      # (floored at log 1e-7) and log θ = the raw Dispersion matmul output
+      # — NegativeBinomialLog. The linear construction exponentiated both
+      # (exp(L)·softmax, exp(Dense)) only for the likelihood to take their
+      # logs again; in the bandwidth-bound wide regime each exp→log round
+      # trip was a (B, D) HBM intermediate, and the fused kernel now reads
+      # log θ raw (constrained=False exponentiates it in VMEM).
+      log_scale = jnp.maximum(-16.118095,  # log 1e-7
+                              jax.nn.log_softmax(px_scale_logits, axis=-1))
+      log_rate = l + log_scale
+      log_r = self.px_r(d).astype(jnp.float32)
+      nb = D.NegativeBinomialLog(log_loc=log_rate, log_disp=log_r)
       if zi:
-        params.append(self.px_dropout(d).astype(jnp.float32))
-      flat = jnp.concatenate(params, axis=-1)
-      pX = self.output_heads[0](flat)
+        gate = self.px_dropout(d).astype(jnp.float32)
+        pX = D.Independent(D.ZeroInflated(count_distribution=nb,
+                                          gate_logits=gate), 1)
+      else:
+        pX = D.Independent(nb, 1)
     else:
       # Single dispersion decodes fully in LOG space:
       #   log μ = L + log_softmax(scale) (floored at log 1e-7, the linear

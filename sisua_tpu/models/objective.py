@@ -92,7 +92,8 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
     kind = (
         "logits" if isinstance(count, D.NegativeBinomial) else
         "disp" if isinstance(count, D.NegativeBinomialDisp) else
-        "displog" if isinstance(count, D.NegativeBinomialDispLog) else None)
+        "displog" if isinstance(count, D.NegativeBinomialDispLog) else
+        "loglog" if isinstance(count, D.NegativeBinomialLog) else None)
     if kind is not None:
       from ..ops import zinb_pallas as zp
       if zp.pallas_available():
@@ -101,6 +102,7 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
         # their gradients reduced in-kernel — never materialized as (B, D)
         # HBM arrays (the old broadcast_to here cost a full write+read per
         # operand plus a (B, D) gradient write the XLA reducer re-read)
+        constrained = True
         if kind == "logits":
           r, logits = count.total_count, count.logits
         elif kind == "displog":
@@ -109,13 +111,22 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
           # single (B, D) materialization the kernel reads
           r = count.disp
           logits = count.log_loc - jnp.log(r + 1e-8)
+        elif kind == "loglog":
+          # fully log-space decode (per-cell-per-gene dispersion): the
+          # kernel receives log θ RAW and exponentiates it inside VMEM
+          # tiles (constrained=False ≡ exp(clip(·, ±15)), exactly the
+          # distribution's θ) — neither exp(θ) nor log μ ever become
+          # (B, D) HBM intermediates; logits is the ONE materialized array
+          r = count.log_disp
+          logits = count.log_loc - count.log_disp
+          constrained = False
         else:
           r = count.disp
           logits = zp._disp_to_logits(count.loc, r)
         if zi:
           return zp.zinb_log_prob_rowsum(x, r, logits, base.gate_logits,
-                                         constrained=True)
-        return zp.nb_log_prob_rowsum(x, r, logits, constrained=True)
+                                         constrained=constrained)
+        return zp.nb_log_prob_rowsum(x, r, logits, constrained=constrained)
   return dist.log_prob(x)
 
 

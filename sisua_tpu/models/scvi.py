@@ -6,9 +6,12 @@ Reference semantics (``/root/reference/sisua/models/scvi.py:19-175``):
     ``Normal(local_mean, sqrt(local_var))`` built per batch from dataset
     statistics; library samples clipped to [0, clip_library=1e3];
   * the main output must be 'zinbd' | 'nbd' with ``projection=False``: the
-    decode path computes ``px_rate = exp(L)·clip(softmax(scale), 1e-7,
-    1-1e-7)``, ``px_r = exp(raw)`` when dispersion='full', gate logits raw —
-    fed to the head as final parameters;
+    reference's decode computes ``px_rate = exp(L)·clip(softmax(scale),
+    1e-7, 1-1e-7)``, ``px_r = exp(raw)`` when dispersion='full', gate
+    logits raw — here the same likelihood decodes fully in LOG space
+    (``log μ = L + log_softmax(scale)``, ``log θ = raw``; see
+    ``module.SCVIModule.decode`` — no exp→log round-trip (B, D)
+    intermediates in the bandwidth-bound wide regime);
   * extra semi-supervised label heads decode from the shared hidden ``d``.
 
 The module-level compute lives in ``SCVIModule``

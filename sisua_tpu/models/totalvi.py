@@ -101,12 +101,13 @@ class TotalVIModule(VAEModule):
       batch = jnp.full(z.shape[:-1] + (self.n_batch,), 1.0 / self.n_batch,
                        jnp.float32)
     d = self.decoders[0](self._with_batch(z, batch), training=training)
-    # --- RNA (SCVI path: softmax scale · exp(library), exp dispersion)
-    px_scale = jnp.clip(jax.nn.softmax(self.px_scale(d), axis=-1),
-                        1e-7, 1.0 - 1e-7)
-    px_rate = jnp.exp(l) * px_scale
-    px_r = jnp.exp(self.px_r(d))
-    rna_nb = D.NegativeBinomialDisp(loc=px_rate, disp=px_r)
+    # --- RNA (SCVI path, fully in LOG space like module.SCVIModule.decode:
+    # log μ = L + log_softmax(scale), log θ = raw Dispersion output — no
+    # exp→log round-trip (B, D) intermediates in the wide regime)
+    log_scale = jnp.maximum(-16.118095,  # log 1e-7
+                            jax.nn.log_softmax(self.px_scale(d), axis=-1))
+    rna_nb = D.NegativeBinomialLog(log_loc=l + log_scale,
+                                   log_disp=self.px_r(d))
     if self.outputs[0].is_zero_inflated:
       pX = D.Independent(D.ZeroInflated(count_distribution=rna_nb,
                                         gate_logits=self.px_dropout(d)), 1)

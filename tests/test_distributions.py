@@ -252,3 +252,61 @@ def test_nbd_log_space_parity():
   np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mu),
                              atol=4 * float(jnp.sqrt(lin.variance().max()
                                                      / 512)) + 0.3)
+
+
+def test_nb_full_log_space_parity():
+  """NegativeBinomialLog(log μ, log θ) must match NegativeBinomialDisp(μ, θ)
+  — the per-cell-per-gene ('full' dispersion) SCVI/TotalVI decode carries
+  BOTH parameters in log space so neither exp(θ) nor log μ is ever a (B, D)
+  HBM intermediate. θ = exp(clip(log θ, ±15)) by construction (rv._positive
+  convention), exact for every realistic dispersion."""
+  from sisua_tpu.dist import (NegativeBinomialDisp, NegativeBinomialLog,
+                              ZeroInflated)
+  rng = np.random.default_rng(7)
+  x = jnp.asarray(rng.poisson(3.0, (8, 16)).astype(np.float32))
+  x = x.at[:, :4].set(0.0)
+  mu = jnp.asarray(rng.gamma(2.0, 2.0, (8, 16)).astype(np.float32))
+  th = jnp.asarray(rng.gamma(3.0, 1.0, (8, 16)).astype(np.float32))
+  gt = jnp.asarray(rng.normal(0, 1, (8, 16)).astype(np.float32))
+  lin = NegativeBinomialDisp(loc=mu, disp=th)
+  log = NegativeBinomialLog(log_loc=jnp.log(mu), log_disp=jnp.log(th))
+  np.testing.assert_allclose(np.asarray(log.log_prob(x)),
+                             np.asarray(lin.log_prob(x)),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(
+      np.asarray(ZeroInflated(count_distribution=log,
+                              gate_logits=gt).log_prob(x)),
+      np.asarray(ZeroInflated(count_distribution=lin,
+                              gate_logits=gt).log_prob(x)),
+      rtol=2e-4, atol=2e-4)
+  # lazy linear accessors for serving paths
+  np.testing.assert_allclose(np.asarray(log.loc), np.asarray(mu), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(log.disp), np.asarray(th), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(log.mean()), np.asarray(mu),
+                             rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(log.variance()),
+                             np.asarray(lin.variance()), rtol=1e-5)
+  # gradient parity wrt BOTH log-space params (chain rule · linear param)
+  g_ll = jax.grad(lambda ll: jnp.sum(NegativeBinomialLog(
+      log_loc=ll, log_disp=jnp.log(th)).log_prob(x)))(jnp.log(mu))
+  g_mu = jax.grad(lambda m: jnp.sum(
+      NegativeBinomialDisp(loc=m, disp=th).log_prob(x)))(mu)
+  np.testing.assert_allclose(np.asarray(g_ll), np.asarray(g_mu * mu),
+                             rtol=5e-3, atol=1e-4)
+  g_ld = jax.grad(lambda ld: jnp.sum(NegativeBinomialLog(
+      log_loc=jnp.log(mu), log_disp=ld).log_prob(x)))(jnp.log(th))
+  g_th = jax.grad(lambda t: jnp.sum(
+      NegativeBinomialDisp(loc=mu, disp=t).log_prob(x)))(th)
+  np.testing.assert_allclose(np.asarray(g_ld), np.asarray(g_th * th),
+                             rtol=5e-3, atol=1e-3)
+  # sampling statistics track the mean
+  s = log.sample(jax.random.PRNGKey(0), (512,))
+  assert s.shape == (512, 8, 16)
+  np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mu),
+                             atol=4 * float(jnp.sqrt(lin.variance().max()
+                                                     / 512)) + 0.3)
+  # the clipped-exp positive parameterization beyond ±15 stays finite
+  extreme = NegativeBinomialLog(log_loc=jnp.float32(1.0),
+                                log_disp=jnp.float32(40.0))
+  assert np.isfinite(float(extreme.log_prob(jnp.float32(3.0))))
+  assert np.isfinite(float(extreme.disp))

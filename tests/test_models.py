@@ -135,8 +135,12 @@ def test_scvi_library_latent(splits):
   pX, (qz, ql) = m.predict(test)
   assert ql.event_shape == (1,)
   assert isinstance(pX.distribution, D.ZeroInflated)
+  # 'full' dispersion decodes in log space (NegativeBinomialLog carries
+  # log μ / log θ natively; .loc/.disp derive the linear params lazily)
   assert isinstance(pX.distribution.count_distribution,
-                    D.NegativeBinomialDisp)
+                    D.NegativeBinomialLog)
+  assert np.isfinite(
+      np.asarray(pX.distribution.count_distribution.disp)).all()
   with pytest.raises(AssertionError):
     SCVI(RVmeta(10, "zinb"))  # must be zinbd/nbd
 
@@ -184,7 +188,8 @@ def test_scvi_nbd_single_dispersion(splits):
                   kwargs={"dispersion": "single"}))
   m.fit(train, epochs=2, batch_size=64)
   pX, _ = m.predict(train)
-  assert isinstance(pX.distribution, D.NegativeBinomialDisp)
+  # single dispersion decodes in log-mean space (NegativeBinomialDispLog)
+  assert isinstance(pX.distribution, D.NegativeBinomialDispLog)
 
 
 @pytest.mark.slow

@@ -381,3 +381,56 @@ def test_fused_routing_displog(monkeypatch):
   np.testing.assert_allclose(
       np.asarray(calls["logits"]),
       np.asarray(log_mu - jnp.log(th + 1e-8)), rtol=1e-6)
+
+
+def test_fused_routing_loglog(monkeypatch):
+  """The fully-log-space NB (NegativeBinomialLog — SCVI/TotalVI 'full'
+  dispersion decode) must route through the fused kernel with the RAW
+  log θ as the count operand and constrained=False (the kernel
+  exponentiates in VMEM), numerically matching the dist math."""
+  from sisua_tpu.models.objective import _fast_log_prob
+  from sisua_tpu.ops import zinb_pallas as zp
+  import sisua_tpu.dist as D
+  rng = np.random.default_rng(17)
+  B, Dm = 16, 30
+  x = jnp.asarray(rng.poisson(2, (B, Dm)).astype(np.float32))
+  log_mu = jnp.asarray(rng.normal(0, 1, (B, Dm)), jnp.float32)
+  log_th = jnp.asarray(rng.normal(0, 0.5, (B, Dm)), jnp.float32)
+  gt = jnp.asarray(rng.normal(0, 1, (B, Dm)), jnp.float32)
+  dist = D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomialLog(log_loc=log_mu,
+                                               log_disp=log_th),
+      gate_logits=gt), 1)
+  ref = np.asarray(dist.log_prob(x))
+  # CPU fallback value parity through the routing entry
+  monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", "on")
+  np.testing.assert_allclose(np.asarray(_fast_log_prob(dist, x)), ref,
+                             rtol=1e-4, atol=1e-4)
+  # the kernel IS reached and receives raw log θ + constrained=False
+  calls = {}
+  monkeypatch.setattr(zp, "pallas_available", lambda: True)
+  def _grab(x_, r_, logits_, gate_, constrained=True):
+    calls["r"] = r_; calls["logits"] = logits_
+    calls["constrained"] = constrained
+    return zp._rowsum_ref(x_, r_, logits_, gate_, constrained)
+  monkeypatch.setattr(zp, "zinb_log_prob_rowsum", _grab)
+  got = np.asarray(_fast_log_prob(dist, x))
+  np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+  assert calls["constrained"] is False
+  np.testing.assert_allclose(np.asarray(calls["r"]), np.asarray(log_th),
+                             rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(calls["logits"]),
+                             np.asarray(log_mu - log_th), rtol=1e-6)
+  # gradient parity through the custom-VJP kernel emulation path
+  monkeypatch.undo()
+  monkeypatch.setenv("SISUA_TPU_FUSED_LIKELIHOOD", "on")
+  g_fast = jax.grad(lambda lt: jnp.sum(_fast_log_prob(
+      D.Independent(D.ZeroInflated(
+          count_distribution=D.NegativeBinomialLog(log_loc=log_mu,
+                                                   log_disp=lt),
+          gate_logits=gt), 1), x)))(log_th)
+  g_ref = jax.grad(lambda lt: jnp.sum(D.Independent(D.ZeroInflated(
+      count_distribution=D.NegativeBinomialLog(log_loc=log_mu, log_disp=lt),
+      gate_logits=gt), 1).log_prob(x)))(log_th)
+  np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                             rtol=5e-3, atol=1e-4)
