@@ -46,7 +46,7 @@ METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
 SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi")
 
 
-def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
+def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0):
   from sisua_tpu.models import (FVAE, LDVAE, MISA, SCALAR, SCALE, SCVI,
                                 SISUA, SCScope, TotalVI, VAE,
                                 DeepCountAutoencoder, NetConf, RVmeta)
@@ -63,14 +63,14 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False):
                            n_batch=n_batch),
       "ldvae": lambda: LDVAE(RVmeta(G, "nbd", name="rna"), seed=seed,
                              n_batch=n_batch),
-      "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=10.0, seed=seed,
+      "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=alpha, seed=seed,
                              mask_renorm=mask_renorm, **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],
-                           alpha=10.0, seed=seed, mask_renorm=mask_renorm,
+                           alpha=alpha, seed=seed, mask_renorm=mask_renorm,
                            **nets),
       "scale": lambda: SCALE(rna_zinb(), n_components=5, seed=seed, **nets),
       "scalar": lambda: SCALAR([rna_zinb(), adt_nb()], n_components=5,
-                               alpha=10.0, seed=seed,
+                               alpha=alpha, seed=seed,
                                mask_renorm=mask_renorm, **nets),
       "fvae": lambda: FVAE(rna_zinb(), gamma=4.0, seed=seed, **nets),
       "scscope": lambda: SCScope(RVmeta(G, "nzmse", name="rna"),
@@ -179,6 +179,14 @@ def main(argv=None):
   p.add_argument("--n-batch", type=int, default=0,
                  help="train SCVI/VAE with batch-covariate conditioning "
                       "(needs obs['batch'], e.g. the citeseq simulator)")
+  p.add_argument("--alpha", type=float, default=10.0,
+                 help="label-LLK supervision weight for the multitask "
+                      "families (reference configs/base.yaml alpha=10; "
+                      "sweep it to test whether the weak-regime loss is a "
+                      "tuning artifact)")
+  p.add_argument("--hidden", default="64,64",
+                 help="comma-separated encoder/decoder hidden widths "
+                      "(head-capacity axis of the weak-regime sweep)")
   p.add_argument("--out", default="/tmp/zoo_quality.md")
   args = p.parse_args(argv)
 
@@ -200,8 +208,9 @@ def main(argv=None):
                                 n_proteins=args.proteins, seed=5218 + seed)
     return get_dataset(args.dataset)
 
-  nets = dict(encoder=NetConf((64, 64), batchnorm=True, input_dropout=0.3),
-              decoder=NetConf((64, 64), batchnorm=True))
+  hidden = tuple(int(h) for h in args.hidden.split(","))
+  nets = dict(encoder=NetConf(hidden, batchnorm=True, input_dropout=0.3),
+              decoder=NetConf(hidden, batchnorm=True))
   rows = []
   for seed in range(args.seeds):
     sco = load(seed)
@@ -209,7 +218,7 @@ def main(argv=None):
     G = train.n_vars
     P = train.get_dim("proteomic") if "proteomic" in train.omics else 0
     zoo = build_zoo(G, P, nets, seed=seed, n_batch=args.n_batch,
-                    mask_renorm=args.mask_renorm)
+                    mask_renorm=args.mask_renorm, alpha=args.alpha)
     if args.models:
       keep = set(args.models.split(","))
       zoo = {k: v for k, v in zoo.items() if k in keep}
@@ -292,7 +301,10 @@ def main(argv=None):
             + (f" weak_factors={args.weak_factors}"
                if args.weak_factors else "")
             + (f" models={args.models}" if args.models else "")
-            + (" mask_renorm=True" if args.mask_renorm else "") + "\n\n")
+            + (" mask_renorm=True" if args.mask_renorm else "")
+            + (f" alpha={args.alpha:g}" if args.alpha != 10.0 else "")
+            + (f" hidden={args.hidden}" if args.hidden != "64,64" else "")
+            + "\n\n")
     f.write(table)
     f.write(win_table)
   with open(args.out + ".jsonl", "w") as f:
