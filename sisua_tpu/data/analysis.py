@@ -639,15 +639,22 @@ class _OMICanalyzer(_OMICbase):
   def get_mutual_information(self, omic1=None, omic2="proteomic",
                              n_neighbors: int = 3,
                              random_state: int = 8,
-                             ncpu: int = 1) -> pd.DataFrame:
+                             ncpu: int = 1,
+                             backend: str = "sklearn") -> pd.DataFrame:
     """kNN mutual information between all var pairs of two omics
     (ref :1147-1196, multiprocessed there via odin MPI).
 
-    sklearn's estimator jitters exact ties with RNG noise drawn from one
-    stream per *call*, so the unit of randomness here is a fixed 512-column
-    block of the omic1 axis with seed ``random_state + block_index`` — the
-    result is **bit-identical for every ncpu**; ``ncpu>1`` only distributes
-    the (omic2-column × block) tasks over a fork pool."""
+    ``backend='sklearn'`` (default): host estimator. Its tie-breaking
+    jitter is drawn from one RNG stream per *call*, so the unit of
+    randomness here is a fixed 512-column block of the omic1 axis with
+    seed ``random_state + block_index`` — the result is **bit-identical
+    for every ncpu**; ``ncpu>1`` only distributes the (omic2-column ×
+    block) tasks over a fork pool.
+
+    ``backend='jax'``: the whole matrix as one batched device computation
+    (``ops.knn_mi``) — the TPU-native answer to the reference's process
+    pool. Same Kraskov estimator; results agree with sklearn to estimator
+    noise (float32 + a float32-visible jitter amplitude), not bitwise."""
     from sklearn.feature_selection import mutual_info_regression
     from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
@@ -655,9 +662,23 @@ class _OMICanalyzer(_OMICbase):
     key = f"{omic1.name}_{omic2.name}_mutualinfo"
     if key in self.uns:
       return self.uns[key]
-    X = self.numpy(omic1)
-    Y = self.numpy(omic2)
+    # float64 is load-bearing, not a style choice: sklearn's Kraskov
+    # estimator breaks count ties with 1e-10 jitter, which is below
+    # float32 eps — a float32 target keeps exact ties and the estimator
+    # degenerates into the joint-duplicate artifact (measured 6× inflated
+    # MI on the synthetic CITE-seq set). Cast BEFORE the estimator so both
+    # backends compute the intended tie-broken statistic.
+    X = np.asarray(self.numpy(omic1), np.float64)
+    Y = np.asarray(self.numpy(omic2), np.float64)
     names2 = [str(n) for n in self.get_var_names(omic2)]
+    if backend == "jax":
+      from ..ops.knn_mi import knn_mutual_information
+      mi = knn_mutual_information(X, Y, n_neighbors=n_neighbors,
+                                  random_state=random_state)
+      df = pd.DataFrame(dict(zip(names2, mi.T)),
+                        index=self.get_var_names(omic1))
+      self.uns[key] = df
+      return df
     n1 = X.shape[1]
     block = 512
     bounds = list(range(0, n1, block)) + [n1]

@@ -1,0 +1,109 @@
+"""Device-accelerated Kraskov kNN mutual information (estimator #1).
+
+TPU-native replacement for the per-column sklearn ``mutual_info_regression``
+loop behind the analysis layer's MI matrix (reference
+``/root/reference/sisua/data/_single_cell_analysis.py:1147-1196``, which
+fanned sklearn calls over an odin-MPI process pool). On an accelerator the
+whole (gene × protein) matrix is a batched dense computation:
+
+  * chebyshev distances in the joint (x, y) space are an O(N²) pairwise
+    broadcast — large, regular, and XLA-fusible, unlike the host KD-tree;
+  * the k-th neighbor radius is a ``lax.top_k`` over the pair axis;
+  * the marginal neighborhood counts are masked reductions of the same
+    distance tiles, so everything stays in registers/VMEM.
+
+Estimator semantics follow sklearn's ``_compute_mi_cc`` exactly (scale
+columns by std, jitter to break count ties, radius = distance to the k-th
+non-self neighbor, strict-inequality marginal counts excluding self,
+``ψ(N) + ψ(k) − mean ψ(nx+1) − mean ψ(ny+1)``, clipped at 0). Two deliberate
+deviations, both float32-driven: the tie-breaking jitter amplitude is 1e-5
+(sklearn's 1e-10 vanishes below float32 eps), and distances are computed in
+float32 — so results agree with sklearn to estimator noise (~1e-2 nats),
+not bitwise. The host sklearn path stays the default where bit-stability
+against the reference matters.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["knn_mutual_information"]
+
+
+@lru_cache(maxsize=8)
+def _build_kernel(n_samples: int, k: int):
+  import jax
+  import jax.numpy as jnp
+  from jax.scipy.special import digamma
+
+  @jax.jit
+  def _mi_chunk(xc, y):
+    """xc: (C, N) scaled gene columns; y: (N,) scaled protein column.
+    Returns (C,) MI estimates in nats."""
+    n = n_samples
+    dy = jnp.abs(y[:, None] - y[None, :])                      # (N, N)
+    dx = jnp.abs(xc[:, :, None] - xc[:, None, :])              # (C, N, N)
+    d = jnp.maximum(dx, dy[None])
+    # exclude self-pairs from the k-th neighbor search
+    d = d + jnp.eye(n, dtype=d.dtype) * jnp.inf
+    kth = -jax.lax.top_k(-d, k)[0][..., -1]                    # (C, N)
+    r = kth[..., None]
+    # sklearn: radius = nextafter(kth, 0) then query_radius(dist <= r),
+    # count includes the query point itself, minus one afterwards — i.e.
+    # strictly-closer-than-kth over all points, self included, minus 1.
+    nx = jnp.sum(dx < r, axis=-1) - 1.0
+    ny = jnp.sum(dy[None] < r, axis=-1) - 1.0
+    mi = (digamma(float(n)) + digamma(float(k))
+          - jnp.mean(digamma(nx + 1.0), axis=-1)
+          - jnp.mean(digamma(ny + 1.0), axis=-1))
+    return jnp.maximum(mi, 0.0)
+
+  return _mi_chunk
+
+
+def knn_mutual_information(X: np.ndarray,
+                           Y: np.ndarray,
+                           n_neighbors: int = 3,
+                           random_state: int = 8,
+                           noise: float = 1e-5,
+                           chunk: int | None = None,
+                           mem_budget_bytes: int = 1 << 30) -> np.ndarray:
+  """MI matrix between every column of ``X`` (N×G) and of ``Y`` (N×P).
+
+  Returns a (G, P) float64 array of Kraskov kNN MI estimates (nats).
+  ``chunk`` bounds the gene-axis tile (default: sized so the (C, N, N)
+  distance tile fits ``mem_budget_bytes``); one kernel compile is reused
+  across all tiles and proteins because shapes are padded to the tile.
+  """
+  X = np.asarray(X, np.float64)
+  Y = np.asarray(Y, np.float64)
+  n, g = X.shape
+  p = Y.shape[1]
+  if chunk is None:
+    # dx + d + comparison live concurrently → ~4 tile-sized f32 buffers
+    chunk = max(1, min(g, mem_budget_bytes // max(1, 4 * 4 * n * n)))
+  rng = np.random.RandomState(random_state)
+  # sklearn _estimate_mi: scale(with_mean=False) then tie-breaking jitter
+  def _prep(A):
+    sd = A.std(axis=0)
+    A = A / np.where(sd > 0, sd, 1.0)
+    amp = noise * np.maximum(1.0, np.mean(np.abs(A), axis=0))
+    return (A + amp * rng.standard_normal(A.shape)).astype(np.float32)
+  Xs = _prep(X)
+  Ys = _prep(Y)
+
+  kernel = _build_kernel(n, int(n_neighbors))
+  out = np.zeros((g, p))
+  pad = (-g) % chunk
+  if pad:
+    # pad with the first column: same compiled shape, results discarded
+    Xs = np.concatenate([Xs, np.repeat(Xs[:, :1], pad, axis=1)], axis=1)
+  for j in range(p):
+    yj = Ys[:, j]
+    for lo in range(0, g + pad, chunk):
+      mi = np.asarray(kernel(Xs[:, lo:lo + chunk].T, yj))
+      hi = min(lo + chunk, g)
+      out[lo:hi, j] = mi[:hi - lo]
+  return out
