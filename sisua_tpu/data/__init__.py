@@ -26,14 +26,16 @@ from .feeder import DataFeeder
 from .h5ad import read_h5ad, write_h5ad
 from .loaders.tenx import read_10x_h5, read_10x_mtx
 from .path import CONFIG_PATH, DATA_DIR, DOWNLOAD_DIR, EXP_DIR
-from .synthetic import generate_citeseq, generate_synthetic, read_synthetic
+from .synthetic import (generate_citeseq, generate_multiome,
+                        generate_synthetic, read_synthetic)
 from .utils import (apply_artificial_corruption, get_library_size,
                     standardize_protein_name)
 
 __all__ = [
     "SingleCellOMIC", "DataFeeder", "OMIC", "get_dataset", "get_dataset_meta",
     "get_dataset_availability", "get_dataset_summary", "AVAILABILITY",
-    "generate_synthetic", "generate_citeseq", "read_h5ad", "write_h5ad",
+    "generate_synthetic", "generate_citeseq", "generate_multiome",
+    "read_h5ad", "write_h5ad",
     "read_10x_mtx", "read_10x_h5",
     "apply_artificial_corruption", "get_library_size",
     "standardize_protein_name", "get_all_omics",

@@ -23,7 +23,8 @@ from scipy import sparse
 from .const import OMIC
 from .dataset import SingleCellOMIC
 
-__all__ = ["generate_synthetic", "generate_citeseq", "read_synthetic"]
+__all__ = ["generate_synthetic", "generate_citeseq", "generate_multiome",
+           "read_synthetic"]
 
 
 def generate_synthetic(n_cells: int = 3000,
@@ -289,6 +290,69 @@ def generate_citeseq(n_cells: int = 5000,
 SYNTHETIC_SIZES = {"200": 200, "500": 500, "1k": 1000, "2k": 2000,
                    "5k": 5000, "10k": 10000, "40k": 40000,
                    "100k": 100000, "1m": 1000000}
+
+
+def generate_multiome(n_cells: int = 3000,
+                      n_genes: int = 400,
+                      n_regions: int = 600,
+                      n_celltypes: int = 6,
+                      unpaired_frac: float = 0.0,
+                      library_loc: float = 6.5,
+                      library_scale: float = 0.4,
+                      seed: int = 5218,
+                      name: str = "multiome") -> SingleCellOMIC:
+  """Paired RNA + ATAC multiome simulator (MULTIVI's habitat).
+
+  A shared per-cell state (celltype archetype + noise) drives BOTH a
+  gamma-Poisson RNA count matrix and a Bernoulli peak matrix (per-celltype
+  accessibility logits × per-cell depth × per-region detectability), so
+  cross-modal models have real joint structure to learn.
+
+  ``unpaired_frac``: that fraction of cells is made mosaic — half lose the
+  ATAC row, half the RNA row (all-zero rows, MULTIVI's missing-modality
+  convention).
+  """
+  rng = np.random.default_rng(seed)
+  celltype = rng.integers(0, n_celltypes, size=n_cells)
+  # RNA: gamma-Poisson over per-celltype archetypes (generate_synthetic's
+  # recipe, no zero-inflation knob — NB sparsity suffices)
+  arch = rng.normal(0.0, 1.0, size=(n_celltypes, n_genes)).astype(np.float32)
+  logits = arch[celltype] + rng.normal(0, 0.3, (n_cells, n_genes)
+                                       ).astype(np.float32)
+  props = np.exp(logits)
+  props /= props.sum(1, keepdims=True)
+  lib = np.exp(rng.normal(library_loc, library_scale,
+                          size=(n_cells, 1))).astype(np.float32)
+  theta = 2.0
+  X = rng.poisson(rng.gamma(theta, props * lib / theta)).astype(np.float32)
+  # ATAC: per-celltype accessibility programs; ~25% housekeeping-open
+  # regions shared by all types; per-cell depth shifts; per-region offset
+  acc = rng.normal(-2.0, 1.5, size=(n_celltypes, n_regions)
+                   ).astype(np.float32)
+  open_all = rng.random(n_regions) < 0.25
+  acc[:, open_all] += 3.0
+  depth = rng.normal(0.0, 0.7, size=(n_cells, 1)).astype(np.float32)
+  region = rng.normal(0.0, 0.5, size=(1, n_regions)).astype(np.float32)
+  p_open = 1.0 / (1.0 + np.exp(-(acc[celltype] + depth + region)))
+  A = (rng.random((n_cells, n_regions)) < p_open).astype(np.float32)
+  # fragment-like counts (models binarize internally)
+  A *= rng.integers(1, 4, size=A.shape).astype(np.float32)
+  if unpaired_frac > 0:
+    k = int(round(unpaired_frac * n_cells))
+    drop = rng.permutation(n_cells)[:k]
+    A[drop[: k // 2]] = 0.0   # RNA-only cells
+    X[drop[k // 2:]] = 0.0    # ATAC-only cells
+  sco = SingleCellOMIC(sparse.csr_matrix(X),
+                       cell_id=[f"Cell{i:06d}" for i in range(n_cells)],
+                       gene_id=[f"Gene{i:04d}" for i in range(n_genes)],
+                       omic=OMIC.transcriptomic,
+                       name=name)
+  sco.add_omic(OMIC.atac, sparse.csr_matrix(A),
+               [f"Region{i:04d}" for i in range(n_regions)])
+  onehot = np.eye(n_celltypes, dtype=np.float32)[celltype]
+  sco.add_omic(OMIC.celltype, onehot,
+               [f"CellType{i}" for i in range(n_celltypes)])
+  return sco
 
 
 def read_synthetic(spec: str = "", **kwargs) -> SingleCellOMIC:

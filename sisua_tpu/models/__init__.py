@@ -22,6 +22,7 @@ from .dca import DeepCountAutoencoder
 from .fvae import FVAE, SemiFVAE
 from .ldvae import LDVAE
 from .module import SCVIModule, VAEModule, VAEOutput
+from .multivi import MULTIVI, MULTIVIModule
 from .objective import compute_loss, elbo_terms
 from .peakvi import PEAKVI, PEAKVIModule
 from .scale import SCALAR, SCALE
@@ -34,7 +35,7 @@ from .vae import MISA, SISUA, VAE
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
     "SCVI", "LDVAE", "SCANVI", "SCANVIModule", "PEAKVI", "PEAKVIModule",
-    "TotalVI", "TotalVIModule",
+    "TotalVI", "TotalVIModule", "MULTIVI", "MULTIVIModule",
     "SCALE", "SCALAR", "FVAE", "SemiFVAE",
     "SCScope", "SCScopeModule",
     "get_model", "get_all_models", "load_model",

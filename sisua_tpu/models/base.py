@@ -412,7 +412,8 @@ class SingleCellModel:
         out, self._loss_targets(batch), mask=batch.get("mask"), beta=beta,
         alpha=self.alpha, analytic=self.analytic,
         mask_outputs=self.mask_outputs if training else False,
-        mask_renorm=self.mask_renorm if training else False)
+        mask_renorm=self.mask_renorm if training else False,
+        output_masks=self._output_masks(batch))
     extra = self._extra_loss(params, aux_params, out, batch, k2, training)
     if extra is not None:
       loss = loss + extra[0]
@@ -428,6 +429,13 @@ class SingleCellModel:
     """Likelihood targets. Hook for models whose likelihood is defined on a
     transform of the raw omic (PeakVI binarizes accessibility counts)."""
     return batch["inputs"]
+
+  def _output_masks(self, batch):
+    """Optional per-output (B,) likelihood gates for missing-modality cells
+    (MULTIVI mosaic data); ``None`` = all observed. Unlike the
+    semi-supervised ``mask`` these apply to every output at train AND
+    eval — they encode data missingness, not a supervision budget."""
+    return None
 
   def _masked_module_input(self, batch, training: bool):
     """Training-time module input. Hook for models whose ENCODER consumes a

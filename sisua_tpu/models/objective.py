@@ -158,12 +158,19 @@ def elbo_terms(out: VAEOutput,
                mask_outputs: bool = False,
                alpha: float = 1.0,
                mask_renorm: bool = False,
+               output_masks: Optional[Sequence[Optional[Array]]] = None,
                ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
   """Per-example log-likelihood and KL dictionaries.
 
   Returns ``(llk, kl)`` keyed ``llk_<name>`` / ``klqp_<name>`` — the metric
   names the reference's learning-curve plots expect
   (``sisua/analysis/results_sheet.py:57-101``).
+
+  ``output_masks`` (mosaic-data extension): optional per-output (B,) gates
+  for MISSING-modality cells (MULTIVI's unpaired multiome support) —
+  unlike the semi-supervised ``mask`` they apply to EVERY output
+  (including the main omic), at train and eval alike, and are data
+  missingness rather than a supervision budget.
 
   ``mask_renorm`` (extension, off by default): the reference reduces the
   masked label likelihood as a *batch* mean (``Σ llkᵢ·maskᵢ / B``), so the
@@ -190,6 +197,8 @@ def elbo_terms(out: VAEOutput,
         lp = lp * m
         if mask_renorm:
           lp = lp * (m.shape[0] / jnp.maximum(jnp.sum(m), 1.0))
+    if output_masks is not None and output_masks[i] is not None:
+      lp = lp * output_masks[i].astype(lp.dtype).reshape(lp.shape[0])
     llk[f"llk_{name}"] = lp
   kl: Dict[str, Array] = {}
   for j, (q, prior, z) in enumerate(
@@ -207,11 +216,12 @@ def compute_loss(out: VAEOutput,
                  analytic: bool = True,
                  mask_outputs: bool = False,
                  mask_renorm: bool = False,
+                 output_masks: Optional[Sequence[Optional[Array]]] = None,
                  ) -> Tuple[Array, Dict[str, Array]]:
   """Scalar −ELBO plus scalar metrics (means over the batch)."""
   llk, kl = elbo_terms(out, targets, mask=mask, analytic=analytic,
                        mask_outputs=mask_outputs, alpha=alpha,
-                       mask_renorm=mask_renorm)
+                       mask_renorm=mask_renorm, output_masks=output_masks)
   total_llk = sum(llk.values())
   total_kl = sum(kl.values())
   elbo = total_llk - beta * total_kl
