@@ -433,3 +433,30 @@ def test_epoch_layout_identity_on_mesh(mesh):
     return float(acc["loss"])
 
   assert run("gather") == run("permslice")
+
+
+@pytest.mark.slow
+def test_multivi_mosaic_on_mesh_matches_single_device():
+  """MULTIVI under dp×tp: the per-cell modality gates (all-zero-row
+  missing-modality masks) and the Jeffreys alignment penalty are per-example
+  scalars with nontrivial sharding semantics — the mesh run must reproduce
+  the single-device loss trajectory on MOSAIC data (40% unpaired cells)."""
+  from sisua_tpu.data import generate_multiome
+  from sisua_tpu.models import MULTIVI
+
+  sco = generate_multiome(n_cells=1024, n_genes=60, n_regions=80,
+                          unpaired_frac=0.4, seed=11)
+
+  def run(mesh):
+    m = MULTIVI([RVmeta(60, "nbd", name="transcriptomic"),
+                 RVmeta(80, "bernoulli", name="atac")],
+                encoder=(NetConf((24,)), NetConf((24,))),
+                decoder=(NetConf((24,)), NetConf((24,))), seed=7)
+    m.fit(sco, epochs=3, batch_size=64, device_cache=True, mesh=mesh,
+          valid_freq=0, patience=0)
+    return m.history["loss"]
+
+  l_single = run(None)
+  l_mesh = run(create_mesh(n_data=4, n_model=2))
+  assert np.isfinite(l_mesh).all() and l_mesh[-1] < l_mesh[0]
+  np.testing.assert_allclose(l_mesh, l_single, rtol=2e-2)
