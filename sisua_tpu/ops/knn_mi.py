@@ -39,26 +39,35 @@ def _build_kernel(n_samples: int, k: int):
   from jax.scipy.special import digamma
 
   @jax.jit
-  def _mi_chunk(xc, y):
-    """xc: (C, N) scaled gene columns; y: (N,) scaled protein column.
-    Returns (C,) MI estimates in nats."""
+  def _mi_chunk(xc, ys):
+    """xc: (C, N) scaled gene columns; ys: (P, N) scaled protein columns.
+    Returns (C, P) MI estimates in nats.
+
+    One device dispatch covers a whole gene-chunk × ALL proteins: the
+    dominant (C, N, N) gene-distance tile is computed once and reused
+    across proteins via ``lax.map`` (remote-attached chips pay a full RPC
+    round trip per dispatch — per-(chunk, protein) kernels spent more
+    wall-clock on tunnel latency than on compute)."""
     n = n_samples
-    dy = jnp.abs(y[:, None] - y[None, :])                      # (N, N)
     dx = jnp.abs(xc[:, :, None] - xc[:, None, :])              # (C, N, N)
-    d = jnp.maximum(dx, dy[None])
-    # exclude self-pairs from the k-th neighbor search
-    d = d + jnp.eye(n, dtype=d.dtype) * jnp.inf
-    kth = -jax.lax.top_k(-d, k)[0][..., -1]                    # (C, N)
-    r = kth[..., None]
-    # sklearn: radius = nextafter(kth, 0) then query_radius(dist <= r),
-    # count includes the query point itself, minus one afterwards — i.e.
-    # strictly-closer-than-kth over all points, self included, minus 1.
-    nx = jnp.sum(dx < r, axis=-1) - 1.0
-    ny = jnp.sum(dy[None] < r, axis=-1) - 1.0
-    mi = (digamma(float(n)) + digamma(float(k))
-          - jnp.mean(digamma(nx + 1.0), axis=-1)
-          - jnp.mean(digamma(ny + 1.0), axis=-1))
-    return jnp.maximum(mi, 0.0)
+    eye = jnp.eye(n, dtype=dx.dtype) * jnp.inf
+
+    def one_protein(y):
+      dy = jnp.abs(y[:, None] - y[None, :])                    # (N, N)
+      d = jnp.maximum(dx, dy[None]) + eye                      # self excluded
+      kth = -jax.lax.top_k(-d, k)[0][..., -1]                  # (C, N)
+      r = kth[..., None]
+      # sklearn: radius = nextafter(kth, 0) then query_radius(dist <= r),
+      # count includes the query point itself, minus one afterwards — i.e.
+      # strictly-closer-than-kth over all points, self included, minus 1.
+      nx = jnp.sum(dx < r, axis=-1) - 1.0
+      ny = jnp.sum(dy[None] < r, axis=-1) - 1.0
+      mi = (digamma(float(n)) + digamma(float(k))
+            - jnp.mean(digamma(nx + 1.0), axis=-1)
+            - jnp.mean(digamma(ny + 1.0), axis=-1))
+      return jnp.maximum(mi, 0.0)                              # (C,)
+
+    return jax.lax.map(one_protein, ys).T                      # (C, P)
 
   return _mi_chunk
 
@@ -69,7 +78,7 @@ def knn_mutual_information(X: np.ndarray,
                            random_state: int = 8,
                            noise: float = 1e-5,
                            chunk: int | None = None,
-                           mem_budget_bytes: int = 1 << 30) -> np.ndarray:
+                           mem_budget_bytes: int = 2 << 30) -> np.ndarray:
   """MI matrix between every column of ``X`` (N×G) and of ``Y`` (N×P).
 
   Returns a (G, P) float64 array of Kraskov kNN MI estimates (nats).
@@ -100,10 +109,9 @@ def knn_mutual_information(X: np.ndarray,
   if pad:
     # pad with the first column: same compiled shape, results discarded
     Xs = np.concatenate([Xs, np.repeat(Xs[:, :1], pad, axis=1)], axis=1)
-  for j in range(p):
-    yj = Ys[:, j]
-    for lo in range(0, g + pad, chunk):
-      mi = np.asarray(kernel(Xs[:, lo:lo + chunk].T, yj))
-      hi = min(lo + chunk, g)
-      out[lo:hi, j] = mi[:hi - lo]
+  ys = Ys.T  # (P, N): all proteins ride every chunk dispatch
+  for lo in range(0, g + pad, chunk):
+    mi = np.asarray(kernel(Xs[:, lo:lo + chunk].T, ys))
+    hi = min(lo + chunk, g)
+    out[lo:hi] = mi[:hi - lo]
   return out
