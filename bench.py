@@ -131,6 +131,15 @@ def main():
   steady = steady_window_rates(model.history["cells_per_sec"],
                                EPOCHS, METRICS_INTERVAL)
   cells_per_sec = float(np.median(steady))
+  # cold/warm compile accounting (VERDICT r4 §weak 5): window 0 is the
+  # compile window; its wall-clock excess over a steady window ≈ compile
+  # time. fit() wires the persistent XLA compilation cache under
+  # SISUA_EXP, so a SECOND bench run in a fresh process should report
+  # compile_s ≈ 0 (warm cache) — compare across runs.
+  rate0 = float(model.history["cells_per_sec"][0])
+  cells_per_window = N_CELLS * min(METRICS_INTERVAL, EPOCHS)
+  compile_s = max(0.0, cells_per_window / max(rate0, 1.0)
+                  - cells_per_window / cells_per_sec)
   sentinel_post = _sentinel_rate()
   sentinel = float(np.median([sentinel_pre, sentinel_post]))
   result = {
@@ -145,6 +154,8 @@ def main():
       "sentinel_rate": round(sentinel, 1),
       "sentinel_pre_post": [round(sentinel_pre, 1), round(sentinel_post, 1)],
       "sentinel_ratio": round(cells_per_sec / sentinel, 4),
+      # ≈0 when the persistent XLA cache (under SISUA_EXP) is warm
+      "compile_s": round(compile_s, 1),
   }
   print(json.dumps(result))
   return result

@@ -31,6 +31,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from sisua_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 PEAK_BF16 = 197e12
 PEAK_F32 = PEAK_BF16 / 2
 PEAK_HBM = 819e9

@@ -34,7 +34,9 @@ def run_one(seed: int, budget: float, args):
   from sisua_tpu.rv import RVmeta
 
   sco = generate_citeseq(n_cells=args.cells, n_genes=args.genes,
-                         n_proteins=args.proteins, seed=args.data_seed)
+                         n_proteins=args.proteins, seed=args.data_seed,
+                         weak_factors=args.weak_factors,
+                         n_nuisance=3 * args.weak_factors)
   C = sco.numpy("celltype").shape[1]
   train, test = sco.split(0.8, seed=args.data_seed)
   y_te = test.numpy("celltype").argmax(-1)
@@ -90,6 +92,10 @@ def main(argv=None):
   p.add_argument("--seeds", type=int, default=5)
   p.add_argument("--data-seed", type=int, default=0)
   p.add_argument("--budgets", default="0.02,0.1,0.5")
+  p.add_argument("--weak-factors", type=int, default=0,
+                 help="celltype factors expressed only at weak_gene_scale "
+                      "with 3× nuisance factors — the weak-regime simulator "
+                      "of the zoo sweep (results_zoo_weak_*)")
   p.add_argument("--out", default="/tmp/scanvi_annotation.md")
   args = p.parse_args(argv)
 
@@ -109,7 +115,9 @@ def main(argv=None):
   with open(args.out, "w") as f:
     f.write(f"dataset=citeseq cells={args.cells} genes={args.genes} "
             f"epochs={args.epochs} seeds={args.seeds} "
-            f"budgets={args.budgets}\n\n")
+            f"budgets={args.budgets}"
+            + (f" weak_factors={args.weak_factors}"
+               if args.weak_factors else "") + "\n\n")
     f.write("| labels | scanvi_acc | scvi+LR acc | scanvi_f1 | scvi+LR f1 "
             "| majority | scanvi acc wins |\n|---|---|---|---|---|---|---|\n")
     for budget in budgets:

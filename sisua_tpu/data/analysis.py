@@ -640,7 +640,8 @@ class _OMICanalyzer(_OMICbase):
                              n_neighbors: int = 3,
                              random_state: int = 8,
                              ncpu: int = 1,
-                             backend: str = "sklearn") -> pd.DataFrame:
+                             backend: str = "sklearn",
+                             max_cells: Optional[int] = None) -> pd.DataFrame:
     """kNN mutual information between all var pairs of two omics
     (ref :1147-1196, multiprocessed there via odin MPI).
 
@@ -654,7 +655,13 @@ class _OMICanalyzer(_OMICbase):
     ``backend='jax'``: the whole matrix as one batched device computation
     (``ops.knn_mi``) — the TPU-native answer to the reference's process
     pool. Same Kraskov estimator; results agree with sklearn to estimator
-    noise (float32 + a float32-visible jitter amplitude), not bitwise."""
+    noise (float32 + a float32-visible jitter amplitude), not bitwise.
+    The device path tiles the pairwise computation (gene chunks × query
+    blocks), so memory stays bounded at any cell count; the O(N²) *work*
+    still grows, so ``max_cells`` subsamples cells with a seeded
+    permutation (applies to both backends; the Kraskov statistic is a
+    mean over cells — at 20k cells a 5k subsample agrees to ~1e-2 nats,
+    see benchmarks/results_analysis_matrices.md)."""
     from sklearn.feature_selection import mutual_info_regression
     from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
@@ -670,6 +677,10 @@ class _OMICanalyzer(_OMICbase):
     # backends compute the intended tie-broken statistic.
     X = np.asarray(self.numpy(omic1), np.float64)
     Y = np.asarray(self.numpy(omic2), np.float64)
+    if max_cells is not None and X.shape[0] > max_cells:
+      sel = np.random.RandomState(random_state).permutation(
+          X.shape[0])[:max_cells]
+      X, Y = X[sel], Y[sel]
     names2 = [str(n) for n in self.get_var_names(omic2)]
     if backend == "jax":
       from ..ops.knn_mi import knn_mutual_information

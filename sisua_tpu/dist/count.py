@@ -303,8 +303,13 @@ class NegativeBinomialLog(Distribution):
     return jnp.exp(jnp.clip(self.log_disp, -self._EXP_CLIP, self._EXP_CLIP))
 
   def log_prob(self, x):
-    logits = self.log_loc - self.log_disp
-    theta = self.disp
+    # Clip ONCE and derive both logits and θ from the same clipped value:
+    # mixing raw log θ in the logits with clipped θ in the (x+θ)·softplus
+    # term would describe two different distributions for |log θ| > 15 and
+    # the pmf would no longer normalize (ADVICE r4).
+    ld = jnp.clip(self.log_disp, -self._EXP_CLIP, self._EXP_CLIP)
+    logits = self.log_loc - ld
+    theta = jnp.exp(ld)
     sp = jax.nn.softplus(logits)
     return (x * logits - (x + theta) * sp
             + _lgamma_diff(theta, x) - _lgamma(x + 1.0))

@@ -413,7 +413,8 @@ class SingleCellModel:
         alpha=self.alpha, analytic=self.analytic,
         mask_outputs=self.mask_outputs if training else False,
         mask_renorm=self.mask_renorm if training else False,
-        output_masks=self._output_masks(batch))
+        output_masks=self._output_masks(batch),
+        latent_masks=self._latent_masks(batch))
     extra = self._extra_loss(params, aux_params, out, batch, k2, training)
     if extra is not None:
       loss = loss + extra[0]
@@ -435,6 +436,13 @@ class SingleCellModel:
     (MULTIVI mosaic data); ``None`` = all observed. Unlike the
     semi-supervised ``mask`` these apply to every output at train AND
     eval — they encode data missingness, not a supervision budget."""
+    return None
+
+  def _latent_masks(self, batch):
+    """Optional per-latent (B,) KL gates with the same missing-modality
+    semantics — a latent inferred from an unobserved modality branch must
+    not charge that cell's KL (MULTIVI gates the RNA-encoded library
+    latent by the RNA-observed mask)."""
     return None
 
   def _masked_module_input(self, batch, training: bool):
@@ -585,6 +593,11 @@ class SingleCellModel:
     detected budget)."""
     if not self.is_semi_supervised:
       labels_percent = 0.0
+    # persistent XLA compilation cache (under SISUA_EXP): later sessions
+    # skip the 4–20 s per-regime recompile; opt out with
+    # SISUA_NO_COMPILATION_CACHE=1
+    from ..utils.others import enable_compilation_cache
+    enable_compilation_cache()
     # track what the model was fitted on (reference fit :221-226)
     for src in (train, valid):
       if hasattr(src, "omics") and hasattr(src, "get_var_names"):

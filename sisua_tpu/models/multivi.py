@@ -324,18 +324,32 @@ class MULTIVI(SingleCellModel):
     m_a = (jnp.sum(atac, axis=-1) > 0).astype(jnp.float32)
     return [m_r, m_a]
 
+  def _latent_masks(self, batch):
+    """The library latent is encoded from the RNA branch: its KL is gated
+    by the RNA-observed mask so ATAC-only cells (all-zero RNA rows) don't
+    pull the library encoder toward the per-batch prior from non-data
+    (scvi-tools restricts library inference/KL to RNA-observed cells;
+    ADVICE r4). Joint z and the zero-KL modality posteriors stay ungated."""
+    m_r, _ = self._output_masks(batch)
+    return [None, m_r, None, None]
+
   def _extra_loss(self, params, aux_params, out: VAEOutput, batch, key,
                   training: bool):
     """Jeffreys alignment penalty ½·[KL(q_r‖q_a) + KL(q_a‖q_r)] over cells
     with BOTH modalities observed, weighted by ``modality_penalty`` —
     deliberately outside the β schedule (scvi-tools keeps the modality
-    penalty un-annealed)."""
+    penalty un-annealed). Normalized by the PAIRED-cell count, not the
+    batch size: a batch mean would silently dilute the alignment pressure
+    by the paired fraction on heavily mosaic data (90% unpaired → 10×
+    weaker for the same ``modality_penalty``; ADVICE r4)."""
     if self.modality_penalty <= 0:
       return None
     q_r, q_a = out.latents[2], out.latents[3]
     jeff = 0.5 * (D.kl_divergence(q_r, q_a) + D.kl_divergence(q_a, q_r))
     m_r, m_a = self._output_masks(batch)
-    pen = self.modality_penalty * jnp.mean(jeff * m_r * m_a)
+    m = m_r * m_a
+    pen = self.modality_penalty * (
+        jnp.sum(jeff * m) / jnp.maximum(jnp.sum(m), 1.0))
     return pen, {"modality_penalty": pen}
 
   def _dummy_batch(self, batch_size: int = 2):

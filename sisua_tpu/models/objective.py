@@ -113,12 +113,15 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
           logits = count.log_loc - jnp.log(r + 1e-8)
         elif kind == "loglog":
           # fully log-space decode (per-cell-per-gene dispersion): the
-          # kernel receives log θ RAW and exponentiates it inside VMEM
+          # kernel receives log θ and exponentiates it inside VMEM
           # tiles (constrained=False ≡ exp(clip(·, ±15)), exactly the
           # distribution's θ) — neither exp(θ) nor log μ ever become
-          # (B, D) HBM intermediates; logits is the ONE materialized array
-          r = count.log_disp
-          logits = count.log_loc - count.log_disp
+          # (B, D) HBM intermediates; logits is the ONE materialized array.
+          # log θ is clipped HERE, once, so logits and θ derive from the
+          # same value (raw-vs-clipped mismatch denormalizes the pmf for
+          # |log θ| > 15, ADVICE r4); the kernel's clip is then a no-op.
+          r = jnp.clip(count.log_disp, -15.0, 15.0)
+          logits = count.log_loc - r
           constrained = False
         else:
           r = count.disp
@@ -159,6 +162,7 @@ def elbo_terms(out: VAEOutput,
                alpha: float = 1.0,
                mask_renorm: bool = False,
                output_masks: Optional[Sequence[Optional[Array]]] = None,
+               latent_masks: Optional[Sequence[Optional[Array]]] = None,
                ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
   """Per-example log-likelihood and KL dictionaries.
 
@@ -171,6 +175,14 @@ def elbo_terms(out: VAEOutput,
   unlike the semi-supervised ``mask`` they apply to EVERY output
   (including the main omic), at train and eval alike, and are data
   missingness rather than a supervision budget.
+
+  ``latent_masks``: optional per-LATENT (B,) gates with the same
+  missing-modality semantics, for latents inferred from one modality
+  branch — a latent whose evidence is unobserved for a cell must not
+  charge that cell's KL (scvi-tools MULTIVI restricts library
+  inference/KL to RNA-observed cells; an ATAC-only cell's all-zero RNA
+  row would otherwise pull the library encoder toward the prior from
+  non-data, ADVICE r4).
 
   ``mask_renorm`` (extension, off by default): the reference reduces the
   masked label likelihood as a *batch* mean (``Σ llkᵢ·maskᵢ / B``), so the
@@ -204,7 +216,11 @@ def elbo_terms(out: VAEOutput,
   for j, (q, prior, z) in enumerate(
       zip(out.latents, out.priors, out.latent_samples)):
     name = f"z{j}" if j else "z"
-    kl[f"klqp_{name}"] = _kl_term(q, prior, z, analytic)
+    term = _kl_term(q, prior, z, analytic)
+    if latent_masks is not None and j < len(latent_masks) \
+        and latent_masks[j] is not None:
+      term = term * latent_masks[j].astype(term.dtype).reshape(term.shape[0])
+    kl[f"klqp_{name}"] = term
   return llk, kl
 
 
@@ -217,11 +233,13 @@ def compute_loss(out: VAEOutput,
                  mask_outputs: bool = False,
                  mask_renorm: bool = False,
                  output_masks: Optional[Sequence[Optional[Array]]] = None,
+                 latent_masks: Optional[Sequence[Optional[Array]]] = None,
                  ) -> Tuple[Array, Dict[str, Array]]:
   """Scalar −ELBO plus scalar metrics (means over the batch)."""
   llk, kl = elbo_terms(out, targets, mask=mask, analytic=analytic,
                        mask_outputs=mask_outputs, alpha=alpha,
-                       mask_renorm=mask_renorm, output_masks=output_masks)
+                       mask_renorm=mask_renorm, output_masks=output_masks,
+                       latent_masks=latent_masks)
   total_llk = sum(llk.values())
   total_kl = sum(kl.values())
   elbo = total_llk - beta * total_kl

@@ -1,7 +1,7 @@
 from .io_utils import (load_data_from_csv, save_data, save_data_to_R,
                        save_data_to_csv)
 from .others import (UnitTimer, anything2image, apply_threshold,
-                     mpi_map,
+                     enable_compilation_cache, mpi_map,
                      dimension_reduction, filtering_experiment_path,
                      profile_trace, steady_window_rates,
                      thresholding_by_sparsity,

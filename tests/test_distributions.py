@@ -310,3 +310,20 @@ def test_nb_full_log_space_parity():
                                 log_disp=jnp.float32(40.0))
   assert np.isfinite(float(extreme.log_prob(jnp.float32(3.0))))
   assert np.isfinite(float(extreme.disp))
+  # ... AND stays a normalized pmf: beyond the clip the distribution must
+  # equal NB(μ, θ=e^±15) exactly — both logits and θ derive from the SAME
+  # clipped log θ (raw-logits + clipped-θ described two different
+  # distributions and denormalized the pmf, ADVICE r4)
+  ex = NegativeBinomialLog(log_loc=jnp.float32(1.0),
+                           log_disp=jnp.float32(40.0))
+  clipped = NegativeBinomialDisp(loc=jnp.exp(jnp.float32(1.0)),
+                                 disp=jnp.exp(jnp.float32(15.0)))
+  xs = jnp.arange(0.0, 400.0)
+  np.testing.assert_allclose(np.asarray(ex.log_prob(xs)),
+                             np.asarray(clipped.log_prob(xs)),
+                             rtol=1e-4, atol=1e-3)
+  for ld_ex in (40.0, -40.0):
+    ex = NegativeBinomialLog(log_loc=jnp.float32(1.0),
+                             log_disp=jnp.float32(ld_ex))
+    total = float(jnp.sum(jnp.exp(ex.log_prob(xs))))
+    assert abs(total - 1.0) < 1e-3, f"pmf not normalized: {total}"

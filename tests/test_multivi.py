@@ -87,6 +87,48 @@ def test_multivi_mosaic_gating():
   assert np.abs(z[8:] - z0[8:]).max() > 1e-3            # paired rows
 
 
+def test_multivi_library_kl_gated_and_jeffreys_normalized():
+  """ADVICE r4: (a) the RNA-encoded library latent must not charge KL for
+  ATAC-only cells (scvi-tools restricts library inference/KL to
+  RNA-observed cells); (b) the Jeffreys penalty is normalized by the
+  PAIRED-cell count, so appending unpaired cells to a batch must not
+  dilute the alignment pressure on the paired ones."""
+  import jax
+  import jax.numpy as jnp
+  sco = generate_multiome(n_cells=400, n_genes=60, n_regions=80, seed=5)
+  m = _model(60, 80, seed=5)
+  m._ensure_initialized()
+  state = m.state
+  X = np.asarray(sco.numpy("transcriptomic"))[:32].astype(np.float32)
+  A = np.asarray(sco.numpy("atac"))[:32].astype(np.float32)
+  # make every row observed in both modalities
+  X = X + (X.sum(1, keepdims=True) == 0)
+  A = A + (A.sum(1, keepdims=True) == 0)
+  key = jax.random.PRNGKey(0)
+
+  def metrics_of(x, a):
+    batch = {"inputs": [jnp.asarray(x), jnp.asarray(a)]}
+    _, (mets, _, _) = m._loss(state.params, state.batch_stats, batch, key,
+                              1.0, training=False,
+                              aux_params=state.aux_params)
+    return {k: float(v) for k, v in mets.items()}
+
+  paired = metrics_of(X, A)
+  assert paired["klqp_z1"] > 1e-6, paired
+  # all-ATAC batch: library KL fully gated off
+  atac_only = metrics_of(np.zeros_like(X), A)
+  assert abs(atac_only["klqp_z1"]) < 1e-6, atac_only
+  # half-paired batch: penalty equals the all-paired batch's (per-paired-
+  # cell mean), not half of it
+  mixed = metrics_of(np.concatenate([X, np.zeros_like(X)]),
+                     np.concatenate([A, A]))
+  np.testing.assert_allclose(mixed["modality_penalty"],
+                             paired["modality_penalty"], rtol=1e-4)
+  # and the library KL metric (a batch mean) halves, exactly
+  np.testing.assert_allclose(mixed["klqp_z1"], 0.5 * paired["klqp_z1"],
+                             rtol=1e-4)
+
+
 def test_multivi_save_load_roundtrip(tmp_path, multiome):
   m = _model(120, 160, seed=3)
   m.fit(multiome, epochs=2, batch_size=128, valid_freq=0)
