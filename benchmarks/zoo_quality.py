@@ -36,19 +36,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 METRIC_COLS = ["imputation_med", "spearman_mean", "pearson_mean",
                "protein_spearman_mean", "protein_spearman_dc", "f1_macro",
-               "latent_ARI", "latent_NMI"]
+               "celltype_acc", "latent_ARI", "latent_NMI"]
 
 # families whose protein prediction is semi-supervised (head-predicted);
 # everything else sees proteins only through the downstream baseline.
 # totalvi models ADT as a FULLY observed modality (no masking — real-totalVI
 # semantics); totalvi_semi is the masked extension that honors the label
-# budget (mask_protein=True: masked likelihood + zeroed encoder slice)
-SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi")
+# budget (mask_protein=True: masked likelihood + zeroed encoder slice).
+# scanvi supervises CELLTYPE (not proteins): its label-efficiency protocol
+# lives in benchmarks/scanvi_annotation.py; here it contributes
+# celltype_acc + the shared unsupervised metrics
+SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi",
+                 "scanvi")
 
 
-def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0):
-  from sisua_tpu.models import (FVAE, LDVAE, MISA, SCALAR, SCALE, SCVI,
-                                SISUA, SCScope, TotalVI, VAE,
+def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0,
+              C=0):
+  from sisua_tpu.models import (FVAE, LDVAE, MISA, SCALAR, SCALE, SCANVI,
+                                SCVI, SISUA, SCScope, TotalVI, VAE,
                                 DeepCountAutoencoder, NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
@@ -82,6 +87,12 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0):
                                       seed=seed, mask_protein=True,
                                       mask_renorm=mask_renorm),
   }
+  if C > 0:
+    # semi-supervised annotation over celltype labels (VERDICT r4
+    # next-round 1: SCANVI rows in the zoo where the simulator permits)
+    zoo["scanvi"] = lambda: SCANVI(
+        [RVmeta(G, "zinbd", name="rna"),
+         RVmeta(C, "onehot", name="celltype")], seed=seed)
   if P <= 0:
     # RNA-only dataset (e.g. cortex): the semi-supervised families need a
     # protein omic to supervise on — drop them instead of building a
@@ -143,6 +154,10 @@ def evaluate(model, test, train=None, labels_percent=0.5, seed=0):
     scores["latent_NMI"] = cs["NMI"]
   except Exception:
     pass
+  if hasattr(model, "predict_labels") and "celltype" in test.omics:
+    probs = model.predict_labels(test)
+    y = np.asarray(test.numpy("celltype")).argmax(-1)
+    scores["celltype_acc"] = float((probs.argmax(-1) == y).mean())
   if train is not None and "proteomic" in test.omics:
     try:
       scores["protein_spearman_dc"] = downstream_protein_spearman(
@@ -217,8 +232,9 @@ def main(argv=None):
     train, test = sco.split(0.8, seed=seed)
     G = train.n_vars
     P = train.get_dim("proteomic") if "proteomic" in train.omics else 0
+    C = train.get_dim("celltype") if "celltype" in train.omics else 0
     zoo = build_zoo(G, P, nets, seed=seed, n_batch=args.n_batch,
-                    mask_renorm=args.mask_renorm, alpha=args.alpha)
+                    mask_renorm=args.mask_renorm, alpha=args.alpha, C=C)
     if args.models:
       keep = set(args.models.split(","))
       zoo = {k: v for k, v in zoo.items() if k in keep}

@@ -294,8 +294,26 @@ def _zinb_grads_elem(x, count_raw, logits, gate, constrained: bool):
           jnp.where(iszero, dzero_dg, dpos_dg))
 
 
+def _bwd_write_dtype():
+  """dtype of the backward kernel's (B, D) gradient WRITES (read at trace
+  time). The fused backward is bound by its 3×(B, D) f32 gradient writes
+  (results_kernel_probe.md, Backward note); bf16 halves those bytes. The
+  per-row cotangent is uniform across a row and the fields are O(1)-scale,
+  so bf16's 8 mantissa bits cost ~1e-2 relative on individual elements —
+  and the consumers are the decoder's matmul transposes, which the MXU
+  runs in bf16 anyway. Per-gene (1, D) accumulators always stay f32 (they
+  accumulate across row blocks). A/B: benchmarks/bwd_dtype_ab.py."""
+  name = os.environ.get("SISUA_TPU_BWD_WRITES", _BWD_WRITES_DEFAULT)
+  return jnp.bfloat16 if name == "bf16" else jnp.float32
+
+
+# default set by the measured A/B (benchmarks/results_bwd_dtype_ab.md);
+# "f32" until the win + convergence parity are recorded
+_BWD_WRITES_DEFAULT = "f32"
+
+
 def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
-                     pg=(False, False, False)):
+                     pg=(False, False, False), out_dtype=jnp.float32):
   """Fused backward: the three elementwise gradient fields in one pass
   (the XLA digamma pair over b×d elements was ~40% of the wide-gene
   step; in-kernel it rides the same tiling as the forward).
@@ -308,7 +326,10 @@ def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
   (columns, rows): rows iterate innermost, so each (1, block_d)
   accumulator's revisits are consecutive and it stays resident in VMEM
   for its entire reduction (the Mosaic-supported pattern — the forward's
-  row-sum accumulates over inner columns the same way)."""
+  row-sum accumulates over inner columns the same way).
+
+  ``out_dtype`` applies to the full (B, D) gradient fields only — the
+  write-bound bytes; per-gene accumulators are always f32."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
@@ -335,7 +356,7 @@ def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
         def _acc(ref=ref, partial=partial):
           ref[:] += partial
       else:
-        ref[:] = g * field
+        ref[:] = (g * field).astype(out_dtype)
 
   def call(x, count_raw, logits, gate, g):
     b = x.shape[0]
@@ -356,7 +377,7 @@ def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
     full_spec = spec((block_b, block_d), lambda i, j: (i, j))
     gene_spec = spec((1, block_d), lambda i, j: (0, j))
     row_spec = spec((block_b, 1), lambda i, j: (i, 0))
-    full_shape = jax.ShapeDtypeStruct((b, d_pad), jnp.float32)
+    full_shape = jax.ShapeDtypeStruct((b, d_pad), out_dtype)
     gene_shape = jax.ShapeDtypeStruct((1, d_pad), jnp.float32)
     grads = pl.pallas_call(
         kernel,
@@ -429,9 +450,16 @@ def _zinb_bwd(constrained, res, g):
   pg = (_pg_flags(x, count_raw, logits, gate)
         if x.ndim == 2 and g.ndim == 1 else None)
   if pg is not None and pallas_available() and x.shape[0] % 8 == 0:
+    out_dtype = _bwd_write_dtype()
     call = _make_bwd_kernel(x.shape[1], _block_b(x.shape[0]), constrained,
-                            pg)
+                            pg, out_dtype=out_dtype)
     d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
+    if out_dtype != jnp.float32:
+      # custom_vjp cotangents must match primal dtype; the f32 convert is
+      # a pure elementwise op XLA fuses into each consumer's operand read
+      # (the decoder matmul transposes), so the bf16 array stays the only
+      # materialized gradient buffer — the write savings survive
+      d_cr, d_l, d_g = (a.astype(jnp.float32) for a in (d_cr, d_l, d_g))
     return None, d_cr, d_l, d_g
   d_r, d_l, d_g = _zinb_grads_elem(x, count_raw, logits, gate, constrained)
   gb = jnp.expand_dims(g, -1)               # per-row cotangent → per-element
