@@ -123,9 +123,11 @@ def run_seed(seed, args):
         model = ctor()
         t0 = time.perf_counter()
         # output RVs are NAMED after omics, so fit/predict select the
-        # right modality from the multi-omic container by name
+        # right modality from the multi-omic container by name;
+        # device_cache: one-executable epochs (per-step streaming pays a
+        # tunnel RPC per batch on remote-attached chips)
         model.fit(train, epochs=args.epochs, batch_size=args.batch,
-                  valid_freq=0, patience=0)
+                  valid_freq=0, patience=0, device_cache=True)
         fit_s = time.perf_counter() - t0
         row = {"model": tag, "seed": seed,
                "train_loss": round(float(model.history["loss"][-1]), 1),

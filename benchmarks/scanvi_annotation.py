@@ -46,8 +46,12 @@ def run_one(seed: int, budget: float, args):
   # SCANVI: amortized classifier + unlabeled marginalization
   m = SCANVI([RVmeta(args.genes, "zinbd", name="transcriptomic"),
               RVmeta(C, "onehot", name="celltype")], seed=seed, **nets)
+  # device_cache: whole-dataset-resident epochs in one executable — the
+  # per-step host→device streaming path pays a full tunnel RPC per batch
+  # on remote-attached chips (measured ~13 min/row vs ~1)
   m.fit(train, epochs=args.epochs, batch_size=args.batch,
-        labels_percent=budget, verbose=False)
+        labels_percent=budget, valid_freq=0, patience=0,
+        device_cache=True, verbose=False)
   probs = m.predict_labels(test)
   y_hat = probs.argmax(-1)
   row = {
@@ -59,7 +63,8 @@ def run_one(seed: int, budget: float, args):
   # baseline: unsupervised SCVI latent -> logistic regression on the same
   # label fraction (the zoo's downstream-classifier protocol)
   b = SCVI(RVmeta(args.genes, "zinbd", name="transcriptomic"), seed=seed)
-  b.fit(train, epochs=args.epochs, batch_size=args.batch, verbose=False)
+  b.fit(train, epochs=args.epochs, batch_size=args.batch, valid_freq=0,
+        patience=0, device_cache=True, verbose=False)
   def _latent(model, data):
     _, qZ = model.predict(data)
     qs = qZ if isinstance(qZ, (tuple, list)) else (qZ,)

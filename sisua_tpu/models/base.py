@@ -989,15 +989,29 @@ class SingleCellModel:
     # Merge across minibatches: output distributions carry leading MC sample
     # dims (batch axis = len(sample_shape)); latent posteriors never do
     # (batch axis = 0). Priors are per-batch constants — not merged.
+    # Batch-INVARIANT parameter rows (e.g. the (1, D) per-gene dispersion of
+    # SCVI's 'single' mode / MULTIVI) must NOT be concatenated: stacking k
+    # identical rows makes a phantom (k, D) leaf whose broadcast against the
+    # (N, D) mean fails. They are recognized by leading dim 1 (constants
+    # never gain MC sample dims) + bit-equality across batches — per-cell
+    # leaves over different cells are never bit-identical.
     ax_out = len(sample_shape)
-    pX = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate(xs, axis=ax_out),
-        *[o.outputs for o in outs])
+
+    def _merge(axis):
+      def m(*xs):
+        x0 = xs[0]
+        if (len(xs) > 1 and np.shape(x0) == np.shape(xs[1])
+            and np.ndim(x0) >= 1 and np.shape(x0)[0] == 1
+            and all(np.array_equal(x0, x) for x in xs[1:])):
+          return x0
+        return np.concatenate(xs, axis=axis)
+      return m
+
+    pX = jax.tree_util.tree_map(_merge(ax_out), *[o.outputs for o in outs])
     # modules may carry extra nuisance posteriors (e.g. TotalVI's q(log β))
     # beyond the model's declared latents — only the embeddings are merged
     qZ = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate(xs, axis=0),
-        *[o.latents[:self.n_latents] for o in outs])
+        _merge(0), *[o.latents[:self.n_latents] for o in outs])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
@@ -1033,12 +1047,30 @@ class SingleCellModel:
     params, batch_stats = self._infer_state(mesh)
     ax_out = len(sample_shape)
 
-    def merge(leaf, ax, n):
+    def merge(leaf, ax, n, B):
+      # batch-invariant parameter rows (per-gene (1, D) dispersion etc.):
+      # lax.map stacked k identical copies → keep one (see the streaming
+      # merge above for the rationale); constants never gain sample dims,
+      # so the per-batch leaf is exactly (1, D) → stacked (k, 1, D) —
+      # rank 3 with a singleton middle while true batch width B > 1
+      if (leaf.ndim == 3 and leaf.shape[1] == 1 and B != 1
+          and (leaf.shape[0] == 1 or np.array_equal(leaf[0], leaf[-1]))):
+        return leaf[0]
       # (k, S..., B, ...) → (S..., k·B, ...) → trim padding to n rows
       leaf = np.moveaxis(leaf, 0, ax)
       s = leaf.shape
       leaf = leaf.reshape(s[:ax] + (s[ax] * s[ax + 1],) + s[ax + 2:])
       return leaf[(slice(None),) * ax + (slice(0, n),)]
+
+    def _concat_chunks(axis):
+      def m(*xs):
+        x0 = xs[0]
+        if (len(xs) > 1 and np.shape(x0) == np.shape(xs[1])
+            and np.ndim(x0) >= 1 and np.shape(x0)[0] == 1
+            and all(np.array_equal(x0, x) for x in xs[1:])):
+          return x0
+        return np.concatenate(xs, axis=axis)
+      return m
 
     parts = []
     for rows, nv in self._iter_serving_chunks(feeder, mesh):
@@ -1048,17 +1080,15 @@ class SingleCellModel:
       outputs, latents = jax.device_get(
           run(params, batch_stats, xb, lib_b, keys))  # one fetch/chunk
       parts.append((
-          jax.tree_util.tree_map(lambda x: merge(x, ax_out, n), outputs),
-          jax.tree_util.tree_map(lambda x: merge(x, 0, n), latents)))
+          jax.tree_util.tree_map(lambda x: merge(x, ax_out, n, B), outputs),
+          jax.tree_util.tree_map(lambda x: merge(x, 0, n, B), latents)))
     if len(parts) == 1:
       pX, qZ = parts[0]
     else:
       pX = jax.tree_util.tree_map(
-          lambda *xs: np.concatenate(xs, axis=ax_out),
-          *[p[0] for p in parts])
+          _concat_chunks(ax_out), *[p[0] for p in parts])
       qZ = jax.tree_util.tree_map(
-          lambda *xs: np.concatenate(xs, axis=0),
-          *[p[1] for p in parts])
+          _concat_chunks(0), *[p[1] for p in parts])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ

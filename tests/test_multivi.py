@@ -129,6 +129,28 @@ def test_multivi_library_kl_gated_and_jeffreys_normalized():
                              rtol=1e-4)
 
 
+def test_multivi_predict_merges_per_gene_dispersion(multiome):
+  """Multi-batch predict must keep batch-invariant (1, D) parameter rows
+  (MULTIVI's single per-gene dispersion) as ONE row — the old tree-concat
+  stacked k identical copies into a phantom (k, D) leaf whose broadcast
+  against the (N, D) mean raised (found by the multiome zoo sweep)."""
+  m = _model(120, 160, seed=4)
+  m.fit(multiome, epochs=1, batch_size=128, valid_freq=0)
+  n = multiome.n_obs  # 1200 → 5 batches of 256
+  for kwargs in ({}, {"device_cache": True}):
+    pX, qZ = m.predict(multiome, batch_size=256, **kwargs)
+    mean = np.asarray(pX[0].mean())
+    assert mean.shape == (n, 120), (kwargs, mean.shape)
+    disp = np.asarray(pX[0].base.disp)
+    assert disp.shape == (1, 120), (kwargs, disp.shape)
+    z = np.asarray(qZ[0].mean())
+    assert z.shape[0] == n, (kwargs, z.shape)
+  # MC sample dims: constants stay (1, D), means carry (S, N, D)
+  pX, _ = m.predict(multiome, batch_size=256, sample_shape=3)
+  mean = np.asarray(pX[0].mean())
+  assert mean.shape == (3, n, 120), mean.shape
+
+
 def test_multivi_save_load_roundtrip(tmp_path, multiome):
   m = _model(120, 160, seed=3)
   m.fit(multiome, epochs=2, batch_size=128, valid_freq=0)

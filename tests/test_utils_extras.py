@@ -268,3 +268,36 @@ def test_steady_window_rates():
   # truncated history (early stop) degrades, never IndexError
   assert steady_window_rates([7.], epochs=48, interval=8) == [7.]
   assert steady_window_rates([10.] * 4 + [50.], epochs=48, interval=4) == [50.]
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+  """Persistent-cache helper contract (VERDICT r4 §weak 5): explicit dir
+  always wins, SISUA_NO_COMPILATION_CACHE opts out, CPU backends stay
+  opt-in (AOT entries encode host machine features), and the call is
+  idempotent."""
+  from sisua_tpu.utils import others
+
+  monkeypatch.setattr(others, "_COMP_CACHE_STATE", {"dir": None})
+  monkeypatch.setenv("SISUA_NO_COMPILATION_CACHE", "1")
+  assert others.enable_compilation_cache(str(tmp_path / "a")) is None
+
+  monkeypatch.delenv("SISUA_NO_COMPILATION_CACHE")
+  # CPU backend (the test environment) without an explicit dir → opt-in
+  monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+  monkeypatch.delenv("SISUA_COMPILATION_CACHE_CPU", raising=False)
+  assert others.enable_compilation_cache() is None
+
+  # explicit dir wins even on CPU, creates the directory, sets jax config
+  import jax
+  old = jax.config.jax_compilation_cache_dir
+  try:
+    d = str(tmp_path / "cache")
+    got = others.enable_compilation_cache(d)
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent: second call returns the active dir, ignores a new one
+    assert others.enable_compilation_cache(str(tmp_path / "other")) == d
+  finally:
+    # tmp_path is deleted after the test — don't leave the session's
+    # cache pointed at a vanishing directory
+    jax.config.update("jax_compilation_cache_dir", old)
