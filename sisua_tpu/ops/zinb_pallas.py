@@ -307,9 +307,12 @@ def _bwd_write_dtype():
   return jnp.bfloat16 if name == "bf16" else jnp.float32
 
 
-# default set by the measured A/B (benchmarks/results_bwd_dtype_ab.md);
-# "f32" until the win + convergence parity are recorded
-_BWD_WRITES_DEFAULT = "f32"
+# default set by the measured A/B (benchmarks/results_bwd_dtype_ab.md):
+# bf16 writes are 1.03–1.06× on the whole fused fwd+bwd at {1024,2048}×33k
+# in both dispersion modes, gradients agree to ≤3.2e-3 max rel, and the
+# 20k×4000 SCVI convergence overlay diverges ≤7.6e-4 in loss — a small,
+# consistent, numerically-free win, kept per SURVEY §7.1 step 9
+_BWD_WRITES_DEFAULT = "bf16"
 
 
 def _make_bwd_kernel(d: int, block_b: int, constrained: bool,

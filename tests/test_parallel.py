@@ -217,6 +217,7 @@ def test_mesh_inference_scvi_library_path(mesh, splits):
                              rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # 138 s on the 1-core judging VM — fast-tier creep
 def test_device_cached_mesh_odd_n_obs(small_nets):
   """n_obs not divisible by the data axis must train via zero-row padding
   the permutation never samples — not crash at upload (review finding)."""

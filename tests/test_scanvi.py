@@ -118,6 +118,7 @@ def test_scanvi_annotation_beats_majority():
   assert accs[0.1] > max(0.4, 2 * majority), accs
 
 
+@pytest.mark.slow  # 115 s on the 1-core judging VM — fast-tier creep
 def test_scanvi_from_experimenter_config(tmp_path):
   """CLI/experimenter path: SCANVI selects [main omic, celltype] from the
   per-omic variables config (supervised_omics filter), skipping proteomic."""
