@@ -89,9 +89,14 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0,
   }
   if C > 0:
     # semi-supervised annotation over celltype labels (VERDICT r4
-    # next-round 1: SCANVI rows in the zoo where the simulator permits)
+    # next-round 1: SCANVI rows in the zoo where the simulator permits).
+    # Output names MUST be omic names here: with non-omic names ("rna")
+    # the feeder falls back to positional omic selection, which for
+    # (rna, celltype) outputs silently trains the label head on the
+    # PROTEOMIC matrix (10-dim, shape-compatible — loss 24k, acc at
+    # chance; caught by this sweep's first run)
     zoo["scanvi"] = lambda: SCANVI(
-        [RVmeta(G, "zinbd", name="rna"),
+        [RVmeta(G, "zinbd", name="transcriptomic"),
          RVmeta(C, "onehot", name="celltype")], seed=seed)
   if P <= 0:
     # RNA-only dataset (e.g. cortex): the semi-supervised families need a

@@ -522,6 +522,22 @@ class SingleCellModel:
         omics = rv_names
       else:
         omics = list(data.omics)[: self.n_outputs]
+        matched = [n for n in rv_names if n in avail]
+        if matched and len(rv_names) > 1:
+          # Half-matched names are almost always a naming slip, and the
+          # positional pick can be silently WRONG with shape-compatible
+          # data (e.g. outputs ('rna', 'celltype') on a container ordered
+          # (transcriptomic, proteomic, celltype) trains the label head
+          # on the 10-dim PROTEIN matrix — loss huge, accuracy at chance;
+          # caught live by the zoo sweep's scanvi row).
+          import warnings
+          warnings.warn(
+              f"Output RV names {rv_names} only partially match the "
+              f"dataset's omics {sorted(avail)}; falling back to the "
+              f"POSITIONAL omics {omics}. If a label head is involved "
+              "this silently trains on the wrong matrix — name every "
+              "output RV after its omic to select by name.",
+              stacklevel=3)
       extra = None
       if self.n_batch:
         extra = [self._batch_onehot(data)]

@@ -156,3 +156,27 @@ def test_scanvi_from_experimenter_config(tmp_path):
   names = [rv.name for rv in model.outputs]
   assert names[0] == "transcriptomic" and names[1] == "celltype"
   assert "proteomic" not in names
+
+
+def test_partial_omic_name_mismatch_warns():
+  """Output RVs whose names only PARTIALLY match the container's omics
+  fall back to positional selection — which can silently train a label
+  head on a shape-compatible wrong matrix (caught live: ('rna',
+  'celltype') outputs picked the 10-dim proteomic matrix for the
+  classifier). The fallback must warn; fully-matched names must not."""
+  import warnings
+  from sisua_tpu.data import generate_citeseq
+  sco = generate_citeseq(n_cells=120, n_genes=40, n_proteins=10, seed=0)
+  C = sco.get_dim("celltype")
+  bad = SCANVI([RVmeta(40, "zinbd", name="rna"),
+                RVmeta(C, "onehot", name="celltype")], seed=0)
+  with pytest.warns(UserWarning, match="partially match"):
+    bad._to_feeder(sco, 64, 0.5, shuffle=False)
+  good = SCANVI([RVmeta(40, "zinbd", name="transcriptomic"),
+                 RVmeta(C, "onehot", name="celltype")], seed=0)
+  with warnings.catch_warnings():
+    warnings.simplefilter("error")
+    feeder = good._to_feeder(sco, 64, 0.5, shuffle=False)
+  # by-name selection: the label source is the celltype matrix
+  batch = next(feeder.full_batches())
+  assert batch["inputs"][1].shape[1] == C
