@@ -657,11 +657,14 @@ class _OMICanalyzer(_OMICbase):
     pool. Same Kraskov estimator; results agree with sklearn to estimator
     noise (float32 + a float32-visible jitter amplitude), not bitwise.
     The device path tiles the pairwise computation (gene chunks × query
-    blocks), so memory stays bounded at any cell count; the O(N²) *work*
-    still grows, so ``max_cells`` subsamples cells with a seeded
-    permutation (applies to both backends; the Kraskov statistic is a
-    mean over cells — at 20k cells a 5k subsample agrees to ~1e-2 nats,
-    see benchmarks/results_analysis_matrices.md)."""
+    blocks), so memory stays bounded at any cell count — but its O(N²)
+    WORK crosses over against sklearn's O(N log N) KD-tree: measured
+    5.4× FASTER at 1500 cells, ~6× SLOWER at 20k
+    (benchmarks/results_analysis_matrices.md). Guidance: 'jax' for
+    N ≲ ~5k cells; above that stay on 'sklearn' (+``ncpu``) or pass
+    ``max_cells`` (seeded cell subsampling, applies to both backends;
+    the Kraskov statistic is a mean over cells, though its small-MI
+    bias is N-dependent — see the measured table)."""
     from sklearn.feature_selection import mutual_info_regression
     from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
