@@ -6,8 +6,13 @@ Runs anywhere (CPU-JAX included); on remote-attached TPU chips the
 transfer compression is worth ~2× end-to-end (RESULTS.md "Inference /
 serving throughput").
 
-  JAX_PLATFORMS=cpu PYTHONPATH=. python tutorials/serving.py
+  JAX_PLATFORMS=cpu python tutorials/serving.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

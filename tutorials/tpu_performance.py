@@ -4,8 +4,13 @@ Runs anywhere (CPU-JAX included) with small sizes; on a real TPU the same
 code is what produced RESULTS.md's numbers (1.23M cells/s scVI headline
 protocol, 1.20M cells/s at 100k cells, 1.39M cells/s at 1M cells).
 
-  JAX_PLATFORMS=cpu PYTHONPATH=. python tutorials/tpu_performance.py
+  JAX_PLATFORMS=cpu python tutorials/tpu_performance.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np
