@@ -102,6 +102,95 @@ def _grad_agreement(per_gene, b=256, d=4096):
   return rels  # [d_r, d_logits, d_gate] max rel err vs f32
 
 
+def _operands_window(per_gene, operands_bf16):
+  import jax
+  import jax.numpy as jnp
+
+  from sisua_tpu.ops import zinb_pallas as zp
+
+  def loss(r, l, g, x):
+    return jnp.sum(zp.zinb_log_prob_rowsum(x, r, l, g, constrained=True))
+
+  vag = jax.value_and_grad(loss, argnums=(0, 1, 2))
+
+  @jax.jit
+  def window(x, r, l, g):
+    def body(acc, _):
+      v, grads = vag(r + acc.astype(r.dtype) * 1e-30, l, g, x)
+      return v + sum(jnp.sum(gr).astype(jnp.float32) * 1e-30
+                     for gr in grads), None
+    acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=R)
+    return acc
+
+  def prep(args):
+    x, r, l, g = args
+    if operands_bf16:
+      cast = lambda a: (a.astype(jnp.bfloat16)  # noqa: E731
+                        if a.shape == x.shape else a)
+      r, l, g = cast(r), cast(l), cast(g)
+    return x, r, l, g
+
+  return window, prep
+
+
+def operands_ab(shapes, out_lines):
+  """bf16 OPERAND reads A/B (r5 follow-up to the write A/B): full (B, D)
+  parameter fields stored/read at 2 B/element, math still f32 in-kernel."""
+  import numpy as np
+  out_lines.append("")
+  out_lines.append("bf16 operand mode (SISUA_TPU_FWD_OPERANDS=bf16 "
+                   "equivalent; x stays f32, per-gene rows stay f32):")
+  out_lines.append("")
+  out_lines.append("| shape | dispersion | f32-ops ms | bf16-ops ms | "
+                   "speedup |")
+  out_lines.append("|---|---|---|---|---|")
+  for b, d in shapes:
+    for per_gene in (True, False):
+      times = {}
+      for mode in (False, True):
+        os.environ["SISUA_TPU_BWD_WRITES"] = "bf16"  # HEAD default
+        window, prep = _operands_window(per_gene, mode)
+        args = prep(_operands(b, d, per_gene))
+        times[mode] = _time(window, args)
+      row = {"batch": b, "genes": d, "operands": "bf16-ab",
+             "dispersion": "per-gene" if per_gene else "full(B,D)",
+             "f32_ops_ms": round(times[False] * 1e3, 2),
+             "bf16_ops_ms": round(times[True] * 1e3, 2),
+             "speedup": round(times[False] / times[True], 3)}
+      out_lines.append(
+          f"| {b}×{d} | {row['dispersion']} | {row['f32_ops_ms']} | "
+          f"{row['bf16_ops_ms']} | {row['speedup']}× |")
+      print(json.dumps(row), flush=True)
+  # grad agreement vs the all-f32 reference
+  import jax
+  import jax.numpy as jnp
+
+  from sisua_tpu.ops import zinb_pallas as zp
+
+  def loss(r, l, g, x):
+    return jnp.sum(zp.zinb_log_prob_rowsum(x, r, l, g, constrained=True))
+
+  for per_gene in (True, False):
+    args = _operands(256, 4096, per_gene)
+    x, r, l, g = args
+    ref = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(r, l, g, x)
+    _, prep = _operands_window(per_gene, True)
+    xb, rb, lb, gb = prep(args)
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(rb, lb, gb, xb)
+    rels = []
+    for a, bb_ in zip(ref, got):
+      a = np.asarray(a, np.float64)
+      bb_ = np.asarray(bb_, np.float64)
+      rels.append(float(np.abs(a - bb_).max()
+                        / max(np.abs(a).max(), 1e-12)))
+    out_lines.append(
+        f"grad agreement bf16-ops ({'per-gene' if per_gene else 'full'} "
+        f"dispersion, 256×4096): max rel err vs f32 "
+        + ", ".join(f"{v:.2e}" for v in rels))
+    print(json.dumps({"per_gene": per_gene,
+                      "operand_grad_rel_err": rels}), flush=True)
+
+
 def kernel_ab(shapes, out_lines):
   import numpy as np
   rows = []
@@ -128,8 +217,8 @@ def kernel_ab(shapes, out_lines):
 
 
 def convergence_ab(out_lines, cells=20000, genes=4000, batch=1024,
-                   epochs=12):
-  """Same data, same seeds, both write dtypes: loss trajectory overlay."""
+                   epochs=12, env_var="SISUA_TPU_BWD_WRITES"):
+  """Same data, same seeds, both dtypes of ``env_var``: loss overlay."""
   import numpy as np
 
   from sisua_tpu.data import generate_synthetic
@@ -139,7 +228,7 @@ def convergence_ab(out_lines, cells=20000, genes=4000, batch=1024,
                            seed=5218)
   hist = {}
   for mode in ("f32", "bf16"):
-    os.environ["SISUA_TPU_BWD_WRITES"] = mode
+    os.environ[env_var] = mode
     m = SCVI(RVmeta(genes, "zinbd", name="rna"),
              latents=RVmeta(16, "diag", name="latents"),
              encoder=NetConf((256,), batchnorm=True), seed=0)
@@ -169,6 +258,9 @@ def main(argv=None):
   p = argparse.ArgumentParser("bwd_dtype_ab")
   p.add_argument("--out", default="/tmp/bwd_dtype_ab.md")
   p.add_argument("--skip-convergence", action="store_true")
+  p.add_argument("--operands", action="store_true",
+                 help="run the bf16 OPERAND-read A/B instead of the "
+                      "write A/B (r5 follow-up)")
   args = p.parse_args(argv)
 
   import jax
@@ -180,6 +272,16 @@ def main(argv=None):
            "",
            "| shape | dispersion | f32 ms | bf16 ms | bf16 speedup |",
            "|---|---|---|---|---|"]
+  if args.operands:
+    operands_ab([(1024, 33000), (2048, 33000)], lines)
+    if not args.skip_convergence:
+      # f32-ops vs bf16-ops trajectories (writes at HEAD default in both)
+      convergence_ab(lines, env_var="SISUA_TPU_FWD_OPERANDS")
+      os.environ.pop("SISUA_TPU_FWD_OPERANDS", None)
+    with open(args.out, "w") as f:
+      f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    return
   kernel_ab([(1024, 33000), (2048, 33000)], lines)
   for per_gene in (True, False):
     rels = _grad_agreement(per_gene)

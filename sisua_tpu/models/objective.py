@@ -126,6 +126,26 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
         else:
           r = count.disp
           logits = zp._disp_to_logits(count.loc, r)
+        import os
+        if os.environ.get("SISUA_TPU_FWD_OPERANDS", "f32") == "bf16" \
+            and x.shape[0] % 16 == 0:
+          # bf16-operand mode: full (B, D) parameter fields move to/from
+          # HBM at 2 B/element (the producer matmul's convert fuses into
+          # its epilogue, so the bf16 array is the only materialization);
+          # per-gene (1, D) rows stay f32. Counts x stay f32 (exact).
+          # Measured A/B: benchmarks/bwd_dtype_ab.py --operands
+          def _c(a):
+            a = jnp.asarray(a)
+            return (a.astype(jnp.bfloat16)
+                    if a.shape == x.shape and a.dtype == jnp.float32
+                    else a)
+          r, logits = _c(r), _c(logits)
+          if zi:
+            return zp.zinb_log_prob_rowsum(x, r, logits,
+                                           _c(base.gate_logits),
+                                           constrained=constrained)
+          return zp.nb_log_prob_rowsum(x, r, logits,
+                                       constrained=constrained)
         if zi:
           return zp.zinb_log_prob_rowsum(x, r, logits, base.gate_logits,
                                          constrained=constrained)

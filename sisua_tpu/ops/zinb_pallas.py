@@ -146,10 +146,19 @@ def _kernel_lgamma():
 _BLOCK_D = int(os.environ.get("SISUA_TPU_BLOCK_D", 2048))
 
 
-def _block_b(b: int) -> int:
-  """Row-tile height: the env override when it divides the batch, else 8."""
+def _block_b(b: int, bf16: bool = False):
+  """Row-tile height: the env override when it divides the batch, else 8.
+  bf16 operand tiles need a 16-row sublane (Mosaic's native bf16 tiling
+  is (16, 128)); returns None when the batch can't tile that way — the
+  caller falls back to the XLA path."""
   bb = int(os.environ.get("SISUA_TPU_BLOCK_B", 8))
-  return bb if bb > 0 and b % bb == 0 else 8
+  bb = bb if bb > 0 and b % bb == 0 else 8
+  if bf16:
+    if bb % 16:
+      bb = 16
+    if b % bb:
+      return None
+  return bb
 
 
 def _make_kernel(d: int, block_b: int, constrained: bool,
@@ -169,9 +178,13 @@ def _make_kernel(d: int, block_b: int, constrained: bool,
   def kernel(x_ref, count_ref, logits_ref, gate_ref, out_ref):
     j = pl.program_id(1)
     x = x_ref[:]
+    # operands may arrive bf16 (halved HBM reads — the bf16-operand mode);
+    # all math runs f32 in-registers, so the upcast is free for f32 tiles
+    f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
     # Mosaic has no lgamma primitive — use the vector-ops evaluation
-    lp = _zinb_elem(x, count_ref[:], logits_ref[:], gate_ref[:],
-                    constrained, lgamma=_kernel_lgamma())
+    lp = _zinb_elem(f32(x), f32(count_ref[:]), f32(logits_ref[:]),
+                    f32(gate_ref[:]), constrained,
+                    lgamma=_kernel_lgamma())
     # mask padded gene columns (global column index vs true width d)
     col = j * block_d + jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
     lp = jnp.where(col < d, lp, 0.0)
@@ -343,8 +356,10 @@ def _make_bwd_kernel(d: int, block_b: int, constrained: bool,
 
   def kernel(x_ref, count_ref, logits_ref, gate_ref, g_ref,
              dcr_ref, dl_ref, dg_ref):
+    f32 = lambda a: a.astype(jnp.float32)  # noqa: E731 (bf16 operand mode)
     d_cr, d_l, d_g = _zinb_grads_elem(
-        x_ref[:], count_ref[:], logits_ref[:], gate_ref[:], constrained)
+        f32(x_ref[:]), f32(count_ref[:]), f32(logits_ref[:]),
+        f32(gate_ref[:]), constrained)
     g = g_ref[:]  # (block_b, 1) per-row cotangent
     i = pl.program_id(1) if any_pg else pl.program_id(0)
     for per_gene, ref, field in ((pg[0], dcr_ref, d_cr),
@@ -422,7 +437,12 @@ def _zinb_rowsum(x, count_raw, logits, gate, constrained):
   if not pallas_available() or pg is None or x.shape[0] % 8 != 0:
     return _rowsum_ref(x, count_raw, logits, gate, constrained)
   b, d = x.shape
-  call = _make_kernel(d, _block_b(b), constrained, pg)
+  bf16_ops = any(jnp.asarray(a).dtype == jnp.bfloat16
+                 for a in (count_raw, logits, gate))
+  bb = _block_b(b, bf16=bf16_ops)
+  if bb is None:
+    return _rowsum_ref(x, count_raw, logits, gate, constrained)
+  call = _make_kernel(d, bb, constrained, pg)
   return call(x, count_raw, logits, gate)
 
 
@@ -453,23 +473,35 @@ def _zinb_bwd(constrained, res, g):
   pg = (_pg_flags(x, count_raw, logits, gate)
         if x.ndim == 2 and g.ndim == 1 else None)
   if pg is not None and pallas_available() and x.shape[0] % 8 == 0:
-    out_dtype = _bwd_write_dtype()
-    call = _make_bwd_kernel(x.shape[1], _block_b(x.shape[0]), constrained,
-                            pg, out_dtype=out_dtype)
-    d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
-    if out_dtype != jnp.float32:
-      # custom_vjp cotangents must match primal dtype; the f32 convert is
-      # a pure elementwise op XLA fuses into each consumer's operand read
-      # (the decoder matmul transposes), so the bf16 array stays the only
-      # materialized gradient buffer — the write savings survive
-      d_cr, d_l, d_g = (a.astype(jnp.float32) for a in (d_cr, d_l, d_g))
-    return None, d_cr, d_l, d_g
-  d_r, d_l, d_g = _zinb_grads_elem(x, count_raw, logits, gate, constrained)
+    # bf16-operand mode: cotangents MUST match the (bf16) primal dtype,
+    # which also forces the halved writes; otherwise the write dtype is
+    # the measured-default policy
+    bf16_ops = any(jnp.asarray(a).dtype == jnp.bfloat16
+                   for a in (count_raw, logits, gate))
+    out_dtype = jnp.bfloat16 if bf16_ops else _bwd_write_dtype()
+    bb = _block_b(x.shape[0], bf16=bf16_ops)
+    if bb is not None:
+      call = _make_bwd_kernel(x.shape[1], bb, constrained,
+                              pg, out_dtype=out_dtype)
+      d_cr, d_l, d_g = call(x, count_raw, logits, gate, g)
+      # custom_vjp cotangents must match primal dtype; for f32 primals
+      # with bf16 writes the f32 convert is a pure elementwise op XLA
+      # fuses into each consumer's operand read (the decoder matmul
+      # transposes), so the bf16 array stays the only materialized
+      # gradient buffer — the write savings survive
+      outs = []
+      for a, prim in ((d_cr, count_raw), (d_l, logits), (d_g, gate)):
+        want = jnp.asarray(prim).dtype
+        outs.append(a if a.dtype == want else a.astype(want))
+      return (None, *outs)
+  d_r, d_l, d_g = _zinb_grads_elem(
+      x, *(jnp.asarray(a, jnp.float32) for a in (count_raw, logits, gate)),
+      constrained)
   gb = jnp.expand_dims(g, -1)               # per-row cotangent → per-element
-  return (None,
-          _unbroadcast(gb * d_r, jnp.shape(count_raw)),
-          _unbroadcast(gb * d_l, jnp.shape(logits)),
-          _unbroadcast(gb * d_g, jnp.shape(gate)))
+  # cotangent dtype must match the primal (bf16-operand mode primals)
+  return (None, *(
+      _unbroadcast(gb * d, jnp.shape(p)).astype(jnp.asarray(p).dtype)
+      for d, p in ((d_r, count_raw), (d_l, logits), (d_g, gate))))
 
 
 _zinb_rowsum.defvjp(_zinb_fwd, _zinb_bwd)
