@@ -434,3 +434,41 @@ def test_fused_routing_loglog(monkeypatch):
       gate_logits=gt), 1).log_prob(x)))(log_th)
   np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                              rtol=5e-3, atol=1e-4)
+
+
+def test_bf16_operand_mode_fallback_and_cotangents():
+  """bf16-operand mode (SISUA_TPU_FWD_OPERANDS=bf16): on non-TPU backends
+  the jnp fallback must accept bf16 parameter fields, produce finite
+  values within bf16 tolerance of f32, and return cotangents whose dtypes
+  MATCH the primals (custom_vjp contract; per-gene f32 rows stay f32)."""
+  import jax
+  import jax.numpy as jnp
+
+  from sisua_tpu.ops.zinb_pallas import zinb_log_prob_rowsum
+
+  rng = np.random.default_rng(3)
+  x = jnp.asarray(rng.poisson(2.0, (16, 64)).astype(np.float32))
+  r32 = jnp.exp(jnp.asarray(rng.normal(0, 0.5, (16, 64)), jnp.float32))
+  l32 = jnp.asarray(rng.normal(0, 1, (16, 64)), jnp.float32)
+  g32 = jnp.asarray(rng.normal(-2, 1, (16, 64)), jnp.float32)
+
+  def loss(r, l, g):
+    return jnp.sum(zinb_log_prob_rowsum(x, r, l, g, constrained=True))
+
+  vf, gf = jax.value_and_grad(loss, argnums=(0, 1, 2))(r32, l32, g32)
+  vb, gb = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+      r32.astype(jnp.bfloat16), l32.astype(jnp.bfloat16),
+      g32.astype(jnp.bfloat16))
+  assert [g.dtype for g in gb] == [jnp.bfloat16] * 3
+  assert abs(float(vb) - float(vf)) / abs(float(vf)) < 0.01
+  for a, b in zip(gf, gb):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-12) < 0.03
+  # mixed: per-gene f32 dispersion keeps an f32 cotangent
+  r_pg = jnp.ones((1, 64), jnp.float32)
+  _, gm = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+      r_pg, l32.astype(jnp.bfloat16), g32.astype(jnp.bfloat16))
+  assert gm[0].dtype == jnp.float32
+  assert gm[1].dtype == jnp.bfloat16 and gm[2].dtype == jnp.bfloat16
