@@ -137,9 +137,14 @@ def main():
   # SISUA_EXP, so a SECOND bench run in a fresh process should report
   # compile_s ≈ 0 (warm cache) — compare across runs.
   rate0 = float(model.history["cells_per_sec"][0])
-  cells_per_window = N_CELLS * min(METRICS_INTERVAL, EPOCHS)
-  compile_s = max(0.0, cells_per_window / max(rate0, 1.0)
-                  - cells_per_window / cells_per_sec)
+  # unit 0 is one FULL window (METRICS_INTERVAL epochs) — except in the
+  # per-epoch-executable regime (EPOCHS < METRICS_INTERVAL), where each
+  # epoch is its own unit (see steady_window_rates): scaling by the
+  # window size there would overstate compile_s by EPOCHS×
+  unit_epochs = METRICS_INTERVAL if EPOCHS >= METRICS_INTERVAL else 1
+  cells_per_unit = N_CELLS * unit_epochs
+  compile_s = max(0.0, cells_per_unit / max(rate0, 1.0)
+                  - cells_per_unit / cells_per_sec)
   sentinel_post = _sentinel_rate()
   sentinel = float(np.median([sentinel_pre, sentinel_post]))
   result = {

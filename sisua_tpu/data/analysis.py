@@ -669,7 +669,13 @@ class _OMICanalyzer(_OMICbase):
     from ..utils import mpi_map
     omic1 = self.current_omic if omic1 is None else OMIC.parse(omic1)
     omic2 = OMIC.parse(omic2)
-    key = f"{omic1.name}_{omic2.name}_mutualinfo"
+    # the two backends share one cache key (documented interchangeable to
+    # estimator noise, pinned by test_analysis_layer_jax_backend), but a
+    # SUBSAMPLED estimate is a different statistic (Kraskov's small-MI
+    # bias is N-dependent) — it must not be served from, or overwrite,
+    # the full-data key the plots and reports read
+    key = f"{omic1.name}_{omic2.name}_mutualinfo" \
+        + (f"_sub{int(max_cells)}" if max_cells is not None else "")
     if key in self.uns:
       return self.uns[key]
     # float64 is load-bearing, not a style choice: sklearn's Kraskov

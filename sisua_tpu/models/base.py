@@ -47,6 +47,26 @@ def _flatten(x) -> Tuple:
   return (x,)
 
 
+def _merge_batch_leaves(axis):
+  """tree_map reducer that concatenates per-batch distribution leaves
+  along ``axis`` — EXCEPT batch-invariant parameter rows (e.g. the (1, D)
+  per-gene dispersion of SCVI's 'single' mode / MULTIVI), which every
+  batch returns identically: stacking k copies makes a phantom (k, D)
+  leaf whose broadcast against the (N, D) mean fails. Constants are
+  recognized by a singleton leading dim (they never gain MC sample dims)
+  + bit-equality across batches — per-cell leaves over different cells
+  are never bit-identical. Shared by the streaming and device-cached
+  predict paths so the two can never diverge."""
+  def merge(*xs):
+    x0 = xs[0]
+    if (len(xs) > 1 and np.shape(x0) == np.shape(xs[1])
+        and np.ndim(x0) >= 1 and np.shape(x0)[0] == 1
+        and all(np.array_equal(x0, x) for x in xs[1:])):
+      return x0
+    return np.concatenate(xs, axis=axis)
+  return merge
+
+
 def _to_snake_case(name: str) -> str:
   """keras' auto-name algorithm (generic_utils.to_snake_case): the
   reference's models are keras Models whose default ``.name`` is this."""
@@ -1005,29 +1025,15 @@ class SingleCellModel:
     # Merge across minibatches: output distributions carry leading MC sample
     # dims (batch axis = len(sample_shape)); latent posteriors never do
     # (batch axis = 0). Priors are per-batch constants — not merged.
-    # Batch-INVARIANT parameter rows (e.g. the (1, D) per-gene dispersion of
-    # SCVI's 'single' mode / MULTIVI) must NOT be concatenated: stacking k
-    # identical rows makes a phantom (k, D) leaf whose broadcast against the
-    # (N, D) mean fails. They are recognized by leading dim 1 (constants
-    # never gain MC sample dims) + bit-equality across batches — per-cell
-    # leaves over different cells are never bit-identical.
+    # Batch-invariant (1, D) parameter rows collapse to one copy — see
+    # _merge_batch_leaves.
     ax_out = len(sample_shape)
-
-    def _merge(axis):
-      def m(*xs):
-        x0 = xs[0]
-        if (len(xs) > 1 and np.shape(x0) == np.shape(xs[1])
-            and np.ndim(x0) >= 1 and np.shape(x0)[0] == 1
-            and all(np.array_equal(x0, x) for x in xs[1:])):
-          return x0
-        return np.concatenate(xs, axis=axis)
-      return m
-
-    pX = jax.tree_util.tree_map(_merge(ax_out), *[o.outputs for o in outs])
+    pX = jax.tree_util.tree_map(_merge_batch_leaves(ax_out),
+                                *[o.outputs for o in outs])
     # modules may carry extra nuisance posteriors (e.g. TotalVI's q(log β))
     # beyond the model's declared latents — only the embeddings are merged
     qZ = jax.tree_util.tree_map(
-        _merge(0), *[o.latents[:self.n_latents] for o in outs])
+        _merge_batch_leaves(0), *[o.latents[:self.n_latents] for o in outs])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ
@@ -1078,16 +1084,6 @@ class SingleCellModel:
       leaf = leaf.reshape(s[:ax] + (s[ax] * s[ax + 1],) + s[ax + 2:])
       return leaf[(slice(None),) * ax + (slice(0, n),)]
 
-    def _concat_chunks(axis):
-      def m(*xs):
-        x0 = xs[0]
-        if (len(xs) > 1 and np.shape(x0) == np.shape(xs[1])
-            and np.ndim(x0) >= 1 and np.shape(x0)[0] == 1
-            and all(np.array_equal(x0, x) for x in xs[1:])):
-          return x0
-        return np.concatenate(xs, axis=axis)
-      return m
-
     parts = []
     for rows, nv in self._iter_serving_chunks(feeder, mesh):
       xb, lib_b, k, B, n = self._device_batches(feeder, mesh=mesh,
@@ -1102,9 +1098,9 @@ class SingleCellModel:
       pX, qZ = parts[0]
     else:
       pX = jax.tree_util.tree_map(
-          _concat_chunks(ax_out), *[p[0] for p in parts])
+          _merge_batch_leaves(ax_out), *[p[0] for p in parts])
       qZ = jax.tree_util.tree_map(
-          _concat_chunks(0), *[p[1] for p in parts])
+          _merge_batch_leaves(0), *[p[1] for p in parts])
     pX = pX if len(pX) > 1 else pX[0]
     qZ = qZ if len(qZ) > 1 else qZ[0]
     return pX, qZ

@@ -128,7 +128,7 @@ def _fast_log_prob(dist: D.Distribution, x: Array) -> Array:
           logits = zp._disp_to_logits(count.loc, r)
         import os
         if os.environ.get("SISUA_TPU_FWD_OPERANDS", "f32") == "bf16" \
-            and x.shape[0] % 16 == 0:
+            and zp.bf16_operands_ok(x.shape[0]):
           # bf16-operand mode: full (B, D) parameter fields move to/from
           # HBM at 2 B/element (the producer matmul's convert fuses into
           # its epilogue, so the bf16 array is the only materialization);

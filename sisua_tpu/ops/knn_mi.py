@@ -137,16 +137,22 @@ def knn_mutual_information(X: np.ndarray,
   Xs = _prep(X)
   Ys = _prep(Y)
 
+  import jax
+
   kernel = _build_kernel(n, int(n_neighbors), int(qblock))
   pad = (-g) % chunk
   if pad:
     # pad with the first column: same compiled shape, results discarded
     Xs = np.concatenate([Xs, np.repeat(Xs[:, :1], pad, axis=1)], axis=1)
-  ys = Ys.T  # (P, N): all proteins ride every dispatch
+  # loop-invariant operands live on device ONCE: remote-attached chips
+  # pay a full RPC per host→device transfer, and the query-block loop
+  # would otherwise re-upload the unchanged gene tile ~n/qblock times
+  # (and the protein matrix on every dispatch)
+  ys = jax.device_put(Ys.T)  # (P, N): all proteins ride every dispatch
   sx = np.zeros((g + pad, p))
   sy = np.zeros((g + pad, p))
   for lo in range(0, g + pad, chunk):
-    xc = Xs[:, lo:lo + chunk].T
+    xc = jax.device_put(Xs[:, lo:lo + chunk].T)
     for qlo in range(0, n, qblock):
       bx, by = kernel(xc, ys, np.int32(qlo))
       sx[lo:lo + chunk] += np.asarray(bx).T

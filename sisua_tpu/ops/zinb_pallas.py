@@ -146,6 +146,14 @@ def _kernel_lgamma():
 _BLOCK_D = int(os.environ.get("SISUA_TPU_BLOCK_D", 2048))
 
 
+def bf16_operands_ok(b: int) -> bool:
+  """Whether a batch of ``b`` rows can tile the kernels with bf16 operand
+  blocks — the single source of truth for the bf16-operand gate (the
+  objective's routing queries this instead of restating the sublane
+  constant)."""
+  return _block_b(b, bf16=True) is not None
+
+
 def _block_b(b: int, bf16: bool = False):
   """Row-tile height: the env override when it divides the batch, else 8.
   bf16 operand tiles need a 16-row sublane (Mosaic's native bf16 tiling

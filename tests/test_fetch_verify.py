@@ -107,6 +107,34 @@ def test_verify_second_run_matches_pin(tmp_path, offline_flagship):
       == first["datasets"]["8kly"]["bundle_md5"]
 
 
+def test_verify_carries_pin_forward_on_cache_hit(tmp_path,
+                                                 offline_flagship):
+  """If DOWNLOAD_DIR was cleaned but the extracted cache satisfies
+  get_dataset (no re-download), the pin must SURVIVE into the rewritten
+  record — dropping it would let a later tampered re-download pass as a
+  fresh '(pinned)' run (review finding r5)."""
+  src, dl_dir = offline_flagship
+  out = str(tmp_path / "provenance.json")
+  assert fetch_datasets.verify(epochs=2, out=out) == 0
+  with open(out) as f:
+    first = json.load(f)
+  for f_ in os.listdir(dl_dir):
+    os.remove(os.path.join(dl_dir, f_))
+  assert fetch_datasets.verify(epochs=2, out=out) == 0
+  with open(out) as f:
+    second = json.load(f)
+  assert second["datasets"]["8kly"]["bundle_md5"] \
+      == first["datasets"]["8kly"]["bundle_md5"]
+  # ... and a tampered re-download after the cache-hit run still fails
+  _author_npz(str(src / "pbmc8k_ly.npz"), n=96, seed=77)
+  import sisua_tpu.data.loaders.pbmc8k as pb
+  import shutil as _sh
+  for d in os.listdir(pb.DATA_DIR):
+    if d.startswith("pbmc8k"):
+      _sh.rmtree(os.path.join(pb.DATA_DIR, d))
+  assert fetch_datasets.verify(epochs=2, out=out) == 1
+
+
 def test_verify_fails_on_tampered_bundle(tmp_path, offline_flagship):
   src, dl_dir = offline_flagship
   out = str(tmp_path / "provenance.json")

@@ -67,7 +67,7 @@ def verify(epochs: int = 50, out: str | None = None) -> int:
 
   from sisua_tpu.data import get_dataset
   from sisua_tpu.data.path import DOWNLOAD_DIR, EXP_DIR
-  from sisua_tpu.data.utils import md5_checksum, md5_folder
+  from sisua_tpu.data.utils import md5_checksum
 
   out = out or os.path.join(EXP_DIR, "real_data_provenance.json")
   prior = None
@@ -92,15 +92,14 @@ def verify(epochs: int = 50, out: str | None = None) -> int:
         "n_genes": int(sco.n_vars),
         "proteins": [str(v) for v in sco.get_var_names("proteomic")],
         "bundle_md5": {},
-        "cache_md5": None,
     }
     for fname in bundles:
       path = os.path.join(DOWNLOAD_DIR, fname)
+      pinned = (prior or {}).get("datasets", {}).get(name, {}) \
+          .get("bundle_md5", {}).get(fname)
       if os.path.isfile(path):
         md5 = md5_checksum(path)
         entry["bundle_md5"][fname] = md5
-        pinned = (prior or {}).get("datasets", {}).get(name, {}) \
-            .get("bundle_md5", {}).get(fname)
         if pinned is not None and pinned != md5:
           print(f"FAILED {name}: bundle {fname} md5 {md5} != pinned "
                 f"{pinned} (upstream file changed since the first "
@@ -108,6 +107,14 @@ def verify(epochs: int = 50, out: str | None = None) -> int:
           return 1
         print(f"  {fname}: md5 {md5}"
               + (" (matches pin)" if pinned else " (pinned)"))
+      elif pinned is not None:
+        # bundle file cleaned from DOWNLOAD_DIR but the extracted cache
+        # satisfied get_dataset — CARRY THE PIN FORWARD. Dropping it here
+        # would let a later re-download of a tampered upstream file pass
+        # as a fresh '(pinned)' run, defeating the contract.
+        entry["bundle_md5"][fname] = pinned
+        print(f"  {fname}: not re-downloaded (cache hit) — pin {pinned} "
+              "carried forward")
     record["datasets"][name] = entry
   # one zoo row on the REAL ADT table: SISUA protein correlation,
   # the metric the reference's semi-supervision claim is stated in
