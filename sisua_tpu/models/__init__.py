@@ -17,7 +17,9 @@ from .. import interpolation
 from ..interpolation import Interpolation
 from ..nn import NetConf
 from ..rv import RVmeta
+from .autozi import AUTOZI, AUTOZIModule
 from .base import SingleCellModel
+from .cellassign import CellAssign
 from .dca import DeepCountAutoencoder
 from .fvae import FVAE, SemiFVAE
 from .ldvae import LDVAE
@@ -29,15 +31,17 @@ from .scale import SCALAR, SCALE
 from .scanvi import SCANVI, SCANVIModule
 from .scscope import SCScope, SCScopeModule
 from .scvi import SCVI
+from .solo import SOLO
 from .totalvi import TotalVI, TotalVIModule
 from .vae import MISA, SISUA, VAE
 
 __all__ = [
     "SingleCellModel", "VAE", "SISUA", "MISA", "DeepCountAutoencoder",
-    "SCVI", "LDVAE", "SCANVI", "SCANVIModule", "PEAKVI", "PEAKVIModule",
+    "SCVI", "LDVAE", "AUTOZI", "AUTOZIModule",
+    "SCANVI", "SCANVIModule", "PEAKVI", "PEAKVIModule",
     "TotalVI", "TotalVIModule", "MULTIVI", "MULTIVIModule",
     "SCALE", "SCALAR", "FVAE", "SemiFVAE",
-    "SCScope", "SCScopeModule",
+    "SCScope", "SCScopeModule", "SOLO", "CellAssign",
     "get_model", "get_all_models", "load_model",
     "NetConf", "RVmeta", "Interpolation", "interpolation",
     "VAEModule", "SCVIModule", "VAEOutput", "compute_loss", "elbo_terms",
