@@ -52,8 +52,8 @@ SEMI_FAMILIES = ("sisua", "misa", "scalar", "totalvi", "totalvi_semi",
 
 def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0,
               C=0):
-  from sisua_tpu.models import (FVAE, LDVAE, MISA, SCALAR, SCALE, SCANVI,
-                                SCVI, SISUA, SCScope, TotalVI, VAE,
+  from sisua_tpu.models import (AUTOZI, FVAE, LDVAE, MISA, SCALAR, SCALE,
+                                SCANVI, SCVI, SISUA, SCScope, TotalVI, VAE,
                                 DeepCountAutoencoder, NetConf, RVmeta)
   rna_zinb = lambda: RVmeta(G, "zinb", name="rna")  # noqa: E731
   adt_nb = lambda: RVmeta(P, "nb", name="adt")      # noqa: E731
@@ -68,6 +68,10 @@ def build_zoo(G, P, nets, seed=0, n_batch=0, mask_renorm=False, alpha=10.0,
                            n_batch=n_batch),
       "ldvae": lambda: LDVAE(RVmeta(G, "nbd", name="rna"), seed=seed,
                              n_batch=n_batch),
+      # SCVI engine + per-gene spike-and-slab ZI detection (round 5);
+      # generic rows match scvi's protocol, plus its own q(ZI) accessors
+      "autozi": lambda: AUTOZI(RVmeta(G, "zinbd", name="rna"), seed=seed,
+                               n_batch=n_batch),
       "sisua": lambda: SISUA([rna_zinb(), adt_nb()], alpha=alpha, seed=seed,
                              mask_renorm=mask_renorm, **nets),
       "misa": lambda: MISA([rna_zinb(), RVmeta(P, "nbd", name="adt")],

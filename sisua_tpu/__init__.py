@@ -66,6 +66,7 @@ _TOP_LEVEL_NAMES = (
     "SingleCellOMIC", "standardize_protein_name",
     "MISA", "SCALE", "SCALAR", "SCVI", "SISUA", "VAE", "TotalVI",
     "DeepCountAutoencoder", "SCScope", "FVAE", "SemiFVAE",
+    "AUTOZI", "SOLO", "CellAssign",
     "NetConf", "RVmeta", "SingleCellModel", "get_model", "load_model",
     "SisuaExperimenter", "Trainer", "VmapEnsemble",
 )
